@@ -1,0 +1,110 @@
+"""Session helpers — the PySpark analogue of the reference's ``ExonSession``
+(exon/exon-core/src/session_context/exon_context_ext.rs).
+
+The reference wraps a DataFusion ``SessionContext`` with registered formats +
+UDFs and ``read_*`` helpers; here ``ExonSession`` wraps a ``SparkSession`` the
+same way. All relational work is stock Catalyst (SURVEY.md §2.3); session
+defaults below are the scale-oriented knobs (AQE, partition sizing) that
+replace the reference's ``new_exon_config`` (config/mod.rs:27-45).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def get_spark(
+    app_name: str = "exon-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with scale-appropriate defaults.
+
+    Mirrors ``new_exon_config`` (config/mod.rs:27-45): the reference enables
+    repartitioned joins/aggs/sorts/file-scans with target_partitions=ncpus;
+    Spark equivalents are AQE + shuffle-partition sizing + max file split
+    size. On a real cluster these same settings hold — AQE coalesces the
+    shuffle partitions at runtime so one number serves all scale factors.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    register_all(spark)
+    return spark
+
+
+def register_all(spark: SparkSession) -> None:
+    """Install the full exon_spark surface on an existing session:
+    SQL functions (§2.4) + data sources (§2.1). Mirrors
+    ``ExonSession::new`` (exon_context_ext.rs:121-213)."""
+    from exon_spark.functions.registry import register_sql_functions
+
+    register_sql_functions(spark)
+    try:
+        from exon_spark.sources import register_sources
+
+        register_sources(spark)
+    except ImportError:  # sources are optional at bootstrap
+        pass
+
+
+class ExonSession:
+    """Thin convenience wrapper: ``ExonSession(spark).read_fasta(path)`` etc.,
+    mirroring the reference's 17 ``read_*`` methods
+    (exon_context_ext.rs:313-720). Format readers live in
+    ``exon_spark.sources``; each ``read_x`` is sugar over
+    ``spark.read.format("x")``.
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        register_all(self.spark)
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry point. COPY ... STORED AS FASTA/FASTQ (the reference's
+        parser extension, sql/parser.rs:52-71) is handled by
+        ``exon_spark.sinks.copy_to`` preprocessing."""
+        from exon_spark.sinks import maybe_handle_copy
+
+        handled = maybe_handle_copy(self.spark, query)
+        if handled is not None:
+            return handled
+        return self.spark.sql(query)
+
+    def __getattr__(self, name: str):
+        # read_fasta / read_vcf / ... resolve dynamically against sources
+        if name.startswith("read_"):
+            fmt = name[5:]
+
+            def _reader(path: str, **options) -> DataFrame:
+                from exon_spark.sources import read_format
+
+                return read_format(self.spark, fmt, path, **options)
+
+            return _reader
+        raise AttributeError(name)
+
+    def register_exon_table(self, name: str, path: str, fmt: str, **options) -> None:
+        """CREATE EXTERNAL TABLE analogue (exon_context_ext.rs:683-697)."""
+        from exon_spark.sources import read_format
+
+        read_format(self.spark, fmt, path, **options).createOrReplaceTempView(name)
