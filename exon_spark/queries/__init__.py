@@ -1,0 +1,37 @@
+"""Query registry — one entry per implemented operator (SURVEY.md §2).
+
+``ALL_QUERIES`` drives ``__spark_entry__.py`` (the driver's correctness
+gate), ``bench.py`` and ``tools/check_correctness.py``.
+"""
+
+from __future__ import annotations
+
+from exon_spark.queries.base import TABLES, QuerySpec, register_views, table
+from exon_spark.queries.relational import RELATIONAL_QUERIES
+
+
+def _collect() -> dict[str, QuerySpec]:
+    specs: list[QuerySpec] = list(RELATIONAL_QUERIES)
+    try:
+        from exon_spark.queries.domain import DOMAIN_QUERIES
+
+        specs += DOMAIN_QUERIES
+    except ImportError:
+        pass
+    try:
+        from exon_spark.queries.pipeline import PIPELINE_QUERIES
+
+        specs += PIPELINE_QUERIES
+    except ImportError:
+        pass
+    out: dict[str, QuerySpec] = {}
+    for s in specs:
+        if s.name in out:
+            raise ValueError(f"duplicate query name: {s.name}")
+        out[s.name] = s
+    return out
+
+
+ALL_QUERIES: dict[str, QuerySpec] = _collect()
+
+__all__ = ["ALL_QUERIES", "QuerySpec", "TABLES", "register_views", "table"]

@@ -1,0 +1,106 @@
+"""Query-registry plumbing shared by the driver contract
+(``__spark_entry__.py``), ``bench.py`` and the local correctness checker.
+
+Each query is a ``QuerySpec``:
+
+* ``spark_fn(spark, sf_dir) -> DataFrame`` — the Spark implementation
+  (DataFrame API or spark.sql; always the Spark-first plan we want at scale);
+* ``oracle`` — equivalent DuckDB SQL over the pre-registered views
+  (``region nation customer supplier part orders lineitem events documents
+  embeddings``), or ``None`` for non-SQL-expressible operators (the driver
+  then records a rows-only check).
+
+Engine-stability rules used throughout (so value-hashes match DuckDB):
+
+* money/double sums go through ``SUM_D`` — round each term to 6 dp, sum
+  exactly as DECIMAL(38,10), cast back to double, round to 4 dp. Exact
+  arithmetic ⇒ no partial-aggregation order sensitivity.
+* double→int conversions always ``cast(floor(x) as bigint)`` — Spark
+  truncates, DuckDB *rounds*, floor() agrees everywhere.
+* every computed column is aliased identically in Spark and oracle SQL
+  (driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+# testdata timestamps are parquet TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong=true they surface as bigint
+# nanoseconds. Convert to proper timestamps (truncating to micros — exactly
+# what DuckDB's TIMESTAMP cast of nanos does, so oracles agree).
+_NANO_TS_COLS = {
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+    "events": ("ts",),
+}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def sql_query(name: str, sql: str, oracle: str | None = None, doc: str = "", tables=TABLES) -> QuerySpec:
+    """A query whose Spark side is ``spark.sql`` over temp views (Catalyst
+    optimizes from there). ``oracle`` defaults to the same text — most
+    relational queries are written in the common Spark/DuckDB SQL subset."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    return QuerySpec(name, fn, sql if oracle is None else oracle, doc)
+
+
+# --- engine-stable aggregate fragments (valid in BOTH Spark SQL and DuckDB) --
+
+def SUM_D(expr: str, alias: str) -> str:
+    """Exact decimal sum of a double expression, surfaced as rounded double."""
+    return (
+        f"round(cast(sum(cast(round({expr}, 6) as decimal(38,10))) as double), 4)"
+        f" as {alias}"
+    )
+
+
+def AVG_D(expr: str, alias: str) -> str:
+    """Exact-sum-based average (sum as decimal / count), rounded double."""
+    return (
+        f"round(cast(sum(cast(round({expr}, 6) as decimal(38,10))) as double)"
+        f" / count(*), 4) as {alias}"
+    )
