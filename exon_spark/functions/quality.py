@@ -26,10 +26,12 @@ def _col(c: Column | str) -> Column:
 def quality_scores_to_list(quality: Column | str) -> Column:
     """Decode a Phred+33 quality string into ARRAY<INT> of scores."""
     q = _col(quality)
-    return F.transform(
+    decoded = F.transform(
         F.sequence(F.lit(1), F.length(q)),
         lambda i: F.ascii(F.substring(q, i, 1)) - 33,
     )
+    # guard: sequence(1, 0) counts down in Spark — empty input must yield []
+    return F.when(F.length(q) >= 1, decoded).otherwise(F.array().cast("array<int>"))
 
 
 def quality_scores_to_string(scores: Column | str) -> Column:

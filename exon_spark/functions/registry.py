@@ -40,14 +40,17 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "integer_encoding": (
         "(seq STRING, alphabet STRING)",
         "ARRAY<SMALLINT>",
-        """transform(
+        """CASE WHEN length(seq) >= 1 THEN transform(
              transform(sequence(1, length(seq)), i -> instr(alphabet, substring(seq, i, 1)) - 1),
-             v -> CASE WHEN v >= 0 THEN CAST(v AS SMALLINT) END)""",
+             v -> CASE WHEN v >= 0 THEN CAST(v AS SMALLINT) END)
+           ELSE CAST(array() AS ARRAY<SMALLINT>) END""",
     ),
     "quality_scores_to_list": (
         "(q STRING)",
         "ARRAY<INT>",
-        "transform(sequence(1, length(q)), i -> ascii(substring(q, i, 1)) - 33)",
+        """CASE WHEN length(q) >= 1
+           THEN transform(sequence(1, length(q)), i -> ascii(substring(q, i, 1)) - 33)
+           ELSE CAST(array() AS ARRAY<INT>) END""",
     ),
     "quality_scores_to_string": (
         "(scores ARRAY<INT>)",

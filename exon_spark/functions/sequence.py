@@ -90,8 +90,12 @@ def integer_encoding(seq: Column | str, alphabet: Column | str) -> Column:
         F.sequence(F.lit(1), F.length(seq)), lambda i: F.substring(seq, i, 1)
     )
     idx = F.transform(ch, lambda c: F.instr(alphabet, c) - 1)
-    return F.transform(
+    encoded = F.transform(
         idx, lambda i: F.when(i >= 0, i.cast("smallint")).otherwise(F.lit(None))
+    )
+    # guard: sequence(1, 0) counts down in Spark — empty input must yield []
+    return F.when(F.length(seq) >= 1, encoded).otherwise(
+        F.array().cast("array<smallint>")
     )
 
 

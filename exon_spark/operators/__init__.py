@@ -1,0 +1,37 @@
+"""Scale-out operators beyond the reference's surface: dedup, similarity
+search, text analysis, multimodal plumbing, interval joins."""
+
+from exon_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_verify,
+    ngram_jaccard_pairs,
+    shingle_rows,
+    simhash,
+    simhash_pairs,
+)
+from exon_spark.operators.multimodal import decode_media, with_media_payload
+from exon_spark.operators.similarity import cosine, cosine_topk, lsh_ann_topk
+from exon_spark.operators.text import fingerprint, lang_id, text_stats
+
+__all__ = [
+    "exact_dedup",
+    "minhash_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_verify",
+    "ngram_jaccard_pairs",
+    "shingle_rows",
+    "simhash",
+    "simhash_pairs",
+    "cosine",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "fingerprint",
+    "lang_id",
+    "text_stats",
+    "decode_media",
+    "with_media_payload",
+]

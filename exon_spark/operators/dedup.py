@@ -1,0 +1,304 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-parity layer (repo north star): exact dedup, MinHash+LSH, SimHash,
+n-gram Jaccard. All implemented as pure DataFrame/Column expressions — no
+Python in the execution path — so the plans are whole-stage-codegen'd and
+scale to a 1000-executor cluster.
+
+Scale design notes:
+* ``exact_dedup``: one hash-groupBy shuffle on a 128-bit digest; at 100 TB
+  the digest (16 bytes) shuffles, not the document text.
+* ``minhash``: shingling explodes to (doc, shingle) rows but is immediately
+  re-aggregated per doc (map-side partial min for each permutation ⇒ the
+  shuffle carries doc_id + 16 longs, not shingles).
+* ``lsh_candidate_pairs``: bucket join on (band, signature) — only docs
+  sharing a full band signature meet; skew-safe under AQE. All-pairs work is
+  confined to within-bucket, as in the classic MMDS formulation.
+* ``simhash_pairs``: 4-byte banding with the pigeonhole guarantee — any pair
+  with Hamming distance <= 3 over 32 bits must agree exactly on one of 4
+  bytes, so the band join is exact (no recall loss) for radius 3.
+
+Determinism: hash functions derive from md5 (first 8 hex chars -> 32-bit int)
+with fixed affine permutations mod p = 2^31 - 1; every step reproduces
+bit-for-bit in any engine (the DuckDB oracles in queries/pipeline.py mirror
+the arithmetic exactly).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1 (prime)
+
+# fixed affine permutation constants (a, b); a,b < 2^30 so a*h + b < 2^62
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (69_069, 362_437),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+    (1_103_515_245, 12_345),
+    (747_796_405, 2_891_336_453 % MERSENNE_P),
+    (62_089_911, 4_294_967_291 % MERSENNE_P),
+    (32_310_901, 626_627_237),
+    (29_943_829, 1_013_904_223),
+    (248_006_887, 2_707_475_621 % MERSENNE_P),
+    (104_729, 15_485_863),
+    (413_158_511, 119_418_959),
+    (25_214_903, 11),
+    (17_000_069, 8_191),
+    (999_999_937, 97),
+]
+
+
+def h32(col: Column | str) -> Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5 as bigint.
+    Mirrors ``('0x' || substr(md5(x),1,8))::bigint`` in DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column. Docs shorter than
+    n tokens yield an empty array (guard: Spark's sequence(1, 0) counts
+    DOWN, unlike DuckDB's empty range)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via 128-bit digest groupBy: one row per distinct text with
+    the surviving (minimum) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, distinct per doc. Docs shorter than n tokens
+    contribute no rows."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, perms=MINHASH_PERMS) -> DataFrame:
+    """doc_id -> m0..m{k-1} minhash columns. Single shuffle; map-side partial
+    min keeps the shuffle at 8 bytes per permutation per doc."""
+    h = h32("shingle")
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_P).alias(f"m{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing at least one full
+    band signature."""
+    band_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band_id", "bs.sig")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keeps pairs with
+    similarity >= threshold. Join-based (distributed), no collect."""
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle -> 16-perm
+    signatures -> 4x4 LSH banding -> exact-Jaccard verification."""
+    sh = shingle_rows(df, id_col, text_col, n).cache()
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_verify(cands, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle inverted-index join (no LSH —
+    exact recall; the shingle join bounds the pair explosion to docs that
+    share at least one shingle)."""
+    sh = shingle_rows(df, id_col, text_col, n).cache()
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """32-bit SimHash over the distinct word n-gram shingle set (feature
+    hash = h32; bit b of the fingerprint is 1 iff the sum over features of
+    ±1 for bit b is > 0). Shingle features (default n=3) rather than unigrams
+    so small-vocabulary corpora still discriminate."""
+    toks = shingle_rows(df, id_col, text_col, n).withColumnRenamed("shingle", "tok")
+    h = h32("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 3, via exact 4-byte
+    banding (pigeonhole: <=3 differing bits over 4 bytes ⇒ >=1 byte equal)."""
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("simhash", 8 * i).bitwiseAND(255).alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.byte")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

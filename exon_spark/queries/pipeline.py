@@ -1,0 +1,273 @@
+"""LLM-data-pipeline queries (beyond-parity layer): dedup, similarity
+search, text analysis, multimodal plumbing — each wired into the driver's
+DuckDB-oracle gate where SQL-expressible.
+
+The oracles REGENERATE the minhash/simhash arithmetic from the same
+constants as the Spark operators (exon_spark.operators.dedup), so candidate
+generation matches bit-for-bit — the LSH stages are deterministic, not
+probabilistic, across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from exon_spark.operators import (
+    cosine_topk,
+    decode_media,
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    lsh_ann_topk,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    text_stats,
+    with_media_payload,
+)
+from exon_spark.operators.dedup import MERSENNE_P, MINHASH_PERMS
+from exon_spark.operators.text import LANG_MARKERS, STOPWORDS_EN, _LANG_ORDER
+from exon_spark.queries.base import QuerySpec, table
+
+# ---------------------------------------------------------------- exact dedup
+
+def _q17_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+Q17_ORACLE = """
+select md5(text) as h, min(doc_id) as keep_id, count(*) as n_copies
+from documents
+group by md5(text)
+"""
+
+# ------------------------------------------------------- shared shingle SQL
+
+_SHINGLES_DUCK = """
+tok as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+),
+sh as (
+  select distinct doc_id, s as shingle from tok,
+  unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) as t(s)
+  where s <> ''
+)
+"""
+
+_JACCARD_TAIL = """
+cnt as (select doc_id, count(*) as n_sh from sh group by doc_id),
+common as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+"""
+
+
+def _q18_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+Q18_ORACLE = f"""
+with {_SHINGLES_DUCK}, {_JACCARD_TAIL}
+select doc_a, doc_b,
+       round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6) as jaccard
+from common join cnt x on doc_a = x.doc_id join cnt y on doc_b = y.doc_id
+where round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+"""
+
+# ------------------------------------------------------------ minhash + LSH
+
+_MIN_COLS = ", ".join(
+    f"min(({a} * h + {b}) % {MERSENNE_P}) as m{j}"
+    for j, (a, b) in enumerate(MINHASH_PERMS)
+)
+_BAND_SELECTS = " union all ".join(
+    f"select doc_id, {b} as band_id, concat_ws(',', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) as sig from sig"
+    for b in range(4)
+)
+
+
+def _q19_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+Q19_ORACLE = f"""
+with {_SHINGLES_DUCK},
+hh as (
+  select doc_id, shingle, ('0x' || substr(md5(shingle), 1, 8))::bigint as h from sh
+),
+sig as (select doc_id, {_MIN_COLS} from hh group by doc_id),
+bands as ({_BAND_SELECTS}),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b
+    on a.band_id = b.band_id and a.sig = b.sig and a.doc_id < b.doc_id
+),
+cnt as (select doc_id, count(*) as n_sh from sh group by doc_id),
+common as (
+  select c.doc_a, c.doc_b, count(*) as n_common
+  from cand c
+  join sh a on a.doc_id = c.doc_a
+  join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
+  group by c.doc_a, c.doc_b
+)
+select doc_a, doc_b,
+       round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6) as jaccard
+from common join cnt x on doc_a = x.doc_id join cnt y on doc_b = y.doc_id
+where round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+"""
+
+# ------------------------------------------------------------------- simhash
+
+_BIT_SUMS = ", ".join(
+    f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as s{b}" for b in range(32)
+)
+_FP_EXPR = " + ".join(
+    f"(case when s{b} > 0 then cast({1 << b} as bigint) else 0 end)" for b in range(32)
+)
+
+
+def _q20_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = simhash(table(spark, sf_dir, "documents"))
+    pairs = simhash_pairs(fps, max_hamming=3)
+    return pairs
+
+
+Q20_ORACLE = f"""
+with {_SHINGLES_DUCK},
+hh as (
+  select doc_id, ('0x' || substr(md5(shingle), 1, 8))::bigint as h from sh
+),
+sums as (select doc_id, {_BIT_SUMS} from hh group by doc_id),
+fp as (select doc_id, {_FP_EXPR} as simhash from sums)
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       bit_count(xor(a.simhash, b.simhash)) as hamming
+from fp a join fp b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+# --------------------------------------------------------- cosine similarity
+
+def _q21_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = table(spark, sf_dir, "embeddings")
+    return cosine_topk(em, em.filter(F.col("vec_id") < 8), k=5)
+
+
+Q21_ORACLE = """
+with q as (select vec_id as q_id, embedding as q_vec from embeddings where vec_id < 8),
+c as (select vec_id, embedding as vec from embeddings),
+scored as (
+  select q.q_id, c.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> cast(q_vec[i] as double) * cast(vec[i] as double)))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> cast(vec[i] as double) * cast(vec[i] as double))))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> cast(q_vec[i] as double) * cast(q_vec[i] as double))))),
+           6) as score
+  from c cross join q
+  where c.vec_id <> q.q_id
+),
+ranked as (
+  select q_id, vec_id, score,
+         row_number() over (partition by q_id order by score desc, vec_id) as rnk
+  from scored
+)
+select q_id, vec_id, score, rnk from ranked where rnk <= 5
+"""
+
+
+def _q22_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(em, em.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------- text layer
+
+def _q23_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(table(spark, sf_dir, "documents"))
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+Q23_ORACLE = f"""
+with d as (
+  select doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+)
+select doc_id,
+       cast(len(toks) as int) as n_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as int) as n_bpe_tokens,
+       round(cast(list_sum(list_transform(toks, t -> length(t))) as double) / len(toks), 6) as avg_token_len,
+       round(cast(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) as double)
+             / length(text), 6) as punct_ratio,
+       round(cast(len(list_filter(toks, t -> t in ({_SW}))) as double) / len(toks), 6) as stopword_ratio
+from d
+"""
+
+
+def _q24_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(table(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    score_cols = ", ".join(
+        "cast(len(list_filter(toks, t -> t in ({words}))) as int) as s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in _LANG_ORDER
+    )
+    # same precedence argmax as operators.text.lang_id
+    guess = "'zh'"
+    for lang in reversed(_LANG_ORDER[:-1]):
+        conds = " and ".join(
+            f"s_{lang} >= s_{other}" for other in _LANG_ORDER if other != lang
+        )
+        guess = f"case when {conds} then '{lang}' else {guess} end"
+    return f"""
+with d as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+),
+s as (select doc_id, {score_cols} from d)
+select doc_id, s_en, s_es, s_de, s_fr, s_zh, {guess} as lang_guess from s
+"""
+
+
+def _q25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(table(spark, sf_dir, "documents"))
+
+
+Q25_ORACLE = """
+with d as (
+  select doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) as norm
+  from documents
+)
+select doc_id, md5(norm) as fingerprint,
+       list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+                i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::bigint)) as min_window_hash
+from d
+"""
+
+
+def _q26_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(with_media_payload(table(spark, sf_dir, "documents")))
+
+
+PIPELINE_QUERIES: list[QuerySpec] = [
+    QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
+    QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
+    QuerySpec("q19_dedup_minhash_lsh", _q19_spark, Q19_ORACLE, "MinHash+LSH near-dup"),
+    QuerySpec("q20_dedup_simhash", _q20_spark, Q20_ORACLE, "SimHash banding near-dup"),
+    QuerySpec("q21_similarity_cosine_topk", _q21_spark, Q21_ORACLE, "brute-force cosine top-k"),
+    QuerySpec("q22_similarity_ann_lsh", _q22_spark, None, "LSH-bucketed ANN (rows-only: approximate by design)"),
+    QuerySpec("q23_text_stats", _q23_spark, Q23_ORACLE, "token/quality statistics"),
+    QuerySpec("q24_text_langid", _q24_spark, _lang_oracle(), "marker-word language ID"),
+    QuerySpec("q25_text_fingerprint", _q25_spark, Q25_ORACLE, "md5 + winnowing fingerprints"),
+    QuerySpec("q26_multimodal_decode", _q26_spark, None, "binary payload + mapInPandas decode stub"),
+]
