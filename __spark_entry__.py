@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (TPC-H Q1-style pricing summary) at
+sf0.001. ``queries()`` / ``oracle_sql()`` — the full operator surface from
+SURVEY.md §2 plus the beyond-parity pipeline layer, one DuckDB oracle per
+SQL-expressible query (see exon_spark/queries/).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Install session config + function registry on the driver's session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    from exon_spark import register_all
+
+    register_all(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _prepare(spark)
+    from exon_spark.queries import ALL_QUERIES
+
+    return ALL_QUERIES["q01_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ pipeline)."""
+    from exon_spark.queries import ALL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(spec):
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return spec.spark_fn(spark, sf_dir)
+
+        return fn
+
+    return {name: wrap(spec) for name, spec in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle per SQL-expressible query; rows-only ops
+    (approximate ANN, mapInPandas decode) are omitted by design."""
+    from exon_spark.queries import ALL_QUERIES
+
+    return {
+        name: spec.oracle
+        for name, spec in ALL_QUERIES.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a write-nothing collect of the
+aggregated result) so the measured time includes the full scan/shuffle, not
+just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_shipping_priority",
+    "q03_local_supplier_volume",
+    "q04_forecast_revenue",
+    "q05_top_customers_window",
+    "q09_interval_containment_join",
+    "q10_events_tumbling_window",
+    "q11_events_sessionize",
+    "q12_sequence_ops",
+    "q14_samflag_summary",
+    "q16_mass_spec",
+    "q17_dedup_exact",
+    "q18_dedup_ngram_jaccard",
+    "q19_dedup_minhash_lsh",
+    "q20_dedup_simhash",
+    "q21_similarity_cosine_topk",
+    "q23_text_stats",
+    "q25_text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from exon_spark import get_spark
+    from exon_spark.queries import ALL_QUERIES
+
+    spark = get_spark(app_name="exon-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # queries, not session bootstrap
+    ALL_QUERIES["q04_forecast_revenue"].spark_fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = ALL_QUERIES[name]
+        t0 = time.perf_counter()
+        n = spec.spark_fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,8 +52,8 @@ tok as (
 ),
 sh as (
   select distinct doc_id, s as shingle from tok,
-  unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) as t(s)
+  unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) as t(s)
   where s <> ''
 )
 """
