@@ -1,0 +1,106 @@
+"""Sinks: FASTA/FASTQ writers and the COPY ... STORED AS extension.
+
+Parity: the reference's sole SQL extension is
+``COPY (query|table) TO 'path' STORED AS FASTA|FASTQ [OPTIONS(compression
+'gzip')]`` (sql/parser.rs:52-71 -> ExonDataSinkLogicalPlanNode ->
+SimpleRecordSink with FASTA/FASTQSerializer, sinks/simple_record_sink.rs:81-119).
+
+Spark-first: serialization is a Column expression (concat of record fields)
+written through the JVM text writer — gzip/zstd via Spark's codec, all
+distributed; ``single_file=True`` coalesces to one output file like the
+reference's sink. The SQL surface is a tiny preprocessor on the COPY
+statement (Catalyst has no parser hooks from Python).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'(?P<path>[^']+)'\s+"
+    r"STORED\s+AS\s+(?P<fmt>FASTA|FASTQ)\s*"
+    r"(?:OPTIONS\s*\(\s*compression\s+'(?P<comp>\w+)'\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def fasta_lines(df: DataFrame) -> DataFrame:
+    """Serialize (id, description, sequence) to FASTA text lines
+    (fasta_serializer.rs semantics: '>' + id [+ ' ' + description])."""
+    header = F.concat(
+        F.lit(">"),
+        F.col("id"),
+        F.when(
+            F.col("description").isNotNull(), F.concat(F.lit(" "), F.col("description"))
+        ).otherwise(F.lit("")),
+    )
+    return df.select(
+        F.concat_ws("\n", header, F.col("sequence")).alias("value")
+    )
+
+
+def fastq_lines(df: DataFrame) -> DataFrame:
+    """Serialize (name, description, sequence, quality_scores) to FASTQ."""
+    header = F.concat(
+        F.lit("@"),
+        F.col("name"),
+        F.when(
+            F.col("description").isNotNull(), F.concat(F.lit(" "), F.col("description"))
+        ).otherwise(F.lit("")),
+    )
+    return df.select(
+        F.concat_ws(
+            "\n", header, F.col("sequence"), F.lit("+"), F.col("quality_scores")
+        ).alias("value")
+    )
+
+
+def write_fasta(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    single_file: bool = False,
+) -> None:
+    out = fasta_lines(df)
+    if single_file:
+        out = out.coalesce(1)
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def write_fastq(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    single_file: bool = False,
+) -> None:
+    out = fastq_lines(df)
+    if single_file:
+        out = out.coalesce(1)
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def maybe_handle_copy(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Intercept COPY ... STORED AS FASTA|FASTQ; returns a 1-row count
+    DataFrame (like the reference's sink result) or None if not a COPY."""
+    m = _COPY_RE.match(sql)
+    if not m:
+        return None
+    src = m.group("src").strip()
+    df = spark.sql(src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}")
+    path, fmt = m.group("path"), m.group("fmt").upper()
+    comp = (m.group("comp") or "").lower() or None
+    n = df.count()
+    if fmt == "FASTA":
+        write_fasta(df, path, compression=comp)
+    else:
+        write_fastq(df, path, compression=comp)
+    return spark.createDataFrame([(n,)], ["count"])

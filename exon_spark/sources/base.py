@@ -1,0 +1,178 @@
+"""Base class for the format data sources (Python DataSource API, Spark 4).
+
+Execution model mirrors the reference's scan pattern (SURVEY.md §2.1:
+ListingTable -> Scan -> FileStream -> BatchReader): the driver lists files
+and plans one InputPartition per file (or per byte-range/index-chunk where
+the format is splittable); executors parse records and emit Arrow
+RecordBatches of BATCH_SIZE rows (reference: 8*1024,
+exon/exon-core/src/config/mod.rs:24).
+
+Hive partition values discovered from ``key=value`` path segments are
+appended as string columns (table_schema.rs:76-110 semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pyarrow as pa
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructType,
+    _parse_datatype_string,
+)
+
+from exon_spark.sources.util import (
+    FoundFile,
+    detect_compression,
+    list_files,
+    partition_columns,
+)
+
+BATCH_SIZE = 8 * 1024  # reference: exon config/mod.rs:24
+
+
+def arrow_type(dt: DataType) -> pa.DataType:
+    if isinstance(dt, StringType):
+        return pa.string()
+    if isinstance(dt, BooleanType):
+        return pa.bool_()
+    if isinstance(dt, ByteType):
+        return pa.int8()
+    if isinstance(dt, ShortType):
+        return pa.int16()
+    if isinstance(dt, IntegerType):
+        return pa.int32()
+    if isinstance(dt, LongType):
+        return pa.int64()
+    if isinstance(dt, FloatType):
+        return pa.float32()
+    if isinstance(dt, DoubleType):
+        return pa.float64()
+    if isinstance(dt, BinaryType):
+        return pa.binary()
+    if isinstance(dt, ArrayType):
+        return pa.list_(arrow_type(dt.elementType))
+    if isinstance(dt, MapType):
+        return pa.map_(arrow_type(dt.keyType), arrow_type(dt.valueType))
+    if isinstance(dt, StructType):
+        return pa.struct(
+            [pa.field(f.name, arrow_type(f.dataType), True) for f in dt.fields]
+        )
+    raise TypeError(f"no arrow mapping for {dt}")
+
+
+def arrow_schema(schema: StructType) -> pa.Schema:
+    return pa.schema([pa.field(f.name, arrow_type(f.dataType), True) for f in schema.fields])
+
+
+@dataclass
+class FilePartition(InputPartition):
+    path: str
+    compression: str
+    partition_values: tuple[tuple[str, str], ...]
+    start: int = 0
+    end: int | None = None  # byte range for splittable formats
+    extra: tuple = ()  # e.g. index chunks
+
+
+class FormatReader(DataSourceReader):
+    def __init__(self, source: "FileFormatSource", schema: StructType):
+        self.source_cls = type(source)
+        self.options = dict(source.options)
+        self.schema = schema
+        self.files = source._files()
+
+    def partitions(self):
+        return [
+            p
+            for f in self.files
+            for p in self.source_cls.plan_partitions(f, self.options)
+        ]
+
+    def read(self, partition: FilePartition) -> Iterator[pa.RecordBatch]:
+        schema = arrow_schema(self.schema)
+        pv = dict(partition.partition_values)
+        rows: list[dict] = []
+        for rec in self.source_cls.parse_partition(partition, self.options):
+            if pv:
+                rec.update(pv)
+            rows.append(rec)
+            if len(rows) >= BATCH_SIZE:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+                rows = []
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+
+class FileFormatSource(DataSource):
+    """Subclasses set NAME, EXTENSIONS, BASE_SCHEMA (DDL string) and
+    implement ``parse_records`` (or override ``plan_partitions`` /
+    ``parse_partition`` for splittable / index-pruned scans)."""
+
+    NAME = "override-me"
+    EXTENSIONS: tuple[str, ...] = ()
+    BASE_SCHEMA = "value string"
+
+    @classmethod
+    def name(cls) -> str:
+        return cls.NAME
+
+    def _files(self) -> list[FoundFile]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(f"{self.NAME}: .load(path) is required")
+        exts = self.EXTENSIONS
+        custom = self.options.get("file_extension")  # reference table option
+        if custom:
+            exts = (custom.lstrip("."),)
+        return list_files(path, exts)
+
+    def base_schema(self) -> str:
+        """DDL string (no StructType here — schema() runs in a sessionless
+        planning worker where DDL parsing is unavailable)."""
+        return self.BASE_SCHEMA
+
+    def schema(self) -> str:
+        ddl = self.base_schema()
+        for col in partition_columns(self._files()):
+            ddl += f", {col} string"
+        return ddl
+
+    def reader(self, schema: StructType) -> FormatReader:
+        return FormatReader(self, schema)
+
+    # ---- hooks ----
+
+    @classmethod
+    def plan_partitions(cls, f: FoundFile, options: dict) -> list[FilePartition]:
+        return [
+            FilePartition(
+                path=f.path,
+                compression=detect_compression(f.path, options.get("compression")),
+                partition_values=tuple(sorted(f.partition_values.items())),
+            )
+        ]
+
+    @classmethod
+    def parse_partition(cls, partition: FilePartition, options: dict) -> Iterator[dict]:
+        yield from cls.parse_records(partition.path, partition.compression, options)
+
+    @classmethod
+    def parse_records(
+        cls, path: str, compression: str, options: dict
+    ) -> Iterator[dict]:
+        raise NotImplementedError

@@ -1,0 +1,282 @@
+"""Index-file readers used for region-pruned scans (driver-side, planning
+time — mirrors the reference's indexed_file/ module).
+
+* ``.fai`` FASTA index — text format; byte ranges computed arithmetically
+  from (offset, linebases, linewidth), as in
+  exon/exon-core/src/datasources/indexed_file/fai.rs:29-47.
+* ``.tbi`` tabix index — bgzf-compressed binary; region query returns BGZF
+  virtual-offset chunks (indexed_bgzf_file.rs:52-112 semantics), implemented
+  in pure Python over exon_spark.sources.bgzf.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from dataclasses import dataclass
+
+from exon_spark.functions.region import parse_region
+
+
+@dataclass(frozen=True)
+class FaiRecord:
+    name: str
+    length: int
+    offset: int  # byte offset of first base
+    linebases: int
+    linewidth: int  # linebases + line terminator bytes
+
+
+def read_fai(fasta_path: str) -> dict[str, FaiRecord]:
+    recs: dict[str, FaiRecord] = {}
+    with open(fasta_path + ".fai", "r", encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 5:
+                continue
+            name, length, offset, linebases, linewidth = parts[:5]
+            recs[name] = FaiRecord(
+                name, int(length), int(offset), int(linebases), int(linewidth)
+            )
+    return recs
+
+
+def fai_byte_ranges(
+    fasta_path: str, regions: list[str]
+) -> list[tuple[str, int, int]]:
+    """(region_name, byte_start, byte_end) per region; positions are 1-based
+    inclusive (fai.rs:29-47 arithmetic). The byte range still contains line
+    terminators — the reader strips newlines."""
+    index = read_fai(fasta_path)
+    out: list[tuple[str, int, int]] = []
+    for region in regions:
+        name, lo, hi = parse_region(region.strip())
+        rec = index.get(name)
+        if rec is None:
+            continue
+        lo = max(lo, 1)
+        hi = min(hi, rec.length)
+        if hi < lo:
+            continue
+
+        def pos_to_byte(pos0: int) -> int:  # pos0: 0-based base index
+            return rec.offset + (pos0 // rec.linebases) * rec.linewidth + (
+                pos0 % rec.linebases
+            )
+
+        start_b = pos_to_byte(lo - 1)
+        end_b = pos_to_byte(hi - 1) + 1
+        out.append((name, start_b, end_b))
+    return out
+
+
+# --------------------------------------------------------------------- tabix
+
+@dataclass(frozen=True)
+class TabixIndex:
+    names: list[str]
+    # per reference sequence: {bin: [(chunk_begin_voffset, chunk_end_voffset)]}
+    bins: list[dict[int, list[tuple[int, int]]]]
+    # linear index: per 16kb window, smallest voffset
+    linear: list[list[int]]
+    col_seq: int
+    col_begin: int
+    col_end: int
+    zero_based: bool
+    skip: int
+    meta_char: str
+
+
+def read_tabix(path: str) -> TabixIndex:
+    """Parse a .tbi file (SAMtools tabix spec §'The Tabix index file
+    format'). The file is BGZF (valid gzip)."""
+    with gzip.open(path, "rb") as fh:
+        data = fh.read()
+    off = 0
+
+    def u32() -> int:
+        nonlocal off
+        (v,) = struct.unpack_from("<I", data, off)
+        off += 4
+        return v
+
+    def i32() -> int:
+        nonlocal off
+        (v,) = struct.unpack_from("<i", data, off)
+        off += 4
+        return v
+
+    def u64() -> int:
+        nonlocal off
+        (v,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        return v
+
+    magic = data[:4]
+    off = 4
+    if magic != b"TBI\x01":
+        raise ValueError(f"{path}: not a tabix index")
+    n_ref = i32()
+    fmt = i32()
+    col_seq, col_begin, col_end = i32(), i32(), i32()
+    meta = i32()
+    skip = i32()
+    l_nm = i32()
+    names_blob = data[off : off + l_nm]
+    off += l_nm
+    names = [n.decode() for n in names_blob.split(b"\x00") if n]
+    bins_per_ref: list[dict[int, list[tuple[int, int]]]] = []
+    linear_per_ref: list[list[int]] = []
+    for _ in range(n_ref):
+        n_bin = i32()
+        bins: dict[int, list[tuple[int, int]]] = {}
+        for _ in range(n_bin):
+            bin_id = u32()
+            n_chunk = i32()
+            chunks = [(u64(), u64()) for _ in range(n_chunk)]
+            bins[bin_id] = chunks
+        n_intv = i32()
+        linear_per_ref.append([u64() for _ in range(n_intv)])
+        bins_per_ref.append(bins)
+    return TabixIndex(
+        names=names,
+        bins=bins_per_ref,
+        linear=linear_per_ref,
+        col_seq=col_seq,
+        col_begin=col_begin,
+        col_end=col_end,
+        zero_based=bool(fmt & 0x10000),
+        skip=skip,
+        meta_char=chr(meta) if meta else "#",
+    )
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """UCSC bin for a 0-based half-open interval (SAM spec §5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def build_tabix_vcf(vcf_gz_path: str, out_path: str | None = None) -> str:
+    """Build a .tbi tabix index for a BGZF-compressed VCF — pure Python (no
+    external tabix needed; the reference shells out to pre-built indexes).
+    VCF preset: seq col 1, begin col 2, 1-based; end = pos + len(ref) - 1.
+    """
+    import struct as _s
+
+    from exon_spark.sources.bgzf import BGZFReader, BGZFWriter
+
+    out_path = out_path or vcf_gz_path + ".tbi"
+    names: list[str] = []
+    name_idx: dict[str, int] = {}
+    bins: list[dict[int, list[list[int]]]] = []
+    linear: list[dict[int, int]] = []
+
+    with BGZFReader(vcf_gz_path) as bg:
+        for line, v_start, v_end in bg.lines_with_voffsets():
+            if not line or line.startswith("#"):
+                continue
+            f = line.split("\t", 4)
+            chrom, pos, ref = f[0], int(f[1]), f[3] if len(f) > 3 else "N"
+            beg0 = pos - 1
+            end0 = beg0 + max(len(ref), 1)
+            if chrom not in name_idx:
+                name_idx[chrom] = len(names)
+                names.append(chrom)
+                bins.append({})
+                linear.append({})
+            rid = name_idx[chrom]
+            b = reg2bin(beg0, end0)
+            chunk_list = bins[rid].setdefault(b, [])
+            if chunk_list and chunk_list[-1][1] == v_start:
+                chunk_list[-1][1] = v_end  # extend contiguous chunk
+            else:
+                chunk_list.append([v_start, v_end])
+            for win in range(beg0 >> 14, ((end0 - 1) >> 14) + 1):
+                cur = linear[rid].get(win)
+                if cur is None or v_start < cur:
+                    linear[rid][win] = v_start
+
+    payload = bytearray()
+    payload += b"TBI\x01"
+    payload += _s.pack("<i", len(names))
+    payload += _s.pack("<6i", 2, 1, 2, 0, ord("#"), 0)  # VCF preset
+    names_blob = b"".join(n.encode() + b"\x00" for n in names)
+    payload += _s.pack("<i", len(names_blob)) + names_blob
+    for rid in range(len(names)):
+        payload += _s.pack("<i", len(bins[rid]))
+        for bin_id in sorted(bins[rid]):
+            chunks = bins[rid][bin_id]
+            payload += _s.pack("<I", bin_id) + _s.pack("<i", len(chunks))
+            for cb, ce in chunks:
+                payload += _s.pack("<QQ", cb, ce)
+        if linear[rid]:
+            n_intv = max(linear[rid]) + 1
+            ioffs = []
+            prev = 0
+            for win in range(n_intv):
+                if win in linear[rid]:
+                    prev = linear[rid][win]
+                ioffs.append(prev)
+        else:
+            n_intv, ioffs = 0, []
+        payload += _s.pack("<i", n_intv)
+        for off in ioffs:
+            payload += _s.pack("<Q", off)
+    with BGZFWriter(out_path) as out:
+        out.write(bytes(payload))
+    return out_path
+
+
+def _reg2bins(beg: int, end: int) -> list[int]:
+    """UCSC binning scheme bins overlapping [beg, end) (0-based)."""
+    end -= 1
+    bins = [0]
+    bins += list(range(1 + (beg >> 26), 2 + (end >> 26)))
+    bins += list(range(9 + (beg >> 23), 10 + (end >> 23)))
+    bins += list(range(73 + (beg >> 20), 74 + (end >> 20)))
+    bins += list(range(585 + (beg >> 17), 586 + (end >> 17)))
+    bins += list(range(4681 + (beg >> 14), 4682 + (end >> 14)))
+    return bins
+
+
+def tabix_chunks(
+    index: TabixIndex, region: str
+) -> list[tuple[int, int]] | None:
+    """BGZF virtual-offset chunks overlapping the region, merged and
+    filtered by the linear index (indexed_bgzf_file.rs:52-112 semantics).
+    Returns None when the reference name is absent (no rows)."""
+    name, lo, hi = parse_region(region)
+    if name not in index.names:
+        return None
+    rid = index.names.index(name)
+    beg0 = max(lo - 1, 0)
+    end0 = hi if hi < 2**62 else 2**35  # cap open-ended regions
+    min_voff = 0
+    lin = index.linear[rid]
+    win = beg0 >> 14
+    if lin:
+        min_voff = lin[min(win, len(lin) - 1)]
+    chunks: list[tuple[int, int]] = []
+    for b in _reg2bins(beg0, end0):
+        for cb, ce in index.bins[rid].get(b, ()):
+            if ce > min_voff:
+                chunks.append((max(cb, min_voff), ce))
+    chunks.sort()
+    merged: list[tuple[int, int]] = []
+    for cb, ce in chunks:
+        if merged and cb <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+        else:
+            merged.append((cb, ce))
+    return merged

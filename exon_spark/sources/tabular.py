@@ -1,0 +1,178 @@
+"""Tab/whitespace-delimited genomics formats: GFF, GTF, BED, HMMDOMTAB.
+
+Spark-first design (SURVEY.md §2.1): these formats parse entirely JVM-side —
+``spark.read.csv``/``text`` plus Column expressions for the attribute maps —
+no Python in the data path. Schemas mirror the reference:
+
+* GFF  — exon/exon-gff/src/config.rs:82-101 (attributes MAP<STRING,ARRAY<STRING>>)
+* GTF  — exon/exon-gtf/src/config.rs:28-45  (attributes MAP<STRING,STRING>)
+* BED  — exon/exon-bed/src/schema.rs:33-44  (3..=12 cols via n_fields)
+* HMMDOMTAB — exon-core/src/datasources/hmmdomtab/hmm_dom_schema_builder.rs:44-66
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_GFF_COLS = [
+    "seqname",
+    "source",
+    "type",
+    "start",
+    "end",
+    "score",
+    "strand",
+    "phase",
+    "attributes",
+]
+
+
+def _read_tsv_raw(spark: SparkSession, path: str, n_cols: int, **options) -> DataFrame:
+    df = (
+        spark.read.option("sep", "\t")
+        .option("comment", "#")
+        .csv(path, inferSchema=False)
+    )
+    cols = df.columns[:n_cols]
+    return df.select(*[F.col(c).alias(f"_c{i}") for i, c in enumerate(cols)])
+
+
+def read_gff(spark: SparkSession, path: str, **options) -> DataFrame:
+    df = _read_tsv_raw(spark, path, 9, **options)
+    attrs = F.map_from_entries(
+        F.transform(
+            F.filter(F.split("_c8", ";"), lambda s: F.trim(s) != ""),
+            lambda s: F.struct(
+                F.trim(F.substring_index(s, "=", 1)).alias("key"),
+                F.split(F.substring_index(s, "=", -1), ",").alias("value"),
+            ),
+        )
+    )
+    return df.select(
+        F.col("_c0").alias("seqname"),
+        F.when(F.col("_c1") == ".", None).otherwise(F.col("_c1")).alias("source"),
+        F.col("_c2").alias("type"),
+        F.col("_c3").cast("bigint").alias("start"),
+        F.col("_c4").cast("bigint").alias("end"),
+        F.when(F.col("_c5") == ".", None)
+        .otherwise(F.col("_c5"))
+        .cast("float")
+        .alias("score"),
+        F.col("_c6").alias("strand"),
+        F.when(F.col("_c7") == ".", None).otherwise(F.col("_c7")).alias("phase"),
+        F.when(F.col("_c8").isNull() | (F.col("_c8") == "."), None)
+        .otherwise(attrs)
+        .alias("attributes"),
+    )
+
+
+def read_gtf(spark: SparkSession, path: str, **options) -> DataFrame:
+    df = _read_tsv_raw(spark, path, 9, **options)
+    attrs = F.map_from_entries(
+        F.transform(
+            F.filter(F.split("_c8", ";"), lambda s: F.trim(s) != ""),
+            lambda s: F.struct(
+                F.trim(F.substring_index(F.trim(s), " ", 1)).alias("key"),
+                F.regexp_extract(s, '"([^"]*)"', 1).alias("value"),
+            ),
+        )
+    )
+    return df.select(
+        F.col("_c0").alias("seqname"),
+        F.when(F.col("_c1") == ".", None).otherwise(F.col("_c1")).alias("source"),
+        F.col("_c2").alias("type"),
+        F.col("_c3").cast("bigint").alias("start"),
+        F.col("_c4").cast("bigint").alias("end"),
+        F.when(F.col("_c5") == ".", None)
+        .otherwise(F.col("_c5"))
+        .cast("float")
+        .alias("score"),
+        F.col("_c6").alias("strand"),
+        F.when(F.col("_c7") == ".", None).otherwise(F.col("_c7")).alias("frame"),
+        F.when(F.col("_c8").isNull() | (F.col("_c8") == "."), None)
+        .otherwise(attrs)
+        .alias("attributes"),
+    )
+
+
+_BED_SCHEMA = [
+    ("reference_sequence_name", "string"),
+    ("start", "bigint"),
+    ("end", "bigint"),
+    ("name", "string"),
+    ("score", "bigint"),
+    ("strand", "string"),
+    ("thick_start", "bigint"),
+    ("thick_end", "bigint"),
+    ("color", "string"),
+    ("block_count", "bigint"),
+    ("block_sizes", "string"),
+    ("block_starts", "string"),
+]
+
+
+def read_bed(spark: SparkSession, path: str, n_fields: int = 12, **options) -> DataFrame:
+    """BED with 3..=12 columns (reference table_options.rs:34-40). Missing
+    trailing columns are null."""
+    if not 3 <= n_fields <= 12:
+        raise ValueError("n_fields must be in 3..=12")
+    df = _read_tsv_raw(spark, path, n_fields, **options)
+    present = len(df.columns)
+    out = []
+    for i, (name, typ) in enumerate(_BED_SCHEMA[:n_fields]):
+        if i < present:
+            c = F.when(F.col(f"_c{i}") == ".", None).otherwise(F.col(f"_c{i}"))
+            out.append(c.cast(typ).alias(name))
+        else:
+            out.append(F.lit(None).cast(typ).alias(name))
+    return df.select(*out)
+
+
+_HMM_COLS = [
+    ("target_name", "string"),
+    ("target_accession", "string"),
+    ("tlen", "bigint"),
+    ("query_name", "string"),
+    ("accession", "string"),
+    ("qlen", "bigint"),
+    ("evalue", "double"),
+    ("sequence_score", "double"),
+    ("bias", "double"),
+    ("domain_number", "bigint"),
+    ("ndom", "bigint"),
+    ("conditional_evalue", "double"),
+    ("independent_evalue", "double"),
+    ("domain_score", "double"),
+    ("domain_bias", "double"),
+    ("hmm_from", "bigint"),
+    ("hmm_to", "bigint"),
+    ("ali_from", "bigint"),
+    ("ali_to", "bigint"),
+    ("env_from", "bigint"),
+    ("env_to", "bigint"),
+    ("accuracy", "double"),
+    ("description", "string"),
+]
+
+
+def read_hmm_dom_tab(spark: SparkSession, path: str, **options) -> DataFrame:
+    """hmmscan --domtblout: 22 whitespace-separated columns + free-text
+    description (split with limit keeps the description intact)."""
+    txt = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    parts = F.split(F.trim("value"), r"\s+", 23)
+    return txt.select(
+        *[
+            F.element_at(parts, i + 1).cast(typ).alias(name)
+            for i, (name, typ) in enumerate(_HMM_COLS)
+        ]
+    )
+
+
+TABULAR_READERS = {
+    "gff": read_gff,
+    "gtf": read_gtf,
+    "bed": read_bed,
+    "hmm_dom_tab": read_hmm_dom_tab,
+    "hmmdomtab": read_hmm_dom_tab,
+}

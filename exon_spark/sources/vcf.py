@@ -1,0 +1,247 @@
+"""VCF data source with tabix-pruned region scans.
+
+Parity: reference ListingVCFTable
+(exon/exon-core/src/datasources/vcf/table_provider.rs:286-440; flat schema
+per schema_builder.rs:88-122: chrom, pos, id(list), ref, alt(list), qual,
+filter(list), info, formats). ``parse_info=true`` upgrades ``info`` to a
+typed struct from the header's INFO declarations (schema_builder.rs:197-266).
+
+Region pruning (the reference's flagship optimization, SURVEY.md §4.1):
+``.option("regions", "chr1:1000-2000")`` on a bgzipped+tabixed file queries
+the .tbi index DRIVER-SIDE at planning time and emits one partition per
+merged BGZF chunk range; executors seek virtual offsets and apply the
+residual interval check per record (indexed_bgzf_file.rs:52-150 semantics).
+Without an index the same option degrades to a full scan + filter —
+correctness never depends on pruning.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from exon_spark.functions.region import parse_region
+from exon_spark.sources.base import FileFormatSource, FilePartition
+from exon_spark.sources.util import FoundFile, detect_compression, open_maybe_compressed
+
+_INFO_TYPE_MAP = {
+    "Integer": "int",
+    "Float": "float",
+    "Flag": "boolean",
+    "Character": "string",
+    "String": "string",
+}
+
+
+def _parse_line(line: str) -> dict | None:
+    if line.startswith("#") or not line:
+        return None
+    f = line.split("\t")
+    if len(f) < 8:
+        return None
+    qual = None
+    if f[5] not in (".", ""):
+        try:
+            qual = float(f[5])
+        except ValueError:
+            qual = None
+    return {
+        "chrom": f[0],
+        "pos": int(f[1]),
+        "id": None if f[2] in (".", "") else f[2].split(";"),
+        "ref": f[3],
+        "alt": None if f[4] in (".", "") else f[4].split(","),
+        "qual": qual,
+        "filter": None if f[6] in (".", "") else f[6].split(";"),
+        "info": None if f[7] in (".", "") else f[7],
+        "formats": "\t".join(f[8:]) if len(f) > 8 else None,
+    }
+
+
+def parse_info_fields(header_lines: list[str]) -> list[tuple[str, str, bool]]:
+    """(name, spark_type, is_list) per ##INFO declaration, in header order
+    (schema_builder.rs:197-266)."""
+    out = []
+    for line in header_lines:
+        if not line.startswith("##INFO=<"):
+            continue
+        body = line[len("##INFO=<") :].rstrip(">")
+        kv = {}
+        for part in body.split(","):
+            if "=" in part:
+                k, _, v = part.partition("=")
+                if k in ("ID", "Number", "Type") and k not in kv:
+                    kv[k] = v
+        typ = _INFO_TYPE_MAP.get(kv.get("Type", "String"), "string")
+        is_list = kv.get("Number", "1") not in ("0", "1")
+        out.append((kv.get("ID", "?"), typ, is_list))
+    return out
+
+
+def _convert_info_value(raw: str | None, typ: str, is_list: bool):
+    def conv(v: str):
+        try:
+            if typ == "int":
+                return int(v)
+            if typ == "float":
+                return float(v)
+        except ValueError:
+            return None
+        return v
+
+    if raw is None:
+        return True if typ == "boolean" else None
+    if typ == "boolean":
+        return True
+    if is_list:
+        return [conv(v) for v in raw.split(",")]
+    return conv(raw)
+
+
+class VcfSource(FileFormatSource):
+    NAME = "vcf"
+    EXTENSIONS = ("vcf",)
+    BASE_SCHEMA = (
+        "chrom string, pos bigint, id array<string>, ref string, "
+        "alt array<string>, qual float, filter array<string>, "
+        "info string, formats string"
+    )
+
+    def base_schema(self) -> str:
+        if str(self.options.get("parse_info", "")).lower() not in ("true", "1"):
+            return self.BASE_SCHEMA
+        # header-driven struct schema: read the FIRST file's header
+        # (reference's first-file-wins rule, vcf/table_provider.rs:205)
+        first = self._files()[0]
+        headers = []
+        with open_maybe_compressed(
+            first.path, self.options.get("compression")
+        ) as fh:
+            for raw in fh:
+                line = raw.decode("utf-8", "replace").rstrip("\n")
+                if not line.startswith("#"):
+                    break
+                headers.append(line)
+        info_fields = parse_info_fields(headers)
+        struct = ", ".join(
+            f"`{name}` {'array<' + typ + '>' if is_list else typ}"
+            for name, typ, is_list in info_fields
+        )
+        return self.BASE_SCHEMA.replace(
+            "info string", f"info struct<{struct}>" if struct else "info string"
+        )
+
+    @classmethod
+    def plan_partitions(cls, f: FoundFile, options: dict) -> list[FilePartition]:
+        comp = detect_compression(f.path, options.get("compression"))
+        pv = tuple(sorted(f.partition_values.items()))
+        regions = options.get("regions") or options.get("region")
+        if regions:
+            region_list = [r.strip() for r in regions.split(",") if r.strip()]
+            tbi = f.path + ".tbi"
+            if comp == "gzip" and os.path.exists(tbi):
+                from exon_spark.sources.indexes import read_tabix, tabix_chunks
+
+                index = read_tabix(tbi)
+                parts = []
+                for region in region_list:
+                    chunks = tabix_chunks(index, region)
+                    if not chunks:
+                        continue
+                    parts.append(
+                        FilePartition(
+                            path=f.path,
+                            compression=comp,
+                            partition_values=pv,
+                            extra=("tabix", region, tuple(chunks)),
+                        )
+                    )
+                if not parts:  # Spark needs >=1 partition; yield-nothing stub
+                    parts = [FilePartition(f.path, comp, pv, extra=("empty",))]
+                return parts
+            # no index: full scan with residual filter per region set
+            return [
+                FilePartition(f.path, comp, pv, extra=("filter", regions, ()))
+            ]
+        return [FilePartition(f.path, comp, pv)]
+
+    @classmethod
+    def parse_partition(cls, partition: FilePartition, options: dict) -> Iterator[dict]:
+        parse_info = str(options.get("parse_info", "")).lower() in ("true", "1")
+        info_fields = None
+        if parse_info:
+            headers = []
+            with open_maybe_compressed(partition.path, partition.compression) as fh:
+                for raw in fh:
+                    line = raw.decode("utf-8", "replace").rstrip("\n")
+                    if not line.startswith("#"):
+                        break
+                    headers.append(line)
+            info_fields = parse_info_fields(headers)
+
+        def records() -> Iterator[dict]:
+            if partition.extra and partition.extra[0] == "empty":
+                return
+            if partition.extra and partition.extra[0] == "tabix":
+                _, region, chunks = partition.extra
+                name, lo, hi = parse_region(region)
+                from exon_spark.sources.bgzf import BGZFReader
+
+                with BGZFReader(partition.path) as bg:
+                    for line in bg.lines_in_chunks(list(chunks)):
+                        rec = _parse_line(line)
+                        # residual predicate — chunks are supersets
+                        if rec and rec["chrom"] == name and lo <= rec["pos"] <= hi:
+                            yield rec
+                return
+            region_filters = None
+            if partition.extra and partition.extra[0] == "filter":
+                region_filters = [
+                    parse_region(r.strip())
+                    for r in partition.extra[1].split(",")
+                    if r.strip()
+                ]
+            with open_maybe_compressed(partition.path, partition.compression) as fh:
+                for raw in fh:
+                    rec = _parse_line(raw.decode("utf-8", "replace").rstrip("\n"))
+                    if rec is None:
+                        continue
+                    if region_filters is not None and not any(
+                        rec["chrom"] == n and lo <= rec["pos"] <= hi
+                        for n, lo, hi in region_filters
+                    ):
+                        continue
+                    yield rec
+
+        if not parse_info:
+            yield from records()
+            return
+        for rec in records():
+            raw_info = rec["info"]
+            kv: dict[str, str | None] = {}
+            if raw_info:
+                for item in raw_info.split(";"):
+                    k, eq, v = item.partition("=")
+                    kv[k] = v if eq else None
+            rec["info"] = {
+                name: _convert_info_value(kv.get(name), typ, is_list)
+                if name in kv
+                else None
+                for name, typ, is_list in (info_fields or [])
+            }
+            yield rec
+
+
+class BcfSource(VcfSource):
+    """BCF (binary VCF) — requires a binary BCF codec which this environment
+    lacks; reading raises with guidance. Schema parity retained so DDL works."""
+
+    NAME = "bcf"
+    EXTENSIONS = ("bcf",)
+
+    @classmethod
+    def parse_partition(cls, partition, options):
+        raise NotImplementedError(
+            "BCF decoding needs a BCF codec (pysam/cyvcf2); convert with "
+            "'bcftools view' to VCF, or use format 'vcf'"
+        )
