@@ -29,12 +29,13 @@ _DATASOURCES = None
 def _datasource_classes():
     global _DATASOURCES
     if _DATASOURCES is None:
+        from exon_spark.sources.bam import BamSource
         from exon_spark.sources.fasta import FastaSource
         from exon_spark.sources.fastq import FastqSource
         from exon_spark.sources.sam import SamSource
         from exon_spark.sources.vcf import BcfSource, VcfSource
 
-        classes = [FastaSource, FastqSource, VcfSource, BcfSource, SamSource]
+        classes = [FastaSource, FastqSource, VcfSource, BcfSource, SamSource, BamSource]
         for optional in ("sdf", "genbank", "mzml", "fcs"):
             try:
                 mod = __import__(

@@ -153,6 +153,11 @@ class BGZFReader:
                 break
         return b"".join(out)
 
+    # -- sequential byte-stream interface (used by the BAM decoder) --
+
+    def stream_from(self, voffset: int = 0) -> "BGZFStream":
+        return BGZFStream(self, voffset)
+
     def lines_with_voffsets(self):
         """Sequentially yield (line_text, voffset_start, voffset_end) for
         every line — the scan the tabix builder runs."""
@@ -217,3 +222,38 @@ class BGZFReader:
             for line in data.split(b"\n"):
                 if line:
                     yield line.decode("utf-8", "replace")
+
+
+class BGZFStream:
+    """Sequential reader over BGZF content starting at a virtual offset,
+    crossing block boundaries transparently. ``tell_virtual`` reports the
+    current virtual offset (used by the .bai builder)."""
+
+    def __init__(self, reader: BGZFReader, voffset: int = 0):
+        self.r = reader
+        self.coffset = voffset >> 16
+        self.uoffset = voffset & 0xFFFF
+        self.r._load_block(self.coffset)
+
+    def tell_virtual(self) -> int:
+        return (self.coffset << 16) | self.uoffset
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            self.r._load_block(self.coffset)
+            data = self.r._block_data
+            if not data:
+                break  # EOF
+            take = data[self.uoffset : self.uoffset + n]
+            out += take
+            n -= len(take)
+            self.uoffset += len(take)
+            if self.uoffset >= len(data):
+                self.coffset = self.r._block_next_coffset
+                self.uoffset = 0
+                # stop at EOF marker (empty final block)
+                self.r._load_block(self.coffset)
+                if not self.r._block_data:
+                    break
+        return bytes(out)

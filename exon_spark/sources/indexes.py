@@ -280,3 +280,132 @@ def tabix_chunks(
         else:
             merged.append((cb, ce))
     return merged
+
+
+# ----------------------------------------------------------------------- bai
+
+@dataclass(frozen=True)
+class BaiIndex:
+    # per reference (BAM header order): {bin: [(chunk_beg, chunk_end)]}
+    bins: list[dict[int, list[tuple[int, int]]]]
+    linear: list[list[int]]
+
+
+_BAI_PSEUDO_BIN = 37450
+
+
+def read_bai(path: str) -> BaiIndex:
+    """Parse a .bai index (plain binary, SAM spec §5.2)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"BAI\x01":
+        raise ValueError(f"{path}: not a BAI index")
+    off = 4
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    bins_per_ref: list[dict[int, list[tuple[int, int]]]] = []
+    linear_per_ref: list[list[int]] = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        bins: dict[int, list[tuple[int, int]]] = {}
+        for _ in range(n_bin):
+            bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((cb, ce))
+            if bin_id != _BAI_PSEUDO_BIN:
+                bins[bin_id] = chunks
+        (n_intv,) = struct.unpack_from("<i", data, off)
+        off += 4
+        lin = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+        off += 8 * n_intv
+        bins_per_ref.append(bins)
+        linear_per_ref.append(lin)
+    return BaiIndex(bins=bins_per_ref, linear=linear_per_ref)
+
+
+def bai_chunks(index: BaiIndex, ref_id: int, region: str) -> list[tuple[int, int]]:
+    """Merged BGZF chunks overlapping the region for the given reference id
+    (indexed_bgzf_file.rs:88-108 semantics)."""
+    _, lo, hi = parse_region(region)
+    beg0 = max(lo - 1, 0)
+    end0 = hi if hi < 2**62 else 2**35
+    lin = index.linear[ref_id]
+    min_voff = 0
+    if lin:
+        win = beg0 >> 14
+        min_voff = lin[min(win, len(lin) - 1)]
+    chunks: list[tuple[int, int]] = []
+    for b in _reg2bins(beg0, end0):
+        for cb, ce in index.bins[ref_id].get(b, ()):
+            if ce > min_voff:
+                chunks.append((max(cb, min_voff), ce))
+    chunks.sort()
+    merged: list[tuple[int, int]] = []
+    for cb, ce in chunks:
+        if merged and cb <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+        else:
+            merged.append((cb, ce))
+    return merged
+
+
+def build_bai(bam_path: str, out_path: str | None = None) -> str:
+    """Build a .bai index for a BAM file — pure Python (htslib-free)."""
+    from exon_spark.sources.bam import iter_bam_records, read_bam_header
+    from exon_spark.sources.bgzf import BGZFReader
+
+    out_path = out_path or bam_path + ".bai"
+    with BGZFReader(bam_path) as bg:
+        stream = bg.stream_from(0)
+        refs = read_bam_header(stream)
+        bins: list[dict[int, list[list[int]]]] = [dict() for _ in refs]
+        linear: list[dict[int, int]] = [dict() for _ in refs]
+        ref_ids = {name: i for i, (name, _len) in enumerate(refs)}
+        for rec, v_start, v_end in iter_bam_records(stream, refs):
+            if rec["reference"] is None or rec["start"] is None:
+                continue
+            rid = ref_ids[rec["reference"]]
+            beg0 = rec["start"] - 1
+            end0 = rec["end"] if rec["end"] is not None else rec["start"]
+            b = reg2bin(beg0, end0)
+            chunk_list = bins[rid].setdefault(b, [])
+            if chunk_list and chunk_list[-1][1] == v_start:
+                chunk_list[-1][1] = v_end
+            else:
+                chunk_list.append([v_start, v_end])
+            for win in range(beg0 >> 14, ((end0 - 1) >> 14) + 1):
+                cur = linear[rid].get(win)
+                if cur is None or v_start < cur:
+                    linear[rid][win] = v_start
+
+    out = bytearray()
+    out += b"BAI\x01"
+    out += struct.pack("<i", len(refs))
+    for rid in range(len(refs)):
+        out += struct.pack("<i", len(bins[rid]))
+        for bin_id in sorted(bins[rid]):
+            chunks = bins[rid][bin_id]
+            out += struct.pack("<Ii", bin_id, len(chunks))
+            for cb, ce in chunks:
+                out += struct.pack("<QQ", cb, ce)
+        if linear[rid]:
+            n_intv = max(linear[rid]) + 1
+            prev = 0
+            ioffs = []
+            for win in range(n_intv):
+                if win in linear[rid]:
+                    prev = linear[rid][win]
+                ioffs.append(prev)
+        else:
+            n_intv, ioffs = 0, []
+        out += struct.pack("<i", n_intv)
+        for off_ in ioffs:
+            out += struct.pack("<Q", off_)
+    with open(out_path, "wb") as fh:
+        fh.write(bytes(out))
+    return out_path
