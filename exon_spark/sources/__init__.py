@@ -35,15 +35,31 @@ def _datasource_classes():
         from exon_spark.sources.sam import SamSource
         from exon_spark.sources.vcf import BcfSource, VcfSource
 
-        classes = [FastaSource, FastqSource, VcfSource, BcfSource, SamSource, BamSource]
-        for optional in ("sdf", "genbank", "mzml", "fcs"):
-            try:
-                mod = __import__(
-                    f"exon_spark.sources.{optional}", fromlist=["SOURCE"]
-                )
-                classes.append(mod.SOURCE)
-            except (ImportError, AttributeError):
-                pass
+        from exon_spark.sources.fcs import FcsSource
+        from exon_spark.sources.genbank import GenbankSource
+        from exon_spark.sources.mzml import MzmlSource
+        from exon_spark.sources.sdf import SdfSource
+        from exon_spark.sources.stubs import (
+            BigWigValueSource,
+            BigWigZoomSource,
+            CramSource,
+        )
+
+        classes = [
+            FastaSource,
+            FastqSource,
+            VcfSource,
+            BcfSource,
+            SamSource,
+            BamSource,
+            SdfSource,
+            GenbankSource,
+            MzmlSource,
+            FcsSource,
+            CramSource,
+            BigWigValueSource,
+            BigWigZoomSource,
+        ]
         _DATASOURCES = classes
     return _DATASOURCES
 

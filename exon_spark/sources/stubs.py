@@ -1,0 +1,97 @@
+"""Formats whose codecs are unavailable in this environment — registered so
+the SQL/DDL surface exists with the right schemas, with clearly-marked
+NotImplementedError reads and guidance.
+
+* CRAM (reference: datasources/cram/, needs a FASTA reference + rANS/codec
+  stack; exon_context_ext.rs:985-996) — pysam-based decode when available.
+* BigWig value/zoom (reference: exon-bigwig/) — needs the kent R-tree binary
+  stack (pyBigWig when available).
+"""
+
+from __future__ import annotations
+
+from exon_spark.sources.base import FileFormatSource
+
+
+class CramSource(FileFormatSource):
+    NAME = "cram"
+    EXTENSIONS = ("cram",)
+    # schema parity with SAM/BAM (exon-sam/src/schema_builder.rs:383-397)
+    BASE_SCHEMA = (
+        "name string, flag int, reference string, start bigint, end bigint, "
+        "mapping_quality string, cigar string, mate_reference string, "
+        "sequence string, quality_score array<bigint>, "
+        "tags array<struct<tag string, value string>>"
+    )
+
+    @classmethod
+    def parse_partition(cls, partition, options):
+        try:
+            import pysam  # type: ignore  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "CRAM decoding requires pysam (not in this environment). "
+                "Convert with 'samtools view -b' to BAM and use format 'bam', "
+                "or install pysam and pass .option('reference', 'ref.fasta')."
+            )
+        ref = options.get("reference")
+        with pysam.AlignmentFile(
+            partition.path, "rc", reference_filename=ref
+        ) as af:  # pragma: no cover - needs pysam
+            for r in af:
+                yield {
+                    "name": r.query_name,
+                    "flag": r.flag,
+                    "reference": r.reference_name,
+                    "start": None if r.reference_start < 0 else r.reference_start + 1,
+                    "end": r.reference_end,
+                    "mapping_quality": str(r.mapping_quality),
+                    "cigar": r.cigarstring or "",
+                    "mate_reference": r.next_reference_name,
+                    "sequence": r.query_sequence or "",
+                    "quality_score": list(r.query_qualities or []),
+                    "tags": [
+                        {"tag": t, "value": str(v)} for t, v in (r.tags or [])
+                    ]
+                    or None,
+                }
+
+
+class BigWigValueSource(FileFormatSource):
+    NAME = "bigwig_value"
+    EXTENSIONS = ("bw", "bigwig")
+    # exon-bigwig/src/value_batch_reader/config.rs:30-33
+    BASE_SCHEMA = "name string, start int, end int, value float"
+
+    @classmethod
+    def parse_partition(cls, partition, options):
+        try:
+            import pyBigWig  # type: ignore
+        except ImportError:
+            raise NotImplementedError(
+                "BigWig decoding requires pyBigWig (not in this environment). "
+                "Export with 'bigWigToBedGraph' and read as BED, or install pyBigWig."
+            )
+        bw = pyBigWig.open(partition.path)  # pragma: no cover - needs pyBigWig
+        try:
+            for name in bw.chroms():
+                for start, end, value in bw.intervals(name) or []:
+                    yield {"name": name, "start": start, "end": end, "value": value}
+        finally:
+            bw.close()
+
+
+class BigWigZoomSource(FileFormatSource):
+    NAME = "bigwig_zoom"
+    EXTENSIONS = ("bw", "bigwig")
+    # exon-bigwig/src/zoom_batch_reader/config.rs:33-41
+    BASE_SCHEMA = (
+        "name string, start int, end int, total_items int, bases_covered int, "
+        "max_value double, min_value double, sum_squares double, sum double"
+    )
+
+    @classmethod
+    def parse_partition(cls, partition, options):
+        raise NotImplementedError(
+            "BigWig zoom levels require pyBigWig (not in this environment)."
+        )

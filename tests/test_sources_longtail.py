@@ -1,0 +1,172 @@
+"""SDF / mzML / GenBank / FCS source tests over generated fixtures."""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    root = tmp_path_factory.mktemp("longtail")
+
+    (root / "mols.sdf").write_text(
+        "Mol1\n  prog\ncomment\n  2  1  0  0  0  0  0  0  0  0999 V2000\n"
+        "    0.0  0.0  0.0 C   0  0\n    1.0  0.0  0.0 O   0  0\n"
+        "  1  2  1  0\nM  END\n"
+        "> <canonical_smiles>\nCO\n\n"
+        "> <molecular_weight>\n32.04\n\n"
+        "$$$$\n"
+        "Mol2\n  prog\n\n  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+        "    0.0  0.0  0.0 C   0  0\n    1.0  0.0  0.0 C   0  0\n"
+        "    2.0  0.0  0.0 O   0  0\n  1  2  1  0\n  2  3  1  0\nM  END\n"
+        "> <canonical_smiles>\nCCO\n\n"
+        "$$$$\n"
+    )
+
+    mz = [100.0, 200.5, 300.25]
+    inten = [1.0, 2.0, 3.0]
+    mz_b64 = base64.b64encode(struct.pack("<3d", *mz)).decode()
+    inten_b64 = base64.b64encode(zlib.compress(struct.pack("<3f", *inten))).decode()
+    (root / "spectra.mzML").write_text(f"""<?xml version="1.0"?>
+<mzML xmlns="http://psi.hupo.org/ms/mzml">
+ <run id="r1"><spectrumList count="2">
+  <spectrum id="scan=1" index="0">
+   <cvParam accession="MS:1000511" name="ms level" value="1"/>
+   <precursorList><precursor><selectedIonList><selectedIon>
+     <cvParam accession="MS:1000744" name="selected ion m/z" value="455.34"/>
+     <cvParam accession="MS:1000041" name="charge state" value="2"/>
+   </selectedIon></selectedIonList></precursor></precursorList>
+   <binaryDataArrayList count="2">
+    <binaryDataArray><cvParam accession="MS:1000523" name="64-bit float"/>
+     <cvParam accession="MS:1000514" name="m/z array"/>
+     <binary>{mz_b64}</binary></binaryDataArray>
+    <binaryDataArray><cvParam accession="MS:1000521" name="32-bit float"/>
+     <cvParam accession="MS:1000574" name="zlib compression"/>
+     <cvParam accession="MS:1000515" name="intensity array"/>
+     <binary>{inten_b64}</binary></binaryDataArray>
+   </binaryDataArrayList>
+  </spectrum>
+  <spectrum id="scan=2" index="1">
+   <binaryDataArrayList count="1">
+    <binaryDataArray><cvParam accession="MS:1000523" name="64-bit float"/>
+     <cvParam accession="MS:1000514" name="m/z array"/>
+     <binary>{mz_b64}</binary></binaryDataArray>
+   </binaryDataArrayList>
+  </spectrum>
+ </spectrumList></run>
+</mzML>
+""")
+
+    (root / "rec.gb").write_text(
+        "LOCUS       TESTSEQ1      24 bp    DNA     linear   BCT 01-JAN-2024\n"
+        "DEFINITION  A test sequence\n"
+        "            spanning two lines.\n"
+        "ACCESSION   AB000001\n"
+        "VERSION     AB000001.1\n"
+        "KEYWORDS    test; fixture.\n"
+        "SOURCE      synthetic construct\n"
+        "COMMENT     made by hand.\n"
+        "FEATURES             Location/Qualifiers\n"
+        "     source          1..24\n"
+        "                     /organism=\"synthetic\"\n"
+        "     gene            1..12\n"
+        "                     /gene=\"testA\"\n"
+        "ORIGIN\n"
+        "        1 atgcatgcat gcatgcatgc atgc\n"
+        "//\n"
+    )
+
+    # minimal FCS 3.0: header + TEXT + float data, 3 events x 2 channels
+    data = struct.pack("<6f", 1.0, 10.0, 2.0, 20.0, 3.0, 30.0)
+    text_kv = {
+        "$DATATYPE": "F",
+        "$BYTEORD": "1,2,3,4",
+        "$PAR": "2",
+        "$P1N": "FSC-A",
+        "$P2N": "SSC-A",
+        "$TOT": "3",
+        "$MODE": "L",
+    }
+    text = "|" + "|".join(f"{k}|{v}" for k, v in text_kv.items()) + "|"
+    text_start = 58
+    text_end = text_start + len(text) - 1
+    data_start = text_end + 1
+    data_end = data_start + len(data) - 1
+    header = (
+        f"FCS3.0    {text_start:>8}{text_end:>8}{data_start:>8}{data_end:>8}"
+        f"{0:>8}{0:>8}"
+    ).encode()
+    assert len(header) == 58
+    (root / "events.fcs").write_bytes(header + text.encode() + data)
+    return root
+
+
+def test_sdf(spark, fixtures):
+    df = spark.read.format("sdf").load(str(fixtures / "mols.sdf"))
+    rows = {r["header"]: r for r in df.collect()}
+    assert rows["Mol1"]["atom_count"] == 2 and rows["Mol1"]["bond_count"] == 1
+    assert rows["Mol1"]["data"]["canonical_smiles"] == "CO"
+    assert rows["Mol1"]["data"]["molecular_weight"] == "32.04"
+    assert rows["Mol2"]["data"]["canonical_smiles"] == "CCO"
+    assert rows["Mol2"]["data"]["molecular_weight"] is None
+
+
+def test_mzml(spark, fixtures):
+    df = spark.read.format("mzml").load(str(fixtures / "spectra.mzML"))
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["scan=1"]["mz"]["mz"] == [100.0, 200.5, 300.25]
+    assert rows["scan=1"]["intensity"]["intensity"] == [1.0, 2.0, 3.0]
+    assert rows["scan=1"]["precursor_mz"] == pytest.approx(455.34)
+    assert rows["scan=1"]["precusor_charge"] == 2
+    assert rows["scan=2"]["intensity"] is None
+    accs = [p["accession"] for p in rows["scan=1"]["cv_params"]]
+    assert "MS:1000511" in accs
+
+
+def test_mzml_with_functions(spark, fixtures):
+    import exon_spark.functions as xf
+    import pyspark.sql.functions as F
+
+    df = spark.read.format("mzml").load(str(fixtures / "spectra.mzML"))
+    got = df.select(
+        xf.contains_peak(F.col("mz.mz"), 200.0, 1.0).alias("p")
+    ).collect()
+    assert [r["p"] for r in got] == [True, True]
+
+
+def test_genbank(spark, fixtures):
+    df = spark.read.format("genbank").load(str(fixtures / "rec.gb"))
+    r = df.collect()[0]
+    assert r["name"] == "TESTSEQ1"
+    assert r["accession"] == "AB000001"
+    assert r["version"] == "AB000001.1"
+    assert r["definition"] == "A test sequence spanning two lines."
+    assert r["division"] == "BCT"
+    assert r["topology"] == "linear"
+    assert r["date"] == "01-JAN-2024"
+    assert r["sequence"] == "ATGCATGCATGCATGCATGCATGC"
+    assert r["comments"] == ["made by hand."]
+    kinds = [f["kind"] for f in r["features"]]
+    assert kinds == ["source", "gene"]
+    quals = {q["keys"]: q["values"] for q in r["features"][1]["qualifiers"]}
+    assert quals == {"gene": "testA"}
+
+
+def test_fcs(spark, fixtures):
+    df = spark.read.format("fcs").load(str(fixtures / "events.fcs"))
+    assert df.columns == ["fsc_a", "ssc_a"]
+    rows = sorted(df.collect(), key=lambda r: r["fsc_a"])
+    assert [r["fsc_a"] for r in rows] == [1.0, 2.0, 3.0]
+    assert [r["ssc_a"] for r in rows] == [10.0, 20.0, 30.0]
+
+
+def test_cram_stub_raises(spark, fixtures, tmp_path):
+    p = tmp_path / "x.cram"
+    p.write_bytes(b"CRAM")
+    df = spark.read.format("cram").load(str(p))
+    with pytest.raises(Exception, match="pysam|NotImplemented"):
+        df.collect()
