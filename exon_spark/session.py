@@ -32,6 +32,17 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or cpus
+    # Python planning workers (create_data_source / analyze_udtf) inherit the
+    # JVM's PYTHONPATH, which inherits this process's env — export the package
+    # root BEFORE the gateway launches so workers can import exon_spark even
+    # when the driver found it via sys.path only. (Cluster deploys: use
+    # --py-files or the spark.executorEnv.PYTHONPATH set below.)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -46,6 +57,7 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
@@ -62,12 +74,11 @@ def register_all(spark: SparkSession) -> None:
     from exon_spark.functions.registry import register_sql_functions
 
     register_sql_functions(spark)
-    try:
-        from exon_spark.sources import register_sources
+    from exon_spark.sources import register_sources
+    from exon_spark.sources.udtfs import register_scan_udtfs
 
-        register_sources(spark)
-    except ImportError:  # sources are optional at bootstrap
-        pass
+    register_sources(spark)
+    register_scan_udtfs(spark)
 
 
 class ExonSession:
@@ -83,12 +94,17 @@ class ExonSession:
         register_all(self.spark)
 
     def sql(self, query: str) -> DataFrame:
-        """SQL entry point. COPY ... STORED AS FASTA/FASTQ (the reference's
-        parser extension, sql/parser.rs:52-71) is handled by
-        ``exon_spark.sinks.copy_to`` preprocessing."""
+        """SQL entry point. Two statement forms are intercepted exactly where
+        the reference hooks its parser (sql/parser.rs:52-71):
+        ``COPY ... STORED AS FASTA/FASTQ`` (exon_spark.sinks) and
+        ``CREATE [EXTERNAL] TABLE ... STORED AS/USING <format>``
+        (exon_spark.sources.ddl). Everything else is stock ``spark.sql``."""
         from exon_spark.sinks import maybe_handle_copy
+        from exon_spark.sources.ddl import maybe_handle_create_table
 
         handled = maybe_handle_copy(self.spark, query)
+        if handled is None:
+            handled = maybe_handle_create_table(self.spark, query)
         if handled is not None:
             return handled
         return self.spark.sql(query)

@@ -44,6 +44,70 @@ from exon_spark.sources.util import (
 
 BATCH_SIZE = 8 * 1024  # reference: exon config/mod.rs:24
 
+_SIMPLE_TYPES = {
+    "string": StringType,
+    "boolean": BooleanType,
+    "tinyint": ByteType,
+    "byte": ByteType,
+    "smallint": ShortType,
+    "short": ShortType,
+    "int": IntegerType,
+    "integer": IntegerType,
+    "bigint": LongType,
+    "long": LongType,
+    "float": FloatType,
+    "double": DoubleType,
+    "binary": BinaryType,
+}
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in (p.strip() for p in parts) if p]
+
+
+def parse_ddl_type(t: str) -> DataType:
+    t = t.strip()
+    low = t.lower()
+    if low in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[low]()
+    if low.startswith("array<") and t.endswith(">"):
+        return ArrayType(parse_ddl_type(t[6:-1]))
+    if low.startswith("map<") and t.endswith(">"):
+        k, v = _split_top(t[4:-1])
+        return MapType(parse_ddl_type(k), parse_ddl_type(v))
+    if low.startswith("struct<") and t.endswith(">"):
+        from pyspark.sql.types import StructField
+
+        fields = []
+        for f in _split_top(t[7:-1]):
+            name, _, typ = f.partition(" ")
+            fields.append(StructField(name.strip("`"), parse_ddl_type(typ), True))
+        return StructType(fields)
+    raise ValueError(f"cannot parse DDL type: {t!r}")
+
+
+def parse_ddl(ddl: str) -> StructType:
+    """Session-free DDL schema parser (covers the types our sources emit).
+    Needed because DataSource.schema()/UDTF.analyze() run in workers where
+    pyspark's _parse_datatype_string has no SparkContext."""
+    from pyspark.sql.types import StructField
+
+    fields = []
+    for f in _split_top(ddl):
+        name, _, typ = f.partition(" ")
+        fields.append(StructField(name.strip("`"), parse_ddl_type(typ), True))
+    return StructType(fields)
+
 
 def arrow_type(dt: DataType) -> pa.DataType:
     if isinstance(dt, StringType):

@@ -1,0 +1,110 @@
+"""`CREATE EXTERNAL TABLE ... STORED AS <FORMAT>` DDL support.
+
+Parity: the reference registers an ``ExonListingTableFactory`` for 23 format
+keywords so DataFusion routes ``CREATE EXTERNAL TABLE name STORED AS FASTA
+[OPTIONS(...)] LOCATION 'path'`` to a listing table
+(exon_context_ext.rs:131-179, exon_listing_table_factory.rs:76-300).
+
+Spark note: stock Spark 4 *does* accept ``CREATE TABLE t USING fasta
+OPTIONS(path '...')`` for a registered Python DataSource, but the catalog
+read path constructs ``PythonTable(ds, shortName, outputSchema)`` without the
+table properties, so the options (including the path) never reach the Python
+reader — the SELECT fails. We therefore intercept the DDL in
+``ExonSession.sql`` (exactly where the reference hooks its parser,
+sql/parser.rs:52-71) and register the reader DataFrame as a temp view. This
+keeps planning declarative: the view is a plain DataFrame, so Catalyst still
+prunes/pushes down over it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# format keyword -> (reader fmt, implied options). Mirrors the reference's
+# 23 ExonFileType keywords (exon_file_type.rs / exon_listing_table_factory.rs).
+_FORMAT_KEYWORDS: dict[str, tuple[str, dict]] = {
+    "fasta": ("fasta", {}),
+    "fa": ("fasta", {}),
+    "faa": ("fasta", {}),
+    "fna": ("fasta", {}),
+    "indexed_fasta": ("fasta", {}),
+    "fastq": ("fastq", {}),
+    "fq": ("fastq", {}),
+    "vcf": ("vcf", {}),
+    "indexed_vcf": ("vcf", {"indexed": "true"}),
+    "bcf": ("bcf", {}),
+    "sam": ("sam", {}),
+    "bam": ("bam", {}),
+    "indexed_bam": ("bam", {"indexed": "true"}),
+    "cram": ("cram", {}),
+    "gff": ("gff", {}),
+    "indexed_gff": ("gff", {}),
+    "gtf": ("gtf", {}),
+    "bed": ("bed", {}),
+    "hmmdomtab": ("hmm_dom_tab", {}),
+    "hmm_dom_tab": ("hmm_dom_tab", {}),
+    "genbank": ("genbank", {}),
+    "mzml": ("mzml", {}),
+    "fcs": ("fcs", {}),
+    "sdf": ("sdf", {}),
+    "bigwig": ("bigwig_value", {}),
+    "bigwig_value": ("bigwig_value", {}),
+    "bigwig_zoom": ("bigwig_zoom", {}),
+}
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>`?[\w.]+`?)\s+(?:STORED\s+AS|USING)\s+(?P<fmt>\w+)"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIONS_RE = re.compile(r"OPTIONS\s*\((?P<body>[^)]*)\)", re.IGNORECASE | re.DOTALL)
+_PAIR_RE = re.compile(r"['\"]?(?P<k>[\w.]+)['\"]?\s+'(?P<v>[^']*)'")
+_LOCATION_RE = re.compile(r"LOCATION\s+'(?P<path>[^']+)'", re.IGNORECASE)
+
+
+def maybe_handle_create_table(spark: SparkSession, sql: str) -> DataFrame | None:
+    """If ``sql`` is CREATE [EXTERNAL] TABLE over one of our formats, register
+    the reader DataFrame as a temp view and return it; else None (caller
+    falls through to ``spark.sql``)."""
+    m = _CREATE_RE.match(sql)
+    if not m:
+        return None
+    keyword = m.group("fmt").lower()
+    if keyword not in _FORMAT_KEYWORDS:
+        return None  # parquet/csv/json/delta etc. — Spark handles natively
+    fmt, implied = _FORMAT_KEYWORDS[keyword]
+    name = m.group("name").strip("`")
+    rest = m.group("rest")
+
+    options = dict(implied)
+    om = _OPTIONS_RE.search(rest)
+    if om:
+        for pm in _PAIR_RE.finditer(om.group("body")):
+            key = pm.group("k")
+            # reference table options arrive namespaced (format.compression)
+            if key.startswith("format."):
+                key = key[len("format."):]
+            options[key] = pm.group("v")
+    lm = _LOCATION_RE.search(rest)
+    path = lm.group("path") if lm else options.pop("path", None)
+    if not path:
+        raise ValueError(
+            f"CREATE TABLE {name} {keyword}: needs LOCATION '<path>' "
+            "or OPTIONS (path '<path>')"
+        )
+
+    if m.group("ine"):
+        try:
+            spark.table(name)
+            return spark.table(name)
+        except Exception:
+            pass
+
+    from exon_spark.sources import read_format
+
+    df = read_format(spark, fmt, path, **options)
+    df.createOrReplaceTempView(name)
+    return df

@@ -96,6 +96,13 @@ def list_files(
       partitions are never opened).
     """
 
+    if path.startswith("file:"):
+        # CREATE TABLE ... LOCATION/OPTIONS passes file: URIs
+        stripped = path[5:]
+        while stripped.startswith("//"):
+            stripped = stripped[1:]
+        path = stripped
+
     def ext_ok(p: str) -> bool:
         if not extensions:
             return True
