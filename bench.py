@@ -60,6 +60,20 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
 
+    # BASELINE.md §6 bio-format workloads on synthetic fixtures (generation
+    # is cached and excluded from timings)
+    from exon_spark.queries.formats import FORMAT_BENCH, ensure_format_fixtures
+
+    fx = ensure_format_fixtures(sf_dir)
+    # warm the Python-datasource worker path once (plan + read a small file)
+    # so per-query times measure scans, not interpreter spin-up
+    FORMAT_BENCH["mzml_scan"](spark, fx).limit(1).count()
+    for name, fn in FORMAT_BENCH.items():
+        t0 = time.perf_counter()
+        n = fn(spark, fx).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -175,15 +175,43 @@ class BamSource(FileFormatSource):
                     chunks = bai_chunks(index, ref_names.index(name), region)
                     if not chunks:
                         continue
-                    parts.append(
-                        FilePartition(
-                            f.path, comp, pv, extra=("bai", region, tuple(chunks))
+                    from exon_spark.sources.indexes import split_chunk_groups
+
+                    for group in split_chunk_groups(chunks):
+                        parts.append(
+                            FilePartition(
+                                f.path, comp, pv, extra=("bai", region, tuple(group))
+                            )
                         )
-                    )
                 if not parts:
                     parts = [FilePartition(f.path, comp, pv, extra=("empty",))]
                 return parts
             return [FilePartition(f.path, comp, pv, extra=("filter", regions, ()))]
+        bai = f.path + ".bai"
+        if os.path.exists(bai):
+            # full scan, but the linear index gives record-boundary virtual
+            # offsets — split the file so one BAM fans out across executors
+            # (without an index BAM is unsplittable: one partition per file,
+            # same as the reference's per-file parallelism)
+            from exon_spark.sources.bgzf import BGZFReader
+            from exon_spark.sources.indexes import read_bai
+
+            with BGZFReader(f.path) as bg:
+                stream = bg.stream_from(0)
+                read_bam_header(stream)
+                start0 = stream.tell_virtual()
+            index = read_bai(bai)
+            offs = sorted({v for lin in index.linear for v in lin if v > start0})
+            target = 16 << 20  # compressed bytes per split
+            splits = [start0]
+            for v in offs:
+                if (v >> 16) - (splits[-1] >> 16) >= target:
+                    splits.append(v)
+            bounds = list(zip(splits, splits[1:] + [None]))
+            return [
+                FilePartition(f.path, comp, pv, extra=("range", s, e))
+                for s, e in bounds
+            ]
         return [FilePartition(f.path, comp, pv)]
 
     @classmethod
@@ -195,6 +223,12 @@ class BamSource(FileFormatSource):
         with BGZFReader(partition.path) as bg:
             stream = bg.stream_from(0)
             refs = read_bam_header(stream)
+            if partition.extra and partition.extra[0] == "range":
+                _, v_start, v_stop = partition.extra
+                s = bg.stream_from(v_start)
+                for rec, _vs, _ve in iter_bam_records(s, refs, stop_voffset=v_stop):
+                    yield rec
+                return
             if partition.extra and partition.extra[0] == "bai":
                 _, region, chunks = partition.extra
                 name, lo, hi = parse_region(region)

@@ -354,6 +354,29 @@ def bai_chunks(index: BaiIndex, ref_id: int, region: str) -> list[tuple[int, int
     return merged
 
 
+def split_chunk_groups(
+    chunks: list[tuple[int, int]], target_bytes: int = 8 << 20
+) -> list[list[tuple[int, int]]]:
+    """Split a merged chunk list into byte-balanced groups so one indexed
+    region query fans out across executors instead of running in a single
+    task (a whole-chromosome region over a 100 GB file must not be one
+    partition). Group size is measured in *compressed* bytes (the file-offset
+    half of the BGZF virtual offset, voff >> 16) — the unit that drives I/O.
+    """
+    groups: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    cur_bytes = 0
+    for cb, ce in chunks:
+        cur.append((cb, ce))
+        cur_bytes += max(0, (ce >> 16) - (cb >> 16))
+        if cur_bytes >= target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def build_bai(bam_path: str, out_path: str | None = None) -> str:
     """Build a .bai index for a BAM file — pure Python (htslib-free)."""
     from exon_spark.sources.bam import iter_bam_records, read_bam_header

@@ -140,7 +140,11 @@ class VcfSource(FileFormatSource):
             region_list = [r.strip() for r in regions.split(",") if r.strip()]
             tbi = f.path + ".tbi"
             if comp == "gzip" and os.path.exists(tbi):
-                from exon_spark.sources.indexes import read_tabix, tabix_chunks
+                from exon_spark.sources.indexes import (
+                    read_tabix,
+                    split_chunk_groups,
+                    tabix_chunks,
+                )
 
                 index = read_tabix(tbi)
                 parts = []
@@ -148,14 +152,17 @@ class VcfSource(FileFormatSource):
                     chunks = tabix_chunks(index, region)
                     if not chunks:
                         continue
-                    parts.append(
-                        FilePartition(
-                            path=f.path,
-                            compression=comp,
-                            partition_values=pv,
-                            extra=("tabix", region, tuple(chunks)),
+                    # fan a big region out across executors, one partition
+                    # per ~8 MB compressed chunk group
+                    for group in split_chunk_groups(chunks):
+                        parts.append(
+                            FilePartition(
+                                path=f.path,
+                                compression=comp,
+                                partition_values=pv,
+                                extra=("tabix", region, tuple(group)),
+                            )
                         )
-                    )
                 if not parts:  # Spark needs >=1 partition; yield-nothing stub
                     parts = [FilePartition(f.path, comp, pv, extra=("empty",))]
                 return parts
