@@ -64,6 +64,25 @@ def parse_region(region: str) -> tuple[str, int, int]:
     return name, start, end
 
 
+def expand_regions(regions: str) -> list[str]:
+    """Split a comma-separated region option; any element that is a path to
+    an existing file is replaced by its lines (one region per line) — the
+    reference's region-file support in fasta_indexed_scan
+    (datasources/fasta/udtfs/fasta_indexed_scan.rs:61-75)."""
+    import os
+
+    out: list[str] = []
+    for r in (p.strip() for p in regions.split(",")):
+        if not r:
+            continue
+        if ("/" in r or os.sep in r) and os.path.isfile(r):
+            with open(r) as fh:
+                out.extend(line.strip() for line in fh if line.strip())
+        else:
+            out.append(r)
+    return out
+
+
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 

@@ -89,10 +89,12 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "chrom = regexp_extract(region, '^([^:]+)', 1)",
     ),
     "interval_match": (
+        # region here is a bare interval 'start-end' (udfs/vcf/mod.rs:221;
+        # vcf-udfs.slt uses interval_match(pos, '1-1'))
         "(pos BIGINT, region STRING)",
         "BOOLEAN",
-        """pos >= COALESCE(try_cast(regexp_extract(region, '^[^:]+:(\\\\d+)', 1) AS BIGINT), 1)
-           AND pos <= COALESCE(try_cast(regexp_extract(region, '^[^:]+:\\\\d+-(\\\\d+)', 1) AS BIGINT), 9223372036854775807)""",
+        """pos >= COALESCE(try_cast(regexp_extract(region, '^(?:[^:]*:)?(\\\\d+)', 1) AS BIGINT), 1)
+           AND pos <= COALESCE(try_cast(regexp_extract(region, '(\\\\d+)$', 1) AS BIGINT), 9223372036854775807)""",
     ),
 }
 
@@ -104,12 +106,15 @@ _OVERLAP_BODY = """reference = regexp_extract(region, '^([^:]+)', 1)
        COALESCE(try_cast(regexp_extract(region, '^[^:]+:(\\\\d+)', 1) AS BIGINT), 1))"""
 
 for _n in ("vcf_region_filter",):
+    # pos is optional (reference: vcf_region_filter(region, chrom [,pos]),
+    # udfs/vcf/vcf_region_filter.rs) — chrom-only form matches on name alone
     _SQL_FUNCTIONS[_n] = (
-        "(region STRING, chrom STRING, pos BIGINT)",
+        "(region STRING, chrom STRING, pos BIGINT DEFAULT NULL)",
         "BOOLEAN",
         """chrom = regexp_extract(region, '^([^:]+)', 1)
-           AND pos >= COALESCE(try_cast(regexp_extract(region, '^[^:]+:(\\\\d+)', 1) AS BIGINT), 1)
-           AND pos <= COALESCE(try_cast(regexp_extract(region, '^[^:]+:\\\\d+-(\\\\d+)', 1) AS BIGINT), 9223372036854775807)""",
+           AND (pos IS NULL OR (
+             pos >= COALESCE(try_cast(regexp_extract(region, '^[^:]+:(\\\\d+)', 1) AS BIGINT), 1)
+             AND pos <= COALESCE(try_cast(regexp_extract(region, '^[^:]+:\\\\d+-(\\\\d+)', 1) AS BIGINT), 9223372036854775807)))""",
     )
 for _n in (
     "bam_region_filter",
@@ -118,7 +123,8 @@ for _n in (
     "bigwig_region_filter",
 ):
     _SQL_FUNCTIONS[_n] = (
-        "(region STRING, reference STRING, start_pos BIGINT, end_pos BIGINT)",
+        "(region STRING, reference STRING, "
+        "start_pos BIGINT DEFAULT NULL, end_pos BIGINT DEFAULT NULL)",
         "BOOLEAN",
         _OVERLAP_BODY,
     )

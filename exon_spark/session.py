@@ -93,21 +93,105 @@ class ExonSession:
         self.spark = spark or get_spark()
         register_all(self.spark)
 
+    _SET_RE = None  # compiled lazily below
+    _REGION_FN_RE = None
+
     def sql(self, query: str) -> DataFrame:
-        """SQL entry point. Two statement forms are intercepted exactly where
-        the reference hooks its parser (sql/parser.rs:52-71):
-        ``COPY ... STORED AS FASTA/FASTQ`` (exon_spark.sinks) and
-        ``CREATE [EXTERNAL] TABLE ... STORED AS/USING <format>``
-        (exon_spark.sources.ddl). Everything else is stock ``spark.sql``."""
+        """SQL entry point. Statement forms intercepted exactly where the
+        reference hooks its parser (sql/parser.rs:52-71):
+
+        * ``COPY ... TO ... [STORED AS FASTA/FASTQ/PARQUET/CSV]`` — sinks
+        * ``CREATE [EXTERNAL] TABLE ... STORED AS/USING <format>`` — ddl
+        * ``DROP TABLE <format view>``
+        * ``SET exon.<key> = <value>`` (config/mod.rs:130-137) — becomes
+          ``spark.exon.<key>`` session conf consulted by the DDL layer
+        * queries over INDEXED_* tables with a literal ``x_region_filter``
+          predicate get the region pushed into the reader options (the
+          reference's flagship pushdown, SURVEY.md §4.1); the SQL predicate
+          still runs, so pushdown is purely an optimization.
+
+        Everything else is stock ``spark.sql``."""
+        import re
+
         from exon_spark.sinks import maybe_handle_copy
-        from exon_spark.sources.ddl import maybe_handle_create_table
+        from exon_spark.sources.ddl import (
+            maybe_handle_create_table,
+            maybe_handle_drop_table,
+        )
+
+        m = re.match(
+            r"^\s*SET\s+exon\.(\w+)\s*=\s*'?([\w.]+)'?\s*;?\s*$", query, re.I
+        )
+        if m:
+            self.spark.conf.set(f"spark.exon.{m.group(1)}", m.group(2))
+            return self.spark.range(0).select()
+
+        # scan UDTFs run in session-less workers, so session config that
+        # changes their schema (SET exon.sam_parse_tags) is forwarded as an
+        # extra 'key=value' argument at rewrite time
+        for fmt_key in ("sam", "bam"):
+            try:
+                conf = self.spark.conf.get(f"spark.exon.{fmt_key}_parse_tags", None)
+            except Exception:
+                conf = None
+            if conf is not None and str(conf).lower() in ("true", "1"):
+                query = re.sub(
+                    rf"\b({fmt_key}_scan\(\s*'[^']*')\s*\)",
+                    r"\1, 'parse_tags=true')",
+                    query,
+                )
 
         handled = maybe_handle_copy(self.spark, query)
         if handled is None:
             handled = maybe_handle_create_table(self.spark, query)
+        if handled is None:
+            handled = maybe_handle_drop_table(self.spark, query)
         if handled is not None:
             return handled
-        return self.spark.sql(query)
+        return self._sql_with_region_pushdown(query)
+
+    def _sql_with_region_pushdown(self, query: str) -> DataFrame:
+        """Bind literal ``x_region_filter('region', ...)`` regions into the
+        reader options of referenced format tables for this one statement.
+        Only safe for pure conjunctions (an OR could need rows outside the
+        region), so any OR/NOT in the query disables the rewrite. The resi-
+        dual SQL predicate always still applies — correctness never depends
+        on the pushdown (§4.1)."""
+        import re
+
+        from exon_spark.sources import read_format
+
+        regions = re.findall(
+            r"\w+_region_filter\(\s*'([^']+)'", query, re.IGNORECASE
+        )
+        registry = getattr(self.spark, "_exon_tables", {}) or {}
+        if (
+            not regions
+            or not registry
+            or re.search(r"\b(OR|NOT)\b", query, re.IGNORECASE)
+        ):
+            return self.spark.sql(query)
+        region_opt = ",".join(regions)
+        rebound: list[tuple[str, str, str, dict]] = []
+        for name, (fmt, path, options) in registry.items():
+            if "regions" in options or "region" in options:
+                continue
+            if not re.search(rf"\b{re.escape(name)}\b", query):
+                continue
+            try:
+                read_format(
+                    self.spark, fmt, path, regions=region_opt, **options
+                ).createOrReplaceTempView(name)
+                rebound.append((name, fmt, path, options))
+            except Exception:
+                continue  # leave the original view in place
+        try:
+            return self.spark.sql(query)  # analysis resolves views eagerly
+        finally:
+            for name, fmt, path, options in rebound:
+                read_format(self.spark, fmt, path, **options).createOrReplaceTempView(
+                    name
+                )
 
     def __getattr__(self, name: str):
         # read_fasta / read_vcf / ... resolve dynamically against sources

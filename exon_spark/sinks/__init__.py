@@ -20,8 +20,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 _COPY_RE = re.compile(
-    r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'(?P<path>[^']+)'\s+"
-    r"STORED\s+AS\s+(?P<fmt>FASTA|FASTQ)\s*"
+    r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'(?P<path>[^']+)'\s*"
+    r"(?:STORED\s+AS\s+(?P<fmt>FASTA|FASTQ|PARQUET|CSV)\s*)?"
     r"(?:OPTIONS\s*\(\s*compression\s+'(?P<comp>\w+)'\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -96,11 +96,49 @@ def maybe_handle_copy(spark: SparkSession, sql: str) -> DataFrame | None:
         return None
     src = m.group("src").strip()
     df = spark.sql(src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}")
-    path, fmt = m.group("path"), m.group("fmt").upper()
+    path = m.group("path")
+    fmt = (m.group("fmt") or "").upper()
+    if not fmt:
+        # STORED AS omitted: infer from the target extension
+        # (DataFusion COPY behavior; gff-scan-tests.slt COPY ... TO '*.parquet')
+        ext = path.rsplit(".", 1)[-1].lower()
+        fmt = {"parquet": "PARQUET", "csv": "CSV", "fasta": "FASTA",
+               "fa": "FASTA", "fastq": "FASTQ", "fq": "FASTQ"}.get(ext)
+        if fmt is None:
+            return None
     comp = (m.group("comp") or "").lower() or None
     n = df.count()
     if fmt == "FASTA":
-        write_fasta(df, path, compression=comp)
+        write_fasta(df, path + ".__tmp__", compression=comp, single_file=True)
+        _promote_single_file(path + ".__tmp__", path)
+    elif fmt == "FASTQ":
+        write_fastq(df, path + ".__tmp__", compression=comp, single_file=True)
+        _promote_single_file(path + ".__tmp__", path)
+    elif fmt == "PARQUET":
+        df.write.mode("overwrite").parquet(path)
     else:
-        write_fastq(df, path, compression=comp)
+        df.write.mode("overwrite").option("header", "true").csv(path)
     return spark.createDataFrame([(n,)], ["count"])
+
+
+def _promote_single_file(tmp_dir: str, path: str) -> None:
+    """Move the single part file out of a Spark output directory to ``path``
+    — the reference's COPY writes ONE file at the given path
+    (sinks/simple_record_sink.rs:81-119), so the DataFrame is coalesced to
+    one partition and the part file promoted. (COPY-to-single-file is an
+    inherently single-stream sink; for scale-out writes use
+    df.write.format(...) with a directory target instead.)"""
+    import os
+    import shutil
+
+    parts = [
+        f
+        for f in os.listdir(tmp_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    ]
+    if len(parts) != 1:
+        raise IOError(f"expected one part file in {tmp_dir}, found {parts}")
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(os.path.join(tmp_dir, parts[0]), path)
+    shutil.rmtree(tmp_dir, ignore_errors=True)

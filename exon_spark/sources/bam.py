@@ -43,7 +43,23 @@ def read_bam_header(stream) -> list[tuple[str, int]]:
     return refs
 
 
-def decode_record(data: bytes, refs: list[tuple[str, int]]) -> dict:
+def _ddl_of_native(v) -> str:
+    if isinstance(v, bool):
+        return "string"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, list):
+        if v and isinstance(v[0], float):
+            return "array<double>"
+        return "array<bigint>"
+    return "string"
+
+
+def decode_record(
+    data: bytes, refs: list[tuple[str, int]], typed_tags: bool = False
+) -> dict:
     refid, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, nrefid, npos, _tlen = (
         struct.unpack_from("<iiBBHHHiiii", data, 0)
     )
@@ -69,13 +85,20 @@ def decode_record(data: bytes, refs: list[tuple[str, int]]) -> dict:
     sequence = "".join(seq_chars)
     quality = [] if (l_seq == 0 or (qual and qual[0] == 0xFF)) else list(qual)
 
-    tags = []
+    tags: list | dict = {} if typed_tags else []
     while off + 3 <= len(data):
         tag = data[off : off + 2].decode("ascii", "replace")
         typ = chr(data[off + 2])
         off += 3
         val, off = _decode_tag_value(data, off, typ)
-        tags.append({"tag": tag, "value": val})
+        if typed_tags:
+            # type 'A' (character) is numeric in the typed schema: the
+            # reference shows XS:A:'-' as 45 (bam-select-tests.slt)
+            tags[tag] = ord(val) if typ == "A" else val
+        else:
+            if isinstance(val, list):
+                val = ",".join(str(v) for v in val)
+            tags.append({"tag": tag, "value": str(val)})
 
     reference = refs[refid][0] if 0 <= refid < len(refs) else None
     mate_ref = refs[nrefid][0] if 0 <= nrefid < len(refs) else None
@@ -96,19 +119,20 @@ def decode_record(data: bytes, refs: list[tuple[str, int]]) -> dict:
 
 
 def _decode_tag_value(data: bytes, off: int, typ: str):
+    """Decode one tag value to a native Python value (int/float/str/list)."""
     if typ == "A":
         return chr(data[off]), off + 1
     if typ in "cC":
         v = struct.unpack_from("<b" if typ == "c" else "<B", data, off)[0]
-        return str(v), off + 1
+        return v, off + 1
     if typ in "sS":
         v = struct.unpack_from("<h" if typ == "s" else "<H", data, off)[0]
-        return str(v), off + 2
+        return v, off + 2
     if typ in "iI":
         v = struct.unpack_from("<i" if typ == "i" else "<I", data, off)[0]
-        return str(v), off + 4
+        return v, off + 4
     if typ == "f":
-        return repr(struct.unpack_from("<f", data, off)[0]), off + 4
+        return struct.unpack_from("<f", data, off)[0], off + 4
     if typ in "ZH":
         end = data.index(b"\x00", off)
         return data[off:end].decode("ascii", "replace"), end + 1
@@ -118,13 +142,16 @@ def _decode_tag_value(data: bytes, off: int, typ: str):
         off += 5
         fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
         size = struct.calcsize("<" + fmt)
-        vals = struct.unpack_from(f"<{n}{fmt}", data, off)
-        return ",".join(str(v) for v in vals), off + n * size
+        vals = list(struct.unpack_from(f"<{n}{fmt}", data, off))
+        return vals, off + n * size
     raise ValueError(f"unknown BAM tag type {typ!r}")
 
 
 def iter_bam_records(
-    stream, refs: list[tuple[str, int]], stop_voffset: int | None = None
+    stream,
+    refs: list[tuple[str, int]],
+    stop_voffset: int | None = None,
+    typed_tags: bool = False,
 ) -> Iterator[tuple[dict, int, int]]:
     """Yield (record, voffset_start, voffset_end) from a positioned stream."""
     while True:
@@ -138,7 +165,7 @@ def iter_bam_records(
         data = stream.read(block_size)
         if len(data) < block_size:
             return
-        yield decode_record(data, refs), v_start, stream.tell_virtual()
+        yield decode_record(data, refs, typed_tags), v_start, stream.tell_virtual()
 
 
 class BamSource(FileFormatSource):
@@ -151,11 +178,43 @@ class BamSource(FileFormatSource):
         "tags array<struct<tag string, value string>>"
     )
 
+    def base_schema(self) -> str:
+        from exon_spark.sources.sam import parse_tags_enabled, sample_tag_schema
+
+        if not parse_tags_enabled(self.options):
+            return self.BASE_SCHEMA
+        from exon_spark.sources.bgzf import BGZFReader
+
+        first = self._files()[0]
+
+        def tag_samples():
+            with BGZFReader(first.path) as bg:
+                stream = bg.stream_from(0)
+                refs = read_bam_header(stream)
+                for i, (rec, _vs, _ve) in enumerate(
+                    iter_bam_records(stream, refs, typed_tags=True)
+                ):
+                    for tag, v in (rec["tags"] or {}).items():
+                        yield tag, v, _ddl_of_native(v)
+                    if i >= 100:
+                        return
+
+        struct_ddl = sample_tag_schema(tag_samples())
+        return self.BASE_SCHEMA.replace(
+            "tags array<struct<tag string, value string>>", f"tags {struct_ddl}"
+        )
+
     @classmethod
     def plan_partitions(cls, f: FoundFile, options: dict) -> list[FilePartition]:
         pv = tuple(sorted(f.partition_values.items()))
         regions = options.get("regions") or options.get("region")
         comp = "bgzf"
+        if not regions and str(options.get("indexed", "")).lower() in ("true", "1"):
+            raise ValueError(
+                "INDEXED_BAM scan requires a region filter — add "
+                ".option('regions', 'chr:lo-hi') or WHERE "
+                "bam_region_filter('chr:lo-hi', reference, start, end)"
+            )
         if regions:
             bai = f.path + ".bai"
             region_list = [r.strip() for r in regions.split(",") if r.strip()]
@@ -217,7 +276,9 @@ class BamSource(FileFormatSource):
     @classmethod
     def parse_partition(cls, partition: FilePartition, options: dict) -> Iterator[dict]:
         from exon_spark.sources.bgzf import BGZFReader
+        from exon_spark.sources.sam import parse_tags_enabled
 
+        typed = parse_tags_enabled(options)
         if partition.extra and partition.extra[0] == "empty":
             return
         with BGZFReader(partition.path) as bg:
@@ -226,7 +287,7 @@ class BamSource(FileFormatSource):
             if partition.extra and partition.extra[0] == "range":
                 _, v_start, v_stop = partition.extra
                 s = bg.stream_from(v_start)
-                for rec, _vs, _ve in iter_bam_records(s, refs, stop_voffset=v_stop):
+                for rec, _vs, _ve in iter_bam_records(s, refs, stop_voffset=v_stop, typed_tags=typed):
                     yield rec
                 return
             if partition.extra and partition.extra[0] == "bai":
@@ -234,7 +295,7 @@ class BamSource(FileFormatSource):
                 name, lo, hi = parse_region(region)
                 for cb, ce in chunks:
                     s = bg.stream_from(cb)
-                    for rec, _vs, _ve in iter_bam_records(s, refs, stop_voffset=ce):
+                    for rec, _vs, _ve in iter_bam_records(s, refs, stop_voffset=ce, typed_tags=typed):
                         if (
                             rec["reference"] == name
                             and rec["start"] is not None
@@ -250,7 +311,7 @@ class BamSource(FileFormatSource):
                     for r in partition.extra[1].split(",")
                     if r.strip()
                 ]
-            for rec, _vs, _ve in iter_bam_records(stream, refs):
+            for rec, _vs, _ve in iter_bam_records(stream, refs, typed_tags=typed):
                 if region_filters is not None and not any(
                     rec["reference"] == n
                     and rec["start"] is not None

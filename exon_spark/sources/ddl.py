@@ -52,6 +52,11 @@ _FORMAT_KEYWORDS: dict[str, tuple[str, dict]] = {
     "bigwig": ("bigwig_value", {}),
     "bigwig_value": ("bigwig_value", {}),
     "bigwig_zoom": ("bigwig_zoom", {}),
+    # Spark-native formats, so `CREATE EXTERNAL TABLE ... STORED AS PARQUET`
+    # (DataFusion-inherited in the reference) works through the same DDL path
+    "parquet": ("parquet", {}),
+    "csv": ("csv", {}),
+    "json": ("json", {}),
 }
 
 _CREATE_RE = re.compile(
@@ -61,8 +66,19 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _OPTIONS_RE = re.compile(r"OPTIONS\s*\((?P<body>[^)]*)\)", re.IGNORECASE | re.DOTALL)
-_PAIR_RE = re.compile(r"['\"]?(?P<k>[\w.]+)['\"]?\s+'(?P<v>[^']*)'")
+# values may be quoted ('gzip') or bare (gzip) — the reference accepts both
+_PAIR_RE = re.compile(
+    r"['\"]?(?P<k>[\w.]+)['\"]?\s+(?:'(?P<v>[^']*)'|(?P<bare>[\w.\-]+))"
+)
 _LOCATION_RE = re.compile(r"LOCATION\s+'(?P<path>[^']+)'", re.IGNORECASE)
+
+# session config -> implied reader options per format, mirroring the
+# reference's `SET exon.vcf_parse_info = true` etc. (config/mod.rs:65-74,130-137)
+_CONF_OPTIONS = {
+    "vcf": [("spark.exon.vcf_parse_info", "parse_info")],
+    "sam": [("spark.exon.sam_parse_tags", "parse_tags")],
+    "bam": [("spark.exon.bam_parse_tags", "parse_tags")],
+}
 
 
 def maybe_handle_create_table(spark: SparkSession, sql: str) -> DataFrame | None:
@@ -84,10 +100,21 @@ def maybe_handle_create_table(spark: SparkSession, sql: str) -> DataFrame | None
     if om:
         for pm in _PAIR_RE.finditer(om.group("body")):
             key = pm.group("k")
-            # reference table options arrive namespaced (format.compression)
-            if key.startswith("format."):
-                key = key[len("format."):]
-            options[key] = pm.group("v")
+            # reference table options arrive namespaced: 'format.compression',
+            # 'fasta.sequence_data_type', etc. — strip the namespace
+            for prefix in ("format.", f"{fmt}.", f"{keyword}."):
+                if key.startswith(prefix):
+                    key = key[len(prefix):]
+                    break
+            options[key] = pm.group("v") if pm.group("v") is not None else pm.group("bare")
+    for conf_key, opt_key in _CONF_OPTIONS.get(fmt, []):
+        if opt_key not in options:
+            try:
+                val = spark.conf.get(conf_key, None)
+            except Exception:
+                val = None
+            if val is not None and str(val).lower() in ("true", "1"):
+                options[opt_key] = "true"
     lm = _LOCATION_RE.search(rest)
     path = lm.group("path") if lm else options.pop("path", None)
     if not path:
@@ -99,7 +126,7 @@ def maybe_handle_create_table(spark: SparkSession, sql: str) -> DataFrame | None
     if m.group("ine"):
         try:
             spark.table(name)
-            return spark.table(name)
+            return spark.range(0).select()
         except Exception:
             pass
 
@@ -107,4 +134,34 @@ def maybe_handle_create_table(spark: SparkSession, sql: str) -> DataFrame | None
 
     df = read_format(spark, fmt, path, **options)
     df.createOrReplaceTempView(name)
-    return df
+    # remember the binding so ExonSession.sql can push literal
+    # x_region_filter(...) predicates back into reader options (§4.1)
+    registry = getattr(spark, "_exon_tables", None)
+    if registry is None:
+        registry = {}
+        spark._exon_tables = registry  # type: ignore[attr-defined]
+    registry[name] = (fmt, path, dict(options))
+    # like the reference (and SQL), CREATE returns an empty result — the
+    # data is read via the view; collecting the CREATE must not scan
+    return spark.range(0).select()
+
+
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ine>IF\s+EXISTS\s+)?(?P<name>`?[\w.]+`?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def maybe_handle_drop_table(spark: SparkSession, sql: str) -> DataFrame | None:
+    """DROP TABLE over one of our registered format views (Spark would demand
+    DROP VIEW for a temp view). Non-exon tables fall through to spark.sql."""
+    m = _DROP_RE.match(sql)
+    if not m:
+        return None
+    name = m.group("name").strip("`")
+    registry = getattr(spark, "_exon_tables", {}) or {}
+    if name not in registry:
+        return None
+    spark.catalog.dropTempView(name)
+    registry.pop(name, None)
+    return spark.range(0).select()

@@ -48,10 +48,35 @@ def _emit(header: str, seq_parts: list[str]) -> dict:
     }
 
 
+# ML integer encodings (exon-fasta/src/array_builder.rs:144-205 semantics):
+# DNA A=1 C=2 G=3 T=4 N=5; protein = 1-based index in A..Z minus J
+_DNA_ENCODE = {"A": 1, "C": 2, "G": 3, "T": 4, "N": 5}
+_PROTEIN_ENCODE = {
+    c: i + 1 for i, c in enumerate("ABCDEFGHIKLMNOPQRSTUVWY")
+}
+_PROTEIN_ENCODE["X"] = 24
+_PROTEIN_ENCODE["Z"] = 25
+
+
+def _encode_sequence(seq: str, table: dict[str, int], kind: str) -> list[int]:
+    try:
+        return [table[c] for c in seq]
+    except KeyError as e:
+        raise ValueError(f"invalid {kind} character {e.args[0]!r} in sequence") from None
+
+
 class FastaSource(FileFormatSource):
     NAME = "fasta"
     EXTENSIONS = ("fasta", "fa", "faa", "fna")
     BASE_SCHEMA = "id string, description string, sequence string"
+
+    def base_schema(self) -> str:
+        # config-switched sequence type (exon-fasta/src/config.rs:189-213):
+        # utf8 (default) | large_utf8 | integer_encode_dna | integer_encode_protein
+        sdt = str(self.options.get("sequence_data_type", "")).lower()
+        if sdt.startswith("integer_encode"):
+            return "id string, description string, sequence array<tinyint>"
+        return self.BASE_SCHEMA
 
     @classmethod
     def plan_partitions(cls, f: FoundFile, options: dict) -> list[FilePartition]:
@@ -59,11 +84,13 @@ class FastaSource(FileFormatSource):
         regions = options.get("regions") or options.get("region")
         if regions:
             # .fai-pruned scan: one partition per requested sequence, using
-            # the byte offsets from the index (fai.rs:29-47)
+            # the byte offsets from the index (fai.rs:29-47). Regions may be
+            # literal or a path to a region file (one region per line).
+            from exon_spark.functions.region import expand_regions
             from exon_spark.sources.indexes import fai_byte_ranges
 
             parts = []
-            for name, start, end in fai_byte_ranges(f.path, regions.split(",")):
+            for name, start, end in fai_byte_ranges(f.path, expand_regions(regions)):
                 parts.append(
                     FilePartition(
                         path=f.path,
@@ -89,6 +116,20 @@ class FastaSource(FileFormatSource):
 
     @classmethod
     def parse_partition(cls, partition: FilePartition, options: dict) -> Iterator[dict]:
+        sdt = str(options.get("sequence_data_type", "")).lower()
+        if sdt == "integer_encode_dna":
+            enc, kind = _DNA_ENCODE, "nucleotide"
+        elif sdt == "integer_encode_protein":
+            enc, kind = _PROTEIN_ENCODE, "amino acid"
+        else:
+            enc = None
+        for rec in cls._parse_partition_text(partition):
+            if enc is not None:
+                rec["sequence"] = _encode_sequence(rec["sequence"], enc, kind)
+            yield rec
+
+    @classmethod
+    def _parse_partition_text(cls, partition: FilePartition) -> Iterator[dict]:
         if partition.extra:  # fai region slice: range covers one sequence
             yield from cls._read_fai_slice(partition)
             return

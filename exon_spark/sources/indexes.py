@@ -50,7 +50,8 @@ def fai_byte_ranges(
     index = read_fai(fasta_path)
     out: list[tuple[str, int, int]] = []
     for region in regions:
-        name, lo, hi = parse_region(region.strip())
+        region = region.strip()
+        name, lo, hi = parse_region(region)
         rec = index.get(name)
         if rec is None:
             continue
@@ -66,7 +67,9 @@ def fai_byte_ranges(
 
         start_b = pos_to_byte(lo - 1)
         end_b = pos_to_byte(hi - 1) + 1
-        out.append((name, start_b, end_b))
+        # label is the region string as given (the reference's indexed scan
+        # surfaces 'a:3-4' as the id, fasta-indexed-scan-tests.slt)
+        out.append((region, start_b, end_b))
     return out
 
 

@@ -31,7 +31,11 @@ def iter_molecules(path: str, compression: str) -> Iterator[dict]:
 
 
 def _parse_molecule(lines: list[str]) -> dict:
-    header = lines[0] if lines else ""
+    # header = first 3 lines, trimmed, empties dropped, '\n'-joined
+    # (exon-sdf/src/record.rs:107-120)
+    header = "\n".join(
+        l.strip() for l in lines[:3] if l.strip()
+    )
     atom_count = bond_count = 0
     if len(lines) > 3:
         counts = lines[3]

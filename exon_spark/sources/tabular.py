@@ -28,18 +28,28 @@ _GFF_COLS = [
 ]
 
 
-def _read_tsv_raw(spark: SparkSession, path: str, n_cols: int, **options) -> DataFrame:
+def _read_tsv_raw(
+    spark: SparkSession, path: str, n_cols: int, **options
+) -> tuple[DataFrame, list[str]]:
+    """Raw TSV columns as _c0.._cN plus discovered hive partition columns
+    (Spark appends them with their real names — everything not matching
+    ``_c<i>`` is a partition column and is passed through)."""
+    import re as _re
+
     df = (
         spark.read.option("sep", "\t")
         .option("comment", "#")
         .csv(path, inferSchema=False)
     )
-    cols = df.columns[:n_cols]
-    return df.select(*[F.col(c).alias(f"_c{i}") for i, c in enumerate(cols)])
+    data = [c for c in df.columns if _re.fullmatch(r"_c\d+", c)][:n_cols]
+    parts = [c for c in df.columns if not _re.fullmatch(r"_c\d+", c)]
+    sel = [F.col(c).alias(f"_c{i}") for i, c in enumerate(data)]
+    sel += [F.col(c).cast("string").alias(c) for c in parts]
+    return df.select(*sel), parts
 
 
 def read_gff(spark: SparkSession, path: str, **options) -> DataFrame:
-    df = _read_tsv_raw(spark, path, 9, **options)
+    df, parts = _read_tsv_raw(spark, path, 9, **options)
     attrs = F.map_from_entries(
         F.transform(
             F.filter(F.split("_c8", ";"), lambda s: F.trim(s) != ""),
@@ -53,22 +63,20 @@ def read_gff(spark: SparkSession, path: str, **options) -> DataFrame:
         F.col("_c0").alias("seqname"),
         F.when(F.col("_c1") == ".", None).otherwise(F.col("_c1")).alias("source"),
         F.col("_c2").alias("type"),
-        F.col("_c3").cast("bigint").alias("start"),
-        F.col("_c4").cast("bigint").alias("end"),
-        F.when(F.col("_c5") == ".", None)
-        .otherwise(F.col("_c5"))
-        .cast("float")
-        .alias("score"),
+        F.col("_c3").try_cast("bigint").alias("start"),
+        F.col("_c4").try_cast("bigint").alias("end"),
+        F.col("_c5").try_cast("float").alias("score"),
         F.col("_c6").alias("strand"),
         F.when(F.col("_c7") == ".", None).otherwise(F.col("_c7")).alias("phase"),
         F.when(F.col("_c8").isNull() | (F.col("_c8") == "."), None)
         .otherwise(attrs)
         .alias("attributes"),
+        *[F.col(c) for c in parts],
     )
 
 
 def read_gtf(spark: SparkSession, path: str, **options) -> DataFrame:
-    df = _read_tsv_raw(spark, path, 9, **options)
+    df, parts = _read_tsv_raw(spark, path, 9, **options)
     attrs = F.map_from_entries(
         F.transform(
             F.filter(F.split("_c8", ";"), lambda s: F.trim(s) != ""),
@@ -82,17 +90,15 @@ def read_gtf(spark: SparkSession, path: str, **options) -> DataFrame:
         F.col("_c0").alias("seqname"),
         F.when(F.col("_c1") == ".", None).otherwise(F.col("_c1")).alias("source"),
         F.col("_c2").alias("type"),
-        F.col("_c3").cast("bigint").alias("start"),
-        F.col("_c4").cast("bigint").alias("end"),
-        F.when(F.col("_c5") == ".", None)
-        .otherwise(F.col("_c5"))
-        .cast("float")
-        .alias("score"),
+        F.col("_c3").try_cast("bigint").alias("start"),
+        F.col("_c4").try_cast("bigint").alias("end"),
+        F.col("_c5").try_cast("float").alias("score"),
         F.col("_c6").alias("strand"),
         F.when(F.col("_c7") == ".", None).otherwise(F.col("_c7")).alias("frame"),
         F.when(F.col("_c8").isNull() | (F.col("_c8") == "."), None)
         .otherwise(attrs)
         .alias("attributes"),
+        *[F.col(c) for c in parts],
     )
 
 
@@ -117,15 +123,16 @@ def read_bed(spark: SparkSession, path: str, n_fields: int = 12, **options) -> D
     trailing columns are null."""
     if not 3 <= n_fields <= 12:
         raise ValueError("n_fields must be in 3..=12")
-    df = _read_tsv_raw(spark, path, n_fields, **options)
-    present = len(df.columns)
+    df, parts = _read_tsv_raw(spark, path, n_fields, **options)
+    present = len(df.columns) - len(parts)
     out = []
     for i, (name, typ) in enumerate(_BED_SCHEMA[:n_fields]):
         if i < present:
             c = F.when(F.col(f"_c{i}") == ".", None).otherwise(F.col(f"_c{i}"))
-            out.append(c.cast(typ).alias(name))
+            out.append(c.try_cast(typ).alias(name))
         else:
             out.append(F.lit(None).cast(typ).alias(name))
+    out += [F.col(c) for c in parts]
     return df.select(*out)
 
 
@@ -160,12 +167,14 @@ def read_hmm_dom_tab(spark: SparkSession, path: str, **options) -> DataFrame:
     """hmmscan --domtblout: 22 whitespace-separated columns + free-text
     description (split with limit keeps the description intact)."""
     txt = spark.read.text(path).filter(~F.col("value").startswith("#"))
-    parts = F.split(F.trim("value"), r"\s+", 23)
+    part_cols = [c for c in txt.columns if c != "value"]
+    fields = F.split(F.trim("value"), r"\s+", 23)
     return txt.select(
         *[
-            F.element_at(parts, i + 1).cast(typ).alias(name)
+            F.element_at(fields, i + 1).try_cast(typ).alias(name)
             for i, (name, typ) in enumerate(_HMM_COLS)
-        ]
+        ],
+        *[F.col(c).cast("string").alias(c) for c in part_cols],
     )
 
 

@@ -108,10 +108,15 @@ def _make_scan_udtf(fmt: str, indexed: bool):
             from exon_spark.sources.udtfs import _source_cls_for
 
             options = {}
-            if indexed:
-                pass  # region arg does not change the schema
-            elif args:
-                options["compression"] = args[0].value
+            for a in args:
+                v = a.value
+                if isinstance(v, str) and "=" in v:
+                    k, _, val = v.partition("=")
+                    options[k] = val
+                elif indexed and "regions" not in options:
+                    pass  # region arg does not change the schema
+                else:
+                    options["compression"] = v
             cls = _source_cls_for(fmt)
             ddl = cls(options={**options, "path": path.value}).schema()
             return AnalyzeResult(schema=parse_ddl(ddl))
@@ -125,12 +130,19 @@ def _make_scan_udtf(fmt: str, indexed: bool):
             )
 
             options = {}
+            positional = []
+            for a in args:
+                if isinstance(a, str) and "=" in a and not indexed:
+                    k, _, val = a.partition("=")
+                    options[k] = val
+                else:
+                    positional.append(a)
             if indexed:
-                if not args:
+                if not positional:
                     raise ValueError(f"{fmt}_indexed_scan(path, region) needs a region")
-                options["regions"] = args[0]
-            elif args:
-                options["compression"] = args[0]
+                options["regions"] = positional[0]
+            elif positional:
+                options["compression"] = positional[0]
             cls = _source_cls_for(fmt)
             src = cls(options={**options, "path": path})
             schema_cols = _ddl_field_names(src.schema())

@@ -136,8 +136,17 @@ class VcfSource(FileFormatSource):
         comp = detect_compression(f.path, options.get("compression"))
         pv = tuple(sorted(f.partition_values.items()))
         regions = options.get("regions") or options.get("region")
+        if not regions and str(options.get("indexed", "")).lower() in ("true", "1"):
+            # INDEXED_VCF requires a region (table_provider.rs:365-370)
+            raise ValueError(
+                "INDEXED_VCF scan requires a region filter — add "
+                ".option('regions', 'chr:lo-hi') or WHERE "
+                "vcf_region_filter('chr:lo-hi', chrom, pos)"
+            )
         if regions:
-            region_list = [r.strip() for r in regions.split(",") if r.strip()]
+            from exon_spark.functions.region import expand_regions
+
+            region_list = expand_regions(regions)
             tbi = f.path + ".tbi"
             if comp == "gzip" and os.path.exists(tbi):
                 from exon_spark.sources.indexes import (

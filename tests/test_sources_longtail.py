@@ -107,7 +107,11 @@ def fixtures(tmp_path_factory):
 
 def test_sdf(spark, fixtures):
     df = spark.read.format("sdf").load(str(fixtures / "mols.sdf"))
-    rows = {r["header"]: r for r in df.collect()}
+    # header = first 3 lines, trimmed, empties dropped, joined with \n
+    # (exon-sdf/src/record.rs:107-120)
+    rows = {r["header"].split("\n")[0]: r for r in df.collect()}
+    assert rows["Mol1"]["header"] == "Mol1\nprog\ncomment"
+    assert rows["Mol2"]["header"] == "Mol2\nprog"
     assert rows["Mol1"]["atom_count"] == 2 and rows["Mol1"]["bond_count"] == 1
     assert rows["Mol1"]["data"]["canonical_smiles"] == "CO"
     assert rows["Mol1"]["data"]["molecular_weight"] == "32.04"

@@ -82,10 +82,7 @@ def test_create_table_using_with_options(spark, files):
     from exon_spark import ExonSession
 
     x = ExonSession(spark)
-    df = x.sql(
-        f"CREATE TABLE gff_tbl USING gff OPTIONS (path '{files}/t.gff')"
-    )
-    assert df.count() == 3
+    x.sql(f"CREATE TABLE gff_tbl USING gff OPTIONS (path '{files}/t.gff')")
     assert spark.sql("SELECT count(*) c FROM gff_tbl").collect()[0]["c"] == 3
 
 
