@@ -97,6 +97,14 @@ def read_format(spark: SparkSession, fmt: str, path: str, **options) -> DataFram
     fmt = fmt.lower()
     if fmt in TABULAR_READERS:
         return TABULAR_READERS[fmt](spark, path, **options)
+    # plain scans of text formats go through whole-stage-codegen'd Column
+    # expressions (no Python workers); option-rich scans (regions, encodings,
+    # header-driven schemas) use the Python DataSources
+    from exon_spark.sources.jvm_fast import jvm_fast_reader
+
+    fast = jvm_fast_reader(fmt, path, options)
+    if fast is not None:
+        return fast(spark, path)
     register_sources(spark)
     reader = spark.read.format(fmt)
     for k, v in options.items():

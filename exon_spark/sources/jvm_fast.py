@@ -1,0 +1,122 @@
+"""JVM-side fast paths for text formats (no Python in the data path).
+
+The Python DataSources (fasta.py, vcf.py, ...) are the fully-featured
+readers: header-driven schemas, index-pruned region scans, integer
+encodings. But for the *plain scan* case their per-record Python parse is
+the bottleneck (~20x slower per record than the reference's Rust parsers).
+
+These readers express the same parse as Column expressions over
+``spark.read.text`` / ``spark.read.csv`` — whole-stage-codegen'd, Arrow-free,
+zero Python workers — and are used by ``read_format`` automatically when no
+Python-only option (regions, sequence_data_type, parse_info) is requested.
+Schemas are identical to the DataSource schemas, so callers can't tell
+which path served them. gzip input is decompressed by the JVM codec;
+uncompressed input splits by byte range (Hadoop line reader semantics), so
+a single large file fans out across executors — same scale behavior as the
+reference's regrouped file scans (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _partition_cols(df: DataFrame, data_col: str = "value") -> list[str]:
+    return [c for c in df.columns if c != data_col]
+
+
+def read_fasta_jvm(spark: SparkSession, path: str) -> DataFrame:
+    """FASTA via lineSep='>': one text row per record, then pure Column
+    expressions (schema: id, description, sequence — config.rs:166-168)."""
+    txt = spark.read.option("lineSep", ">").text(path)
+    parts = _partition_cols(txt)
+    lines = F.split(F.col("value"), "\r?\n")
+    header = F.element_at(lines, 1)
+    sp = F.instr(header, " ")
+    return (
+        txt.filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            F.when(sp > 0, F.substring(header, F.lit(1), sp - 1))
+            .otherwise(header)
+            .alias("id"),
+            F.when(sp > 0, F.nullif(F.expr(
+                "substring(element_at(split(value, '\\r?\\n'), 1),"
+                " instr(element_at(split(value, '\\r?\\n'), 1), ' ') + 1)"
+            ), F.lit(""))).alias("description"),
+            F.array_join(F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))), "")
+            .alias("sequence"),
+            *[F.col(c).cast("string").alias(c) for c in parts],
+        )
+    )
+
+
+def read_vcf_jvm(spark: SparkSession, path: str) -> DataFrame:
+    """Flat VCF via the csv reader (tab sep, '#' comment lines skipped) +
+    Column expressions. Schema matches VcfSource.BASE_SCHEMA
+    (schema_builder.rs:88-122)."""
+    df = (
+        spark.read.option("sep", "\t")
+        .option("comment", "#")
+        .csv(path, inferSchema=False)
+    )
+    import re as _re
+
+    data = [c for c in df.columns if _re.fullmatch(r"_c\d+", c)]
+    parts = [c for c in df.columns if not _re.fullmatch(r"_c\d+", c)]
+
+    def dot_null(c):
+        return F.when(F.col(c).isin(".", ""), None).otherwise(F.col(c))
+
+    arr = "array<string>"  # cast fixes containsNull to match the DataSource schema
+    cols = [
+        F.col("_c0").alias("chrom"),
+        F.col("_c1").try_cast("bigint").alias("pos"),
+        F.split(dot_null("_c2"), ";").cast(arr).alias("id"),
+        F.col("_c3").alias("ref"),
+        F.split(dot_null("_c4"), ",").cast(arr).alias("alt"),
+        dot_null("_c5").try_cast("float").alias("qual"),
+        F.split(dot_null("_c6"), ";").cast(arr).alias("filter"),
+        dot_null("_c7").alias("info"),
+    ]
+    if len(data) > 8:
+        fmt_cols = [F.col(c) for c in data[8:]]
+        cols.append(
+            F.nullif(F.concat_ws("\t", *fmt_cols), F.lit("")).alias("formats")
+        )
+    else:
+        cols.append(F.lit(None).cast("string").alias("formats"))
+    cols += [F.col(c).cast("string").alias(c) for c in parts]
+    return df.select(*cols)
+
+
+def jvm_fast_reader(fmt: str, path: str, options: dict):
+    """Return the JVM fast-path reader for fmt if the requested options are
+    compatible with it, else None."""
+    python_only = {"regions", "region", "sequence_data_type", "parse_info",
+                   "parse_formats", "indexed", "file_extension"}
+    if any(str(options.get(k, "")).strip() not in ("", "false")
+           for k in python_only):
+        return None
+    comp = str(options.get("compression", "")).lower()
+    if comp not in ("", "none", "gzip"):
+        return None  # zstd etc. need the Python codec path
+    if comp == "gzip" and not path.lower().endswith((".gz", ".bgz")):
+        return None  # JVM codecs dispatch on extension only
+    if fmt == "fasta":
+        # Spark's text reader with a custom lineSep is NOT splittable, so a
+        # single big uncompressed file would scan in one task — the Python
+        # DataSource byte-splits it instead. Multi-file dirs and gzip input
+        # (unsplittable either way) keep the JVM path.
+        import os
+
+        if (
+            os.path.isfile(path)
+            and not path.lower().endswith((".gz", ".bgz"))
+            and os.path.getsize(path) > 256 << 20
+        ):
+            return None
+        return read_fasta_jvm
+    if fmt == "vcf":
+        return read_vcf_jvm
+    return None
