@@ -93,34 +93,51 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist AND eagerly compute a DataFrame that the caller will feed into
+    several downstream branches of one action.
+
+    ``.cache()`` alone is insufficient: Spark populates cache blocks only as
+    stages complete, and independent downstream stages of the same job are
+    scheduled concurrently — each recomputes the uncached subtree from
+    scratch (measured 3x recompute of the shingle pipeline in
+    ngram_jaccard_pairs, 33s -> ~8s with eager materialization). The eager
+    count costs one extra pass over the (now cached, memory-and-disk,
+    spillable) result, which is far cheaper than recomputing the
+    explode+window subtree per consumer — at any scale.
+    """
+    out = df.persist()
+    out.count()
+    return out
+
+
 def shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:
     """(id, shingle) rows, distinct per doc. Docs shorter than n tokens
     contribute no rows.
 
-    Implementation note: built as posexplode + window ``lead`` rather than
-    ``transform(sequence(...), i -> element_at(toks, i+j)...)`` — Catalyst
-    inlines the ``split()`` into every element_at, re-splitting the text
-    O(n_shingles * n) times per row (measured 20x slowdown). Here the split
-    runs once per document and each token is read once.
-    """
-    from pyspark.sql import Window
-
-    toks = df.select(
+    Implementation note: ``explode(array(tokens(...)))`` materializes the
+    token array once per row inside the Generate node — a barrier Catalyst
+    cannot collapse the ``split()`` through. A naive
+    ``transform(sequence(...), i -> slice(split(text), ...))`` inlines the
+    split into every element (measured 20x slowdown); a posexplode + window
+    ``lead`` formulation is correct but adds a full shuffle+sort of the
+    token rows per doc (measured 2.4-4x slower here, and the sort is the
+    scale bottleneck on long documents). This version is shuffle-free up to
+    the final ``distinct``."""
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        F.explode(F.array(tokens(text_col))).alias("toks"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.array_join(F.slice("toks", i, n), " "),
+    )
     return (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
-            leads[-1].isNotNull().alias("_full"),
-        )
-        .filter(F.col("_full") & (F.col("shingle") != ""))
-        .select("doc_id", "shingle")
+        toked.filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
         .distinct()
     )
 
@@ -177,22 +194,26 @@ def jaccard_verify(
     pairs: DataFrame, shingles: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps pairs with
-    similarity >= threshold. Join-based (distributed), no collect."""
-    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    similarity >= threshold. Join-based (distributed), no collect.
+
+    If ``pairs`` already carries ``n_a``/``n_b`` set sizes (the prefix-filter
+    path computes them anyway), the two count-lookup joins are skipped."""
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    carry = [c for c in ("n_a", "n_b") if c in pairs.columns]
     common = (
         pairs.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", *carry)
         .agg(F.count("*").alias("n_common"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    if len(carry) < 2:
+        counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+        cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+        common = common.join(ca, "doc_a").join(cb, "doc_b")
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select(
+        common.select(
             "doc_a",
             "doc_b",
             F.round(
@@ -214,7 +235,7 @@ def minhash_dedup(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle -> 16-perm
     signatures -> 4x4 LSH banding -> exact-Jaccard verification."""
-    sh = shingle_rows(df, id_col, text_col, n).cache()
+    sh = _materialize(shingle_rows(df, id_col, text_col, n))
     cands = lsh_candidate_pairs(minhash_signatures(sh))
     return jaccard_verify(cands, sh, threshold)
 
@@ -241,7 +262,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingle_rows(df, id_col, text_col, n).cache()
+    sh = _materialize(shingle_rows(df, id_col, text_col, n))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("shingle"))
     ranked = (
@@ -249,9 +270,11 @@ def ngram_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+    prefix = _materialize(  # self-joined below: compute the rank pipeline once
+        ranked.filter(
+            F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).select("doc_id", "shingle", "n_sh")
+    )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
     )
@@ -267,7 +290,9 @@ def ngram_jaccard_pairs(
                 >= F.lit(threshold) * F.greatest("n_a", "n_b")
             )
         )
-        .select("doc_a", "doc_b")
+        # n_a/n_b are functions of the ids, so distinct is unchanged; carrying
+        # them lets jaccard_verify skip its two count-lookup joins
+        .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
     return jaccard_verify(cands, sh, threshold)
@@ -305,6 +330,7 @@ def simhash(
 def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= 3, via exact 4-byte
     banding (pigeonhole: <=3 differing bits over 4 bytes ⇒ >=1 byte equal)."""
+    fps = _materialize(fps)  # self-joined below: avoid double fingerprint compute
     bands = fps.select(
         "doc_id",
         "simhash",
