@@ -33,7 +33,8 @@ def _datasource_classes():
         from exon_spark.sources.fasta import FastaSource
         from exon_spark.sources.fastq import FastqSource
         from exon_spark.sources.sam import SamSource
-        from exon_spark.sources.vcf import BcfSource, VcfSource
+        from exon_spark.sources.bcf import BcfSource
+        from exon_spark.sources.vcf import VcfSource
 
         from exon_spark.sources.fcs import FcsSource
         from exon_spark.sources.genbank import GenbankSource

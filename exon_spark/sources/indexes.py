@@ -435,3 +435,88 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
     with open(out_path, "wb") as fh:
         fh.write(bytes(out))
     return out_path
+
+
+# ----------------------------------------------------------------------- csi
+
+@dataclass(frozen=True)
+class CsiIndex:
+    """CSI v1 index (hts-specs CSIv1.pdf) — the generalized binning index
+    BCF ships with (reference: indexed BCF uses noodles-csi; the bin scheme
+    is UCSC binning parameterized by (min_shift, depth))."""
+
+    min_shift: int
+    depth: int
+    # per reference id: {bin: [(chunk_beg_voffset, chunk_end_voffset)]}
+    bins: list[dict[int, list[tuple[int, int]]]]
+    # per reference id: {bin: loffset}
+    loffsets: list[dict[int, int]]
+
+
+def read_csi(path: str) -> CsiIndex:
+    """Parse a .csi file (BGZF-compressed, magic CSI\\x01)."""
+    with gzip.open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"CSI\x01":
+        raise ValueError(f"{path}: not a CSI index")
+    off = 4
+    min_shift, depth, l_aux = struct.unpack_from("<iii", data, off)
+    off += 12 + l_aux
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    bins_per_ref: list[dict[int, list[tuple[int, int]]]] = []
+    loff_per_ref: list[dict[int, int]] = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        bins: dict[int, list[tuple[int, int]]] = {}
+        loffs: dict[int, int] = {}
+        for _ in range(n_bin):
+            bin_id, loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+            off += 16
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((cb, ce))
+            bins[bin_id] = chunks
+            loffs[bin_id] = loffset
+        bins_per_ref.append(bins)
+        loff_per_ref.append(loffs)
+    return CsiIndex(min_shift, depth, bins_per_ref, loff_per_ref)
+
+
+def _csi_reg2bins(beg: int, end: int, min_shift: int, depth: int) -> list[int]:
+    """Bins overlapping 0-based half-open [beg, end) for a generalized
+    (min_shift, depth) binning scheme."""
+    bins = []
+    end -= 1
+    level_offset = 0
+    for level in range(depth + 1):
+        shift = min_shift + (depth - level) * 3
+        bins += range(level_offset + (beg >> shift), level_offset + (end >> shift) + 1)
+        level_offset += 1 << (level * 3)
+    return bins
+
+
+def csi_chunks(
+    index: CsiIndex, ref_id: int, lo: int, hi: int
+) -> list[tuple[int, int]]:
+    """Merged BGZF virtual-offset chunks overlapping 1-based inclusive
+    [lo, hi] on reference ref_id."""
+    if ref_id < 0 or ref_id >= len(index.bins):
+        return []
+    beg0 = max(lo - 1, 0)
+    max_pos = 1 << (index.min_shift + index.depth * 3)
+    end0 = min(hi, max_pos) if hi < 2**62 else max_pos
+    chunks: list[tuple[int, int]] = []
+    for b in _csi_reg2bins(beg0, end0, index.min_shift, index.depth):
+        chunks.extend(index.bins[ref_id].get(b, ()))
+    chunks.sort()
+    merged: list[tuple[int, int]] = []
+    for cb, ce in chunks:
+        if merged and cb <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+        else:
+            merged.append((cb, ce))
+    return merged

@@ -246,18 +246,3 @@ class VcfSource(FileFormatSource):
                 for name, typ, is_list in (info_fields or [])
             }
             yield rec
-
-
-class BcfSource(VcfSource):
-    """BCF (binary VCF) — requires a binary BCF codec which this environment
-    lacks; reading raises with guidance. Schema parity retained so DDL works."""
-
-    NAME = "bcf"
-    EXTENSIONS = ("bcf",)
-
-    @classmethod
-    def parse_partition(cls, partition, options):
-        raise NotImplementedError(
-            "BCF decoding needs a BCF codec (pysam/cyvcf2); convert with "
-            "'bcftools view' to VCF, or use format 'vcf'"
-        )
