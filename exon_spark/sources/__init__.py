@@ -40,11 +40,8 @@ def _datasource_classes():
         from exon_spark.sources.genbank import GenbankSource
         from exon_spark.sources.mzml import MzmlSource
         from exon_spark.sources.sdf import SdfSource
-        from exon_spark.sources.stubs import (
-            BigWigValueSource,
-            BigWigZoomSource,
-            CramSource,
-        )
+        from exon_spark.sources.bigwig import BigWigValueSource, BigWigZoomSource
+        from exon_spark.sources.stubs import CramSource
 
         classes = [
             FastaSource,

@@ -4,8 +4,6 @@ NotImplementedError reads and guidance.
 
 * CRAM (reference: datasources/cram/, needs a FASTA reference + rANS/codec
   stack; exon_context_ext.rs:985-996) — pysam-based decode when available.
-* BigWig value/zoom (reference: exon-bigwig/) — needs the kent R-tree binary
-  stack (pyBigWig when available).
 """
 
 from __future__ import annotations
@@ -55,43 +53,3 @@ class CramSource(FileFormatSource):
                     ]
                     or None,
                 }
-
-
-class BigWigValueSource(FileFormatSource):
-    NAME = "bigwig_value"
-    EXTENSIONS = ("bw", "bigwig")
-    # exon-bigwig/src/value_batch_reader/config.rs:30-33
-    BASE_SCHEMA = "name string, start int, end int, value float"
-
-    @classmethod
-    def parse_partition(cls, partition, options):
-        try:
-            import pyBigWig  # type: ignore
-        except ImportError:
-            raise NotImplementedError(
-                "BigWig decoding requires pyBigWig (not in this environment). "
-                "Export with 'bigWigToBedGraph' and read as BED, or install pyBigWig."
-            )
-        bw = pyBigWig.open(partition.path)  # pragma: no cover - needs pyBigWig
-        try:
-            for name in bw.chroms():
-                for start, end, value in bw.intervals(name) or []:
-                    yield {"name": name, "start": start, "end": end, "value": value}
-        finally:
-            bw.close()
-
-
-class BigWigZoomSource(FileFormatSource):
-    NAME = "bigwig_zoom"
-    EXTENSIONS = ("bw", "bigwig")
-    # exon-bigwig/src/zoom_batch_reader/config.rs:33-41
-    BASE_SCHEMA = (
-        "name string, start int, end int, total_items int, bases_covered int, "
-        "max_value double, min_value double, sum_squares double, sum double"
-    )
-
-    @classmethod
-    def parse_partition(cls, partition, options):
-        raise NotImplementedError(
-            "BigWig zoom levels require pyBigWig (not in this environment)."
-        )

@@ -49,6 +49,7 @@ SLT_FILES = [
     "vcf-indexed-tests.slt",
     "sdf-scan-tests.slt",
     "fcs-select-tests.slt",
+    "bigwig-tests.slt",
 ]
 
 _SKIP_PATTERNS = [
@@ -162,6 +163,12 @@ def to_spark_sql(sql: str) -> str:
 
 # ---------------------------------------------------------------- rendering
 
+def _rust_float(s: str) -> str:
+    """DataFusion renders top-level floats with Rust Display (2.0 -> '2');
+    floats nested in arrays/structs keep the Debug form ('2.0')."""
+    return s[:-2] if s.endswith(".0") else s
+
+
 def _render_scalar(v, nested: bool) -> str:
     import numpy as np
 
@@ -170,11 +177,11 @@ def _render_scalar(v, nested: bool) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return repr(v)
+        return repr(v) if nested else _rust_float(repr(v))
     if isinstance(v, (int,)):
         return str(v)
     if isinstance(v, np.floating):
-        return repr(float(v))
+        return repr(float(v)) if nested else _rust_float(repr(float(v)))
     if isinstance(v, str):
         v = v.replace("\t", "    ")
         return v if (v or nested) else "(empty)"
@@ -200,7 +207,7 @@ def render_value(v, dtype=None, nested: bool = False) -> str:
     if isinstance(dtype, FloatType) and v is not None:
         import numpy as np
 
-        return repr(np.float32(v)).rstrip(")").split("(")[-1]
+        return _rust_float(repr(np.float32(v)).rstrip(")").split("(")[-1])
     return _render_scalar(v, nested)
 
 
