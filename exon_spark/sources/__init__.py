@@ -41,7 +41,7 @@ def _datasource_classes():
         from exon_spark.sources.mzml import MzmlSource
         from exon_spark.sources.sdf import SdfSource
         from exon_spark.sources.bigwig import BigWigValueSource, BigWigZoomSource
-        from exon_spark.sources.stubs import CramSource
+        from exon_spark.sources.cram import CramSource
 
         classes = [
             FastaSource,

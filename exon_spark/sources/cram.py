@@ -1,0 +1,1118 @@
+"""CRAM data source — pure-Python CRAM 3.0 container decoder.
+
+Parity: reference ListingCRAMTable (exon/exon-core/src/datasources/cram/;
+noodles-cram decode; golden rows cram-select-tests.slt). Same schema as
+SAM/BAM (exon-sam/src/schema_builder.rs:383-397). Options:
+``fasta_reference`` (required for reference-based slices,
+exon_context_ext.rs:985-996), ``parse_tags`` (typed tags struct),
+``regions`` (+ ``.crai`` pruning, cram/index.rs:29-41).
+
+Decoder surface (CRAM 3.0 spec): ITF-8/LTF-8 varints, block codecs raw /
+gzip / bzip2 / lzma / rANS-4x8 (orders 0 and 1), compression-header
+preservation + data-series + tag encoding maps, core-block bit codecs
+(HUFFMAN, BETA, GAMMA), external codecs (EXTERNAL, BYTE_ARRAY_LEN,
+BYTE_ARRAY_STOP), and feature-based sequence/CIGAR reconstruction against
+the FASTA reference (substitution matrix decode per §10.5).
+
+Scale: the .crai index is read driver-side; each indexed region (or each
+container for full scans of large files) becomes one partition, so slices
+decode in parallel across executors.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io
+import os
+import struct
+import zlib
+from collections.abc import Iterator
+
+from exon_spark.sources.base import FileFormatSource, FilePartition
+from exon_spark.sources.sam import sample_tag_schema
+from exon_spark.sources.util import FoundFile
+
+# ------------------------------------------------------------------ varints
+
+
+def read_itf8(buf: bytes, off: int) -> tuple[int, int]:
+    b0 = buf[off]
+    if b0 < 0x80:
+        return b0, off + 1
+    if b0 < 0xC0:
+        return ((b0 & 0x7F) << 8) | buf[off + 1], off + 2
+    if b0 < 0xE0:
+        return ((b0 & 0x3F) << 16) | (buf[off + 1] << 8) | buf[off + 2], off + 3
+    if b0 < 0xF0:
+        return (
+            ((b0 & 0x1F) << 24)
+            | (buf[off + 1] << 16)
+            | (buf[off + 2] << 8)
+            | buf[off + 3],
+            off + 4,
+        )
+    v = (
+        ((b0 & 0x0F) << 28)
+        | (buf[off + 1] << 20)
+        | (buf[off + 2] << 12)
+        | (buf[off + 3] << 4)
+        | (buf[off + 4] & 0x0F)
+    )
+    if v >= 1 << 31:
+        v -= 1 << 32
+    return v, off + 5
+
+
+def read_ltf8(buf: bytes, off: int) -> tuple[int, int]:
+    b0 = buf[off]
+    n = 0
+    while n < 8 and (b0 << n) & 0x80:
+        n += 1
+    if n == 0:
+        return b0, off + 1
+    v = 0 if n >= 7 else b0 & (0xFF >> (n + 1))
+    take = 8 if n == 8 else n
+    for i in range(take):
+        v = (v << 8) | buf[off + 1 + i]
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, off + 1 + take
+
+
+# ------------------------------------------------------------------- codecs
+
+
+def _rans4x8_decode(data: bytes, out_size: int) -> bytes:
+    """rANS 4x8 entropy decoder (hts-specs CRAMcodecs §2; order 0 and 1)."""
+    order = data[0]
+    # data[1:5] = compressed size, data[5:9] = uncompressed size
+    off = 9
+
+    def read_freqs0(off):
+        freqs = [0] * 256
+        cum = [0] * 257
+        sym = data[off]
+        off += 1
+        last = -1
+        while True:
+            f, off = read_itf8(data, off)
+            freqs[sym] = f
+            if last == sym - 1 and data[off] == sym + 1:
+                # run-length: next byte is a count of consecutive symbols
+                off += 1
+                rl = data[off]
+                off += 1
+                for i in range(rl):
+                    f, off = read_itf8(data, off)
+                    freqs[sym + 1 + i] = f
+                last = sym + rl
+            else:
+                last = sym
+            sym = data[off]
+            off += 1
+            if sym == 0:
+                break
+        total = 0
+        for i in range(256):
+            cum[i] = total
+            total += freqs[i]
+        return freqs, cum, off
+
+    def cum_lookup(cum, c):
+        # symbol whose cumulative range contains c
+        lo, hi = 0, 255
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if cum[mid] <= c:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    out = bytearray()
+    if order == 0:
+        freqs, cum, off = read_freqs0(off)
+        states = list(struct.unpack_from("<4I", data, off))
+        off += 16
+        for i in range(out_size):
+            j = i & 3
+            x = states[j]
+            c = x & 0xFFF
+            s = cum_lookup(cum, c)
+            out.append(s)
+            x = freqs[s] * (x >> 12) + c - cum[s]
+            while x < (1 << 23):
+                x = (x << 8) | data[off]
+                off += 1
+            states[j] = x
+        return bytes(out)
+    # order 1
+    freqs = {}
+    cums = {}
+    ctx = data[off]
+    off += 1
+    last_ctx = -1
+    while True:
+        # frequency table for context `ctx`
+        f, c, off = _read_freq_table(data, off, read_freqs0)
+        freqs[ctx] = f
+        cums[ctx] = c
+        if last_ctx == ctx - 1 and data[off] == ctx + 1:
+            off += 1
+            rl = data[off]
+            off += 1
+            for i in range(rl):
+                f, c, off = _read_freq_table(data, off, read_freqs0)
+                freqs[ctx + 1 + i] = f
+                cums[ctx + 1 + i] = c
+            last_ctx = ctx + rl
+        else:
+            last_ctx = ctx
+        ctx = data[off]
+        off += 1
+        if ctx == 0:
+            break
+    states = list(struct.unpack_from("<4I", data, off))
+    off += 16
+    quarter = out_size >> 2
+    outs = [bytearray() for _ in range(4)]
+    last = [0, 0, 0, 0]
+    n_main = [quarter] * 3 + [out_size - 3 * quarter]
+    for i in range(n_main[3]):
+        for j in range(4):
+            if i >= n_main[j]:
+                continue
+            x = states[j]
+            lctx = last[j]
+            c = x & 0xFFF
+            s = cum_lookup(cums[lctx], c)
+            outs[j].append(s)
+            x = freqs[lctx][s] * (x >> 12) + c - cums[lctx][s]
+            while x < (1 << 23) and off < len(data):
+                x = (x << 8) | data[off]
+                off += 1
+            states[j] = x
+            last[j] = s
+    return bytes(b"".join(outs))
+
+
+def _read_freq_table(data, off, read_freqs0):
+    freqs = [0] * 256
+    cum = [0] * 257
+    sym = data[off]
+    off += 1
+    last = -1
+    while True:
+        f, off = read_itf8(data, off)
+        freqs[sym] = f
+        if last == sym - 1 and data[off] == sym + 1:
+            off += 1
+            rl = data[off]
+            off += 1
+            for i in range(rl):
+                f, off = read_itf8(data, off)
+                freqs[sym + 1 + i] = f
+            last = sym + rl
+        else:
+            last = sym
+        sym = data[off]
+        off += 1
+        if sym == 0:
+            break
+    total = 0
+    for i in range(256):
+        cum[i] = total
+        total += freqs[i]
+    return freqs, cum, off
+
+
+def decompress_block(method: int, data: bytes, raw_size: int) -> bytes:
+    if method == 0:
+        return data
+    if method == 1:
+        return _gzip.decompress(data)
+    if method == 2:
+        import bz2
+
+        return bz2.decompress(data)
+    if method == 3:
+        import lzma
+
+        return lzma.decompress(data)
+    if method == 4:
+        return _rans4x8_decode(data, raw_size)
+    raise ValueError(f"unsupported CRAM block compression method {method}")
+
+
+# ------------------------------------------------------------ bit reading
+
+
+class BitReader:
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class ByteCursor:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def byte(self) -> int:
+        v = self.data[self.pos]
+        self.pos += 1
+        return v
+
+    def take(self, n: int) -> bytes:
+        v = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+    def until(self, stop: int) -> bytes:
+        end = self.data.index(stop, self.pos)
+        v = self.data[self.pos : end]
+        self.pos = end + 1
+        return v
+
+    def itf8(self) -> int:
+        v, self.pos = read_itf8(self.data, self.pos)
+        return v
+
+
+# ----------------------------------------------------------- encodings
+
+
+class Encoding:
+    """One parsed data-series encoding; decodes ints or byte arrays against
+    the slice's core bit stream and external byte cursors."""
+
+    def __init__(self, codec: int, params: bytes):
+        self.codec = codec
+        p = ByteCursor(params)
+        if codec == 0:  # NULL
+            pass
+        elif codec == 1:  # EXTERNAL
+            self.content_id = p.itf8()
+        elif codec == 3:  # HUFFMAN
+            n = p.itf8()
+            self.alphabet = [p.itf8() for _ in range(n)]
+            m = p.itf8()
+            self.lengths = [p.itf8() for _ in range(m)]
+            self._build_huffman()
+        elif codec == 4:  # BYTE_ARRAY_LEN
+            lc = p.itf8()
+            ln = p.itf8()
+            self.len_enc = Encoding(lc, p.take(ln))
+            vc = p.itf8()
+            vn = p.itf8()
+            self.val_enc = Encoding(vc, p.take(vn))
+        elif codec == 5:  # BYTE_ARRAY_STOP
+            self.stop = p.byte()
+            self.content_id = p.itf8()
+        elif codec == 6:  # BETA
+            self.offset = p.itf8()
+            self.nbits = p.itf8()
+        elif codec == 7:  # SUBEXP
+            self.offset = p.itf8()
+            self.k = p.itf8()
+        elif codec == 9:  # GAMMA
+            self.offset = p.itf8()
+        else:
+            raise ValueError(f"unsupported CRAM encoding codec {codec}")
+
+    def _build_huffman(self) -> None:
+        # canonical codes from (symbol, length), ordered by (length, symbol)
+        pairs = sorted(zip(self.lengths, self.alphabet))
+        self.codes: dict[tuple[int, int], int] = {}
+        code = 0
+        prev_len = 0
+        for length, sym in pairs:
+            code <<= length - prev_len
+            prev_len = length
+            self.codes[(length, code)] = sym
+            code += 1
+        self.max_len = pairs[-1][0] if pairs else 0
+
+    def read_int(self, core: BitReader, ext: dict[int, ByteCursor]) -> int:
+        c = self.codec
+        if c == 1:
+            return ext[self.content_id].itf8()
+        if c == 3:
+            if len(self.alphabet) == 1 and self.lengths[0] == 0:
+                return self.alphabet[0]
+            length = 0
+            code = 0
+            while length <= self.max_len:
+                code = (code << 1) | core.read_bit()
+                length += 1
+                if (length, code) in self.codes:
+                    return self.codes[(length, code)]
+            raise ValueError("bad huffman code")
+        if c == 6:
+            return core.read_bits(self.nbits) - self.offset
+        if c == 9:
+            z = 0
+            while core.read_bit() == 0:
+                z += 1
+            v = (1 << z) | core.read_bits(z)
+            return v - self.offset
+        if c == 7:
+            i = 0
+            while core.read_bit() == 1:
+                i += 1
+            if i == 0:
+                return core.read_bits(self.k) - self.offset
+            return ((1 << (self.k + i - 1)) | core.read_bits(self.k + i - 1)) - self.offset
+        raise ValueError(f"codec {c} cannot decode ints")
+
+    def read_byte(self, core: BitReader, ext: dict[int, ByteCursor]) -> int:
+        if self.codec == 1:
+            return ext[self.content_id].byte()
+        return self.read_int(core, ext)
+
+    def read_bytes(
+        self, core: BitReader, ext: dict[int, ByteCursor], length: int | None = None
+    ) -> bytes:
+        c = self.codec
+        if c == 5:
+            return ext[self.content_id].until(self.stop)
+        if c == 4:
+            n = self.len_enc.read_int(core, ext)
+            return self.val_enc.read_bytes(core, ext, length=n)
+        if c == 1:
+            return ext[self.content_id].take(length if length is not None else 1)
+        # core-bit codecs emit one byte at a time
+        return bytes(self.read_byte(core, ext) for _ in range(length or 0))
+
+
+# ------------------------------------------------------- container parsing
+
+
+def parse_container_header(buf: bytes, off: int) -> tuple[dict, int]:
+    (length,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    ref_id, off = read_itf8(buf, off)
+    start, off = read_itf8(buf, off)
+    span, off = read_itf8(buf, off)
+    nrec, off = read_itf8(buf, off)
+    _rcount, off = read_ltf8(buf, off)
+    _nbases, off = read_ltf8(buf, off)
+    nblocks, off = read_itf8(buf, off)
+    nland, off = read_itf8(buf, off)
+    landmarks = []
+    for _ in range(nland):
+        lm, off = read_itf8(buf, off)
+        landmarks.append(lm)
+    off += 4  # crc32
+    return (
+        dict(
+            length=length,
+            ref_id=ref_id,
+            start=start,
+            span=span,
+            nrec=nrec,
+            nblocks=nblocks,
+            landmarks=landmarks,
+        ),
+        off,
+    )
+
+
+def parse_block(buf: bytes, off: int) -> tuple[dict, int]:
+    method = buf[off]
+    ctype = buf[off + 1]
+    off += 2
+    cid, off = read_itf8(buf, off)
+    csize, off = read_itf8(buf, off)
+    rsize, off = read_itf8(buf, off)
+    data = buf[off : off + csize]
+    off += csize + 4  # + crc32
+    return dict(method=method, ctype=ctype, cid=cid, rsize=rsize, data=data), off
+
+
+def _block_payload(b: dict) -> bytes:
+    return decompress_block(b["method"], b["data"], b["rsize"])
+
+
+class CompressionHeader:
+    def __init__(self, payload: bytes):
+        p = ByteCursor(payload)
+        # preservation map
+        p.itf8()  # byte size
+        n = p.itf8()
+        self.rn = True
+        self.ap_delta = True
+        self.rr = True
+        self.sub_matrix = b"\x1b" * 5
+        self.td: list[list[tuple[str, str]]] = [[]]
+        for _ in range(n):
+            key = p.take(2).decode()
+            if key in ("RN", "AP", "RR"):
+                val = bool(p.byte())
+                if key == "RN":
+                    self.rn = val
+                elif key == "AP":
+                    self.ap_delta = val
+                else:
+                    self.rr = val
+            elif key == "SM":
+                self.sub_matrix = p.take(5)
+            elif key == "TD":
+                blob = p.take(p.itf8())
+                lines = blob.split(b"\x00")[:-1]
+                self.td = [
+                    [
+                        (ln[i : i + 2].decode(), chr(ln[i + 2]))
+                        for i in range(0, len(ln), 3)
+                    ]
+                    for ln in lines
+                ] or [[]]
+        # data series encodings
+        p.itf8()
+        n = p.itf8()
+        self.series: dict[str, Encoding] = {}
+        for _ in range(n):
+            key = p.take(2).decode()
+            codec = p.itf8()
+            params = p.take(p.itf8())
+            self.series[key] = Encoding(codec, params)
+        # tag encodings
+        p.itf8()
+        n = p.itf8()
+        self.tags: dict[int, Encoding] = {}
+        for _ in range(n):
+            key = p.itf8()
+            codec = p.itf8()
+            params = p.take(p.itf8())
+            self.tags[key] = Encoding(codec, params)
+
+    def substitute(self, ref_base: int, code: int) -> int:
+        """Decode substitution code -> base (spec §10.5): for reference base
+        r, the matrix byte packs 2-bit codes for the other 4 bases in ACGTN
+        order."""
+        order = b"ACGTN"
+        r = order.find(bytes([ref_base]).upper())
+        if r < 0:
+            r = 4
+        byte = self.sub_matrix[r]
+        others = [b for i, b in enumerate(order) if i != r]
+        for pos, b in enumerate(others):
+            if (byte >> (6 - 2 * pos)) & 0x3 == code:
+                return b
+        return ord("N")
+
+
+def parse_slice_header(payload: bytes) -> dict:
+    p = ByteCursor(payload)
+    ref_id = p.itf8()
+    start = p.itf8()
+    span = p.itf8()
+    nrec = p.itf8()
+    counter, pos = read_ltf8(p.data, p.pos)
+    p.pos = pos
+    nblocks = p.itf8()
+    ncids = p.itf8()
+    cids = [p.itf8() for _ in range(ncids)]
+    embedded_ref = p.itf8()
+    return dict(
+        ref_id=ref_id,
+        start=start,
+        span=span,
+        nrec=nrec,
+        nblocks=nblocks,
+        content_ids=cids,
+        embedded_ref=embedded_ref,
+    )
+
+
+# ----------------------------------------------------------- tag rendering
+
+
+def _decode_tag_bytes(type_char: str, raw: bytes):
+    if type_char == "A":
+        return raw[:1].decode("ascii", "replace")
+    if type_char == "c":
+        return struct.unpack("<b", raw[:1])[0]
+    if type_char == "C":
+        return raw[0]
+    if type_char == "s":
+        return struct.unpack("<h", raw[:2])[0]
+    if type_char == "S":
+        return struct.unpack("<H", raw[:2])[0]
+    if type_char == "i":
+        return struct.unpack("<i", raw[:4])[0]
+    if type_char == "I":
+        return struct.unpack("<I", raw[:4])[0]
+    if type_char == "f":
+        return struct.unpack("<f", raw[:4])[0]
+    if type_char in ("Z", "H"):
+        return raw.split(b"\x00")[0].decode("utf-8", "replace")
+    if type_char == "B":
+        sub = chr(raw[0])
+        (cnt,) = struct.unpack_from("<I", raw, 1)
+        fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+        vals = list(struct.unpack_from(f"<{cnt}{fmt}", raw, 5))
+        return (sub, vals)
+    return raw.decode("utf-8", "replace")
+
+
+def _tag_display(type_char: str, val) -> str:
+    """noodles-style Display (matches SamSource._untyped_tag_value)."""
+    if type_char == "B":
+        sub, vals = val
+        if sub == "f":
+            return ", ".join(f"{v:.2f}" for v in vals)
+        return ",".join(str(v) for v in vals)
+    if type_char == "f":
+        return f"{val}"
+    return str(val)
+
+
+# -------------------------------------------------------------- the reader
+
+
+class CramReader:
+    """Decode CRAM 3.0 records from one file. Reference bases come from the
+    ``fasta_reference`` option (loaded lazily per contig via .fai when
+    present) or a slice's embedded reference block."""
+
+    def __init__(self, path: str, fasta_reference: str | None = None):
+        self.path = path
+        self.raw = open(path, "rb").read()
+        if self.raw[:4] != b"CRAM":
+            raise ValueError(f"{path}: not a CRAM file")
+        self.major, self.minor = self.raw[4], self.raw[5]
+        off = 26  # magic + version + file id
+        hdr, boff = parse_container_header(self.raw, off)
+        block, _ = parse_block(self.raw, boff)
+        text = _block_payload(block)
+        (l_text,) = struct.unpack_from("<i", text, 0)
+        self.header_text = text[4 : 4 + l_text].decode("utf-8", "replace")
+        self.refs: list[str] = []
+        for line in self.header_text.split("\n"):
+            if line.startswith("@SQ"):
+                for fld in line.split("\t"):
+                    if fld.startswith("SN:"):
+                        self.refs.append(fld[3:])
+        self.first_container_offset = boff + hdr["length"]
+        self.fasta_reference = fasta_reference
+        self._ref_cache: dict[str, bytes] = {}
+
+    def ref_bases(self, name: str) -> bytes:
+        if name in self._ref_cache:
+            return self._ref_cache[name]
+        if not self.fasta_reference:
+            raise ValueError(
+                f"CRAM slice for {name} requires a reference — pass "
+                ".option('fasta_reference', 'ref.fa')"
+            )
+        if not os.path.exists(self.fasta_reference):
+            raise ValueError(f"fasta_reference not found: {self.fasta_reference}")
+        seq = None
+        fai = self.fasta_reference + ".fai"
+        if os.path.exists(fai):
+            from exon_spark.sources.indexes import read_fai
+
+            rec = read_fai(self.fasta_reference).get(name)
+            if rec is not None:
+                with open(self.fasta_reference, "rb") as fh:
+                    # tolerate off-by-one .fai offsets (seen in the
+                    # reference's own two-cram fixture): the byte before the
+                    # first base must be the header's newline
+                    fh.seek(max(rec.offset - 2, 0))
+                    probe = fh.read(2)
+                    offset = rec.offset
+                    if probe[-1:] not in (b"\n", b"\r") and probe[:1] in (b"\n", b"\r"):
+                        offset -= 1
+                    fh.seek(offset)
+                    n_lines = (rec.length + rec.linebases - 1) // rec.linebases
+                    raw = fh.read(rec.length + n_lines * (rec.linewidth - rec.linebases))
+                    seq = raw.replace(b"\n", b"").replace(b"\r", b"")[: rec.length]
+        if seq is None:
+            cur = None
+            chunks: list[bytes] = []
+            with open(self.fasta_reference, "rb") as fh:
+                for line in fh:
+                    if line.startswith(b">"):
+                        if cur == name:
+                            break
+                        cur = line[1:].split()[0].decode()
+                        chunks = []
+                    elif cur == name:
+                        chunks.append(line.strip())
+            seq = b"".join(chunks)
+            if not seq:
+                raise ValueError(f"reference {name} not in {self.fasta_reference}")
+        self._ref_cache[name] = seq
+        return seq
+
+    def container_offsets(self) -> list[int]:
+        """Byte offsets of all data containers (driver-side planning)."""
+        out = []
+        off = self.first_container_offset
+        while off < len(self.raw):
+            hdr, boff = parse_container_header(self.raw, off)
+            if hdr["ref_id"] == -1 and hdr["nrec"] == 0 and hdr["nblocks"] <= 1:
+                break  # EOF container
+            out.append(off)
+            off = boff + hdr["length"]
+        return out
+
+    def iter_container(self, off: int, parse_tags: bool = False) -> Iterator[dict]:
+        hdr, boff = parse_container_header(self.raw, off)
+        body = self.raw[boff : boff + hdr["length"]]
+        b0, _ = parse_block(body, 0)
+        comp = CompressionHeader(_block_payload(b0))
+        for lm in hdr["landmarks"]:
+            yield from self._iter_slice(comp, body, lm, parse_tags)
+
+    def _iter_slice(
+        self, comp: CompressionHeader, body: bytes, off: int, parse_tags: bool
+    ) -> Iterator[dict]:
+        sh_block, off = parse_block(body, off)
+        sh = parse_slice_header(_block_payload(sh_block))
+        core = None
+        ext: dict[int, ByteCursor] = {}
+        embedded_ref: bytes | None = None
+        for _ in range(sh["nblocks"]):
+            b, off = parse_block(body, off)
+            payload = _block_payload(b)
+            if b["ctype"] == 5:
+                core = BitReader(payload)
+            else:
+                ext[b["cid"]] = ByteCursor(payload)
+                if b["cid"] == sh["embedded_ref"]:
+                    embedded_ref = payload
+        assert core is not None or True
+        core = core or BitReader(b"")
+        S = comp.series
+
+        def ser_int(key: str, default=None) -> int | None:
+            enc = S.get(key)
+            if enc is None or enc.codec == 0:
+                return default
+            return enc.read_int(core, ext)
+
+        def ser_byte(key: str) -> int:
+            return S[key].read_byte(core, ext)
+
+        def ser_bytes(key: str, length: int | None = None) -> bytes:
+            return S[key].read_bytes(core, ext, length=length)
+
+        prev_ap = sh["start"]
+        recs: list[dict] = []
+        mate_links: list[tuple[int, int]] = []
+        for _i in range(sh["nrec"]):
+            bf = ser_int("BF", 0)
+            cf = ser_int("CF", 0)
+            ref_id = sh["ref_id"]
+            if ref_id == -2:
+                ref_id = ser_int("RI", -1)
+            rl = ser_int("RL", 0)
+            ap = ser_int("AP", 0)
+            if comp.ap_delta:
+                ap = prev_ap + ap
+                prev_ap = ap
+            ser_int("RG", -1)
+            name = None
+            if comp.rn:
+                name = ser_bytes("RN").decode("utf-8", "replace")
+            mate_ref_id = None
+            if cf & 0x2:  # detached
+                mf = ser_int("MF", 0)
+                if not comp.rn:
+                    name = ser_bytes("RN").decode("utf-8", "replace")
+                mate_ref_id = ser_int("NS", -1)
+                ser_int("NP", 0)
+                ser_int("TS", 0)
+                if mf & 0x1:
+                    bf |= 0x20
+                if mf & 0x2:
+                    bf |= 0x8
+            elif cf & 0x4:  # mate downstream in this slice
+                nf = ser_int("NF", 0)
+                mate_links.append((len(recs), len(recs) + nf + 1))
+                mate_ref_id = ref_id
+            # tags
+            tl = ser_int("TL", 0)
+            tags = []
+            for tag, type_char in comp.td[tl] if tl < len(comp.td) else []:
+                key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(type_char)
+                raw = comp.tags[key].read_bytes(core, ext)
+                val = _decode_tag_bytes(type_char, raw)
+                tags.append((tag, type_char, val))
+            # sequence / features
+            seq = b""
+            quals: list[int] | None = None
+            cigar = None
+            end = None
+            mq = None
+            unmapped = bool(bf & 0x4)
+            if not unmapped:
+                fn = ser_int("FN", 0)
+                features = []
+                fpos = 0
+                for _ in range(fn):
+                    fc = chr(ser_byte("FC"))
+                    fp = ser_int("FP", 0)
+                    fpos += fp
+                    if fc == "B":
+                        features.append((fc, fpos, (ser_byte("BA"), ser_byte("QS"))))
+                    elif fc == "X":
+                        features.append((fc, fpos, ser_byte("BS")))
+                    elif fc == "I":
+                        features.append((fc, fpos, ser_bytes("IN")))
+                    elif fc == "S":
+                        features.append((fc, fpos, ser_bytes("SC")))
+                    elif fc == "D":
+                        features.append((fc, fpos, ser_int("DL", 0)))
+                    elif fc == "i":
+                        features.append((fc, fpos, ser_byte("BA")))
+                    elif fc == "N":
+                        features.append((fc, fpos, ser_int("RS", 0)))
+                    elif fc == "P":
+                        features.append((fc, fpos, ser_int("PD", 0)))
+                    elif fc == "H":
+                        features.append((fc, fpos, ser_int("HC", 0)))
+                    elif fc == "Q":
+                        features.append((fc, fpos, ser_byte("QS")))
+                    elif fc == "b":
+                        features.append(("b", fpos, ser_bytes("BB")))
+                    elif fc == "q":
+                        features.append(("q", fpos, ser_bytes("QQ", length=rl)))
+                    else:
+                        raise ValueError(f"unknown CRAM feature code {fc!r}")
+                mq = ser_int("MQ", 0)
+                if cf & 0x1:
+                    quals = list(ser_bytes("QS", length=rl))
+                seq, cigar, ref_len = self._reconstruct(
+                    comp, sh, embedded_ref, ref_id, ap, rl, features, cf,
+                    lambda n: ser_bytes("BA", length=n),
+                )
+                end = ap + ref_len - 1
+            else:
+                if not cf & 0x8:
+                    seq = bytes(ser_byte("BA") for _ in range(rl))
+                if cf & 0x1:
+                    quals = list(ser_bytes("QS", length=rl))
+            ref_name = (
+                self.refs[ref_id] if 0 <= ref_id < len(self.refs) else None
+            )
+            recs.append(
+                dict(
+                    name=name,
+                    flag=bf,
+                    reference=ref_name,
+                    start=None if unmapped and ap == 0 else ap,
+                    end=end,
+                    mapping_quality=str(mq) if mq is not None else "255",
+                    cigar=cigar or "",
+                    mate_reference=(
+                        self.refs[mate_ref_id]
+                        if mate_ref_id is not None and 0 <= mate_ref_id < len(self.refs)
+                        else None
+                    ),
+                    sequence=seq.decode("ascii", "replace"),
+                    # all-0xFF means missing qualities ('*' in SAM)
+                    quality_score=[]
+                    if not quals or all(q == 0xFF for q in quals)
+                    else [int(q) for q in quals],
+                    _tags=[(t, tc, v) for t, tc, v in tags],
+                )
+            )
+        # resolve downstream-mate flags (mate reverse/unmapped bits)
+        for a, b_ in mate_links:
+            if b_ < len(recs):
+                if recs[b_]["flag"] & 0x10:
+                    recs[a]["flag"] |= 0x20
+                if recs[b_]["flag"] & 0x4:
+                    recs[a]["flag"] |= 0x8
+                if recs[a]["flag"] & 0x10:
+                    recs[b_]["flag"] |= 0x20
+                if recs[a]["flag"] & 0x4:
+                    recs[b_]["flag"] |= 0x8
+        yield from recs
+
+    def _reconstruct(
+        self, comp, sh, embedded_ref, ref_id, ap, rl, features, cf, read_ba
+    ) -> tuple[bytes, str, int]:
+        """Rebuild sequence + CIGAR from features. Match-region bases come
+        from the reference (RR=true), the slice's embedded reference block,
+        or — in no-reference mode (RR=false, htslib ``no_ref``) — verbatim
+        from the BA data series."""
+        ref: bytes | None = None
+        ref_offset = 0
+        if embedded_ref is not None:
+            ref = embedded_ref
+            ref_offset = sh["start"] - 1
+        elif comp.rr:
+            name = self.refs[ref_id] if 0 <= ref_id < len(self.refs) else None
+            if name is not None:
+                ref = self.ref_bases(name)
+        seq = bytearray()
+        cig: list[tuple[int, str]] = []
+
+        def emit(n: int, op: str):
+            if n <= 0:
+                return
+            if cig and cig[-1][1] == op:
+                cig[-1] = (cig[-1][0] + n, op)
+            else:
+                cig.append((n, op))
+
+        rpos = 0  # read position (0-based)
+        refpos = ap - 1  # 0-based reference position
+
+        def copy_match(upto: int):
+            nonlocal rpos, refpos
+            n = upto - rpos
+            if n <= 0:
+                return
+            if ref is not None:
+                seq.extend(ref[refpos - ref_offset : refpos - ref_offset + n].upper())
+            elif comp.rr:
+                raise ValueError(
+                    "CRAM decode requires fasta_reference for this slice"
+                )
+            else:  # no-ref mode: match bases stored verbatim in BA
+                seq.extend(read_ba(n))
+            rpos += n
+            refpos += n
+            emit(n, "M")
+
+        for fc, fpos, val in features:
+            p0 = fpos - 1  # feature positions are 1-based in the read
+            copy_match(p0)
+            if fc == "B":
+                seq.append(val[0])
+                rpos += 1
+                refpos += 1
+                emit(1, "M")
+            elif fc == "X":
+                ref_base = (
+                    ref[refpos - ref_offset] if ref is not None else ord("N")
+                )
+                seq.append(comp.substitute(ref_base, val))
+                rpos += 1
+                refpos += 1
+                emit(1, "M")
+            elif fc == "I":
+                seq.extend(val)
+                rpos += len(val)
+                emit(len(val), "I")
+            elif fc == "i":
+                seq.append(val)
+                rpos += 1
+                emit(1, "I")
+            elif fc == "S":
+                seq.extend(val)
+                rpos += len(val)
+                emit(len(val), "S")
+            elif fc == "D":
+                refpos += val
+                emit(val, "D")
+            elif fc == "N":
+                refpos += val
+                emit(val, "N")
+            elif fc == "P":
+                emit(val, "P")
+            elif fc == "H":
+                emit(val, "H")
+            elif fc == "b":  # stretch of read bases (BB)
+                seq.extend(val)
+                rpos += len(val)
+                refpos += len(val)
+                emit(len(val), "M")
+            elif fc in ("Q", "q"):
+                pass  # quality-only features: no sequence/cigar effect
+        copy_match(rl)
+        ref_len = sum(n for n, op in cig if op in "MDN=X")
+        cigar = "".join(f"{n}{op}" for n, op in cig) or f"{rl}M"
+        return bytes(seq), cigar, max(ref_len, 1)
+
+
+# ------------------------------------------------------------- crai index
+
+
+def read_crai(path: str) -> list[tuple[int, int, int, int, int, int]]:
+    """(ref_id, start, span, container_offset, slice_offset, slice_size)
+    per line (cram/index.rs:29-41; .crai is gzip TSV)."""
+    out = []
+    with _gzip.open(path, "rt") as fh:
+        for line in fh:
+            f = line.split("\t")
+            if len(f) >= 6:
+                out.append(tuple(int(x) for x in f[:6]))
+    return out
+
+
+# ------------------------------------------------------------- the source
+
+
+class CramSource(FileFormatSource):
+    NAME = "cram"
+    EXTENSIONS = ("cram",)
+    BASE_SCHEMA = (
+        "name string, flag int, reference string, start bigint, end bigint, "
+        "mapping_quality string, cigar string, mate_reference string, "
+        "sequence string, quality_score array<bigint>, "
+        "tags array<struct<tag string, value string>>"
+    )
+
+    @staticmethod
+    def _reference_option(options: dict) -> str | None:
+        return options.get("fasta_reference") or options.get("reference")
+
+    def base_schema(self) -> str:
+        from exon_spark.sources.sam import parse_tags_enabled
+
+        if not parse_tags_enabled(self.options):
+            return self.BASE_SCHEMA
+        first = self._files()[0]
+        reader = CramReader(first.path, self._reference_option(self.options))
+
+        def tag_samples():
+            n = 0
+            for coff in reader.container_offsets():
+                for rec in reader.iter_container(coff):
+                    for tag, tc, val in rec["_tags"]:
+                        yield tag, val, _typed_ddl(tc)
+                    n += 1
+                    if n >= 100:
+                        return
+
+        struct_ddl = sample_tag_schema(tag_samples())
+        return self.BASE_SCHEMA.replace(
+            "tags array<struct<tag string, value string>>", f"tags {struct_ddl}"
+        )
+
+    @classmethod
+    def plan_partitions(cls, f: FoundFile, options: dict) -> list[FilePartition]:
+        pv = tuple(sorted(f.partition_values.items()))
+        regions = options.get("regions") or options.get("region")
+        crai = f.path + ".crai"
+        if regions and os.path.exists(crai):
+            from exon_spark.functions.region import expand_regions, parse_region
+
+            reader = CramReader(f.path)
+            entries = read_crai(crai)
+            parts = []
+            for region in expand_regions(regions):
+                name, lo, hi = parse_region(region)
+                if name not in reader.refs:
+                    continue
+                rid = reader.refs.index(name)
+                offsets = sorted(
+                    {
+                        e[3]
+                        for e in entries
+                        if e[0] == rid and e[1] <= hi and e[1] + max(e[2], 1) - 1 >= lo
+                    }
+                )
+                if offsets:
+                    parts.append(
+                        FilePartition(
+                            f.path, None, pv, extra=("crai", region, tuple(offsets))
+                        )
+                    )
+            return parts or [FilePartition(f.path, None, pv, extra=("empty",))]
+        if regions:
+            return [FilePartition(f.path, None, pv, extra=("filter", regions, ()))]
+        return [FilePartition(f.path, None, pv)]
+
+    @classmethod
+    def parse_partition(cls, partition: FilePartition, options: dict) -> Iterator[dict]:
+        from exon_spark.sources.sam import parse_tags_enabled
+
+        if partition.extra and partition.extra[0] == "empty":
+            return
+        parse_tags = parse_tags_enabled(options)
+        reader = CramReader(partition.path, cls._reference_option(options))
+
+        def all_records() -> Iterator[dict]:
+            if partition.extra and partition.extra[0] == "crai":
+                _, region, offsets = partition.extra
+                from exon_spark.functions.region import parse_region
+
+                name, lo, hi = parse_region(region)
+                for coff in offsets:
+                    for rec in reader.iter_container(coff):
+                        s, e = rec["start"], rec["end"]
+                        if (
+                            rec["reference"] == name
+                            and s is not None
+                            and (e or s) >= lo
+                            and s <= hi
+                        ):
+                            yield rec
+                return
+            region_filters = None
+            if partition.extra and partition.extra[0] == "filter":
+                from exon_spark.functions.region import parse_region
+
+                region_filters = [
+                    parse_region(r.strip())
+                    for r in partition.extra[1].split(",")
+                    if r.strip()
+                ]
+            for coff in reader.container_offsets():
+                for rec in reader.iter_container(coff):
+                    if region_filters is not None:
+                        s, e = rec["start"], rec["end"]
+                        if not any(
+                            rec["reference"] == n and s is not None
+                            and (e or s) >= lo and s <= hi
+                            for n, lo, hi in region_filters
+                        ):
+                            continue
+                    yield rec
+
+        for rec in all_records():
+            tags = rec.pop("_tags")
+            if parse_tags:
+                rec["tags"] = {t: _typed_value(tc, v) for t, tc, v in tags}
+            else:
+                rec["tags"] = [
+                    {"tag": t, "value": _tag_display(tc, v)} for t, tc, v in tags
+                ] or None
+            yield rec
+
+
+def _typed_ddl(type_char: str) -> str:
+    if type_char in "cCsSiI":
+        return "bigint"
+    if type_char == "f":
+        return "double"
+    if type_char == "A":
+        return "bigint"
+    if type_char == "B":
+        return "array<bigint>"
+    return "string"
+
+
+def _typed_value(type_char: str, val):
+    if type_char == "A":
+        return ord(val[0]) if val else None
+    if type_char == "B":
+        sub, vals = val
+        return [float(v) for v in vals] if sub == "f" else [int(v) for v in vals]
+    return val

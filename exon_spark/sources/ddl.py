@@ -78,6 +78,7 @@ _CONF_OPTIONS = {
     "vcf": [("spark.exon.vcf_parse_info", "parse_info")],
     "sam": [("spark.exon.sam_parse_tags", "parse_tags")],
     "bam": [("spark.exon.bam_parse_tags", "parse_tags")],
+    "cram": [("spark.exon.cram_parse_tags", "parse_tags")],
 }
 
 

@@ -50,6 +50,7 @@ SLT_FILES = [
     "sdf-scan-tests.slt",
     "fcs-select-tests.slt",
     "bigwig-tests.slt",
+    "cram-select-tests.slt",
 ]
 
 _SKIP_PATTERNS = [
@@ -246,7 +247,7 @@ def test_slt_file(exon, spark, tmp_path, slt_name, monkeypatch):
     old_cs = spark.conf.get("spark.sql.caseSensitive", "false")
     spark.conf.set("spark.sql.caseSensitive", "true")
     for key in ("vcf_parse_info", "vcf_parse_formats", "sam_parse_tags",
-                "bam_parse_tags"):
+                "bam_parse_tags", "cram_parse_tags"):
         try:
             spark.conf.unset(f"spark.exon.{key}")
         except Exception:

@@ -168,9 +168,9 @@ def test_fcs(spark, fixtures):
     assert [r["ssc_a"] for r in rows] == [10.0, 20.0, 30.0]
 
 
-def test_cram_stub_raises(spark, fixtures, tmp_path):
+def test_cram_malformed_raises(spark, fixtures, tmp_path):
     p = tmp_path / "x.cram"
-    p.write_bytes(b"CRAM")
+    p.write_bytes(b"NOPE" + b"\x00" * 30)
     df = spark.read.format("cram").load(str(p))
-    with pytest.raises(Exception, match="pysam|NotImplemented"):
+    with pytest.raises(Exception, match="not a CRAM"):
         df.collect()
