@@ -272,21 +272,35 @@ class BcfSource(VcfSource):
     EXTENSIONS = ("bcf",)
 
     def base_schema(self) -> str:
-        if str(self.options.get("parse_info", "")).lower() not in ("true", "1"):
+        parse_info = str(self.options.get("parse_info", "")).lower() in ("true", "1")
+        parse_formats = str(self.options.get("parse_formats", "")).lower() in (
+            "true",
+            "1",
+        )
+        if not parse_info and not parse_formats:
             return self.BASE_SCHEMA
-        # header-driven struct schema from the FIRST file's binary header
+        # header-driven struct schemas from the FIRST file's binary header
         # (first-file-wins rule, vcf/table_provider.rs:205)
-        from exon_spark.sources.vcf import parse_info_fields
+        from exon_spark.sources.vcf import (
+            formats_struct_ddl,
+            parse_format_fields,
+            parse_info_fields,
+        )
 
         with gzip.open(self._files()[0].path, "rb") as gz:
-            info_fields = parse_info_fields(read_bcf_header(gz).lines)
-        struct_ddl = ", ".join(
-            f"`{name}` {'array<' + typ + '>' if is_list else typ}"
-            for name, typ, is_list in info_fields
-        )
-        return self.BASE_SCHEMA.replace(
-            "info string", f"info struct<{struct_ddl}>" if struct_ddl else "info string"
-        )
+            headers = read_bcf_header(gz).lines
+        schema = self.BASE_SCHEMA
+        if parse_info:
+            struct_ddl = ", ".join(
+                f"`{name}` {'array<' + typ + '>' if is_list else typ}"
+                for name, typ, is_list in parse_info_fields(headers)
+            )
+            if struct_ddl:
+                schema = schema.replace("info string", f"info struct<{struct_ddl}>")
+        if parse_formats:
+            ddl = formats_struct_ddl(parse_format_fields(headers))
+            schema = schema.replace("formats string", f"formats {ddl}")
+        return schema
 
     @classmethod
     def plan_partitions(cls, f, options: dict) -> list[FilePartition]:
@@ -324,12 +338,17 @@ class BcfSource(VcfSource):
     @classmethod
     def parse_partition(cls, partition: FilePartition, options: dict) -> Iterator[dict]:
         parse_info = str(options.get("parse_info", "")).lower() in ("true", "1")
-        info_fields = None
-        if parse_info:
-            from exon_spark.sources.vcf import parse_info_fields
+        parse_formats = str(options.get("parse_formats", "")).lower() in ("true", "1")
+        info_fields = format_fields = None
+        if parse_info or parse_formats:
+            from exon_spark.sources.vcf import parse_format_fields, parse_info_fields
 
             with gzip.open(partition.path, "rb") as gz:
-                info_fields = parse_info_fields(read_bcf_header(gz).lines)
+                headers = read_bcf_header(gz).lines
+            if parse_info:
+                info_fields = parse_info_fields(headers)
+            if parse_formats:
+                format_fields = parse_format_fields(headers)
 
         def records() -> Iterator[dict]:
             if partition.extra and partition.extra[0] == "empty":
@@ -374,24 +393,29 @@ class BcfSource(VcfSource):
                         continue
                     yield rec
 
-        if not parse_info:
+        if not parse_info and not parse_formats:
             yield from records()
             return
-        from exon_spark.sources.vcf import _convert_info_value
+        from exon_spark.sources.vcf import _convert_info_value, convert_formats_text
 
         for rec in records():
-            raw_info = rec["info"]
-            kv: dict[str, str | None] = {}
-            if raw_info:
-                for item in raw_info.split(";"):
-                    k, eq, v = item.partition("=")
-                    kv[k] = v if eq else None
-            rec["info"] = {
-                name: _convert_info_value(kv.get(name), typ, is_list)
-                if name in kv
-                else None
-                for name, typ, is_list in (info_fields or [])
-            }
+            if parse_info:
+                raw_info = rec["info"]
+                kv: dict[str, str | None] = {}
+                if raw_info:
+                    for item in raw_info.split(";"):
+                        k, eq, v = item.partition("=")
+                        kv[k] = v if eq else None
+                rec["info"] = {
+                    name: _convert_info_value(kv.get(name), typ, is_list)
+                    if name in kv
+                    else None
+                    for name, typ, is_list in (info_fields or [])
+                }
+            if parse_formats:
+                rec["formats"] = convert_formats_text(
+                    rec["formats"], format_fields or []
+                )
             yield rec
 
 

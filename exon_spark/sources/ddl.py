@@ -75,7 +75,14 @@ _LOCATION_RE = re.compile(r"LOCATION\s+'(?P<path>[^']+)'", re.IGNORECASE)
 # session config -> implied reader options per format, mirroring the
 # reference's `SET exon.vcf_parse_info = true` etc. (config/mod.rs:65-74,130-137)
 _CONF_OPTIONS = {
-    "vcf": [("spark.exon.vcf_parse_info", "parse_info")],
+    "vcf": [
+        ("spark.exon.vcf_parse_info", "parse_info"),
+        ("spark.exon.vcf_parse_formats", "parse_formats"),
+    ],
+    "bcf": [
+        ("spark.exon.vcf_parse_info", "parse_info"),
+        ("spark.exon.vcf_parse_formats", "parse_formats"),
+    ],
     "sam": [("spark.exon.sam_parse_tags", "parse_tags")],
     "bam": [("spark.exon.bam_parse_tags", "parse_tags")],
     "cram": [("spark.exon.cram_parse_tags", "parse_tags")],

@@ -78,6 +78,60 @@ def parse_info_fields(header_lines: list[str]) -> list[tuple[str, str, bool]]:
     return out
 
 
+def parse_format_fields(header_lines: list[str]) -> list[tuple[str, str, bool]]:
+    """(name, spark_type, is_list) per ##FORMAT declaration, in header order
+    (schema_builder.rs vcf_formats_to_field)."""
+    out = []
+    for line in header_lines:
+        if not line.startswith("##FORMAT=<"):
+            continue
+        body = line[len("##FORMAT=<") :].rstrip(">")
+        kv = {}
+        for part in body.split(","):
+            if "=" in part:
+                k, _, v = part.partition("=")
+                if k in ("ID", "Number", "Type") and k not in kv:
+                    kv[k] = v
+        typ = _INFO_TYPE_MAP.get(kv.get("Type", "String"), "string")
+        is_list = kv.get("Number", "1") not in ("0", "1")
+        out.append((kv.get("ID", "?"), typ, is_list))
+    return out
+
+
+def formats_struct_ddl(format_fields: list[tuple[str, str, bool]]) -> str:
+    inner = ", ".join(
+        f"`{name}` {'array<' + typ + '>' if is_list else typ}"
+        for name, typ, is_list in format_fields
+    )
+    return f"array<struct<{inner}>>" if inner else "string"
+
+
+def convert_formats_text(
+    raw: str | None, format_fields: list[tuple[str, str, bool]]
+) -> list[dict] | None:
+    """Parse the raw 'FORMAT\\tS1\\tS2...' text into one typed struct per
+    sample (schema_builder.rs vcf_formats_to_field semantics)."""
+    if raw is None:
+        return None
+    cols = raw.split("\t")
+    keys = cols[0].split(":") if cols[0] else []
+    out = []
+    for sample in cols[1:]:
+        vals = dict(zip(keys, sample.split(":")))
+        out.append(
+            {
+                # FORMAT has no Flag type, so absent/'.' is always null
+                name: _convert_info_value(
+                    None if vals.get(name) in (None, ".", "") else vals[name],
+                    typ if typ != "boolean" else "string",
+                    is_list,
+                )
+                for name, typ, is_list in format_fields
+            }
+        )
+    return out
+
+
 def _convert_info_value(raw: str | None, typ: str, is_list: bool):
     def conv(v: str):
         try:
@@ -108,9 +162,14 @@ class VcfSource(FileFormatSource):
     )
 
     def base_schema(self) -> str:
-        if str(self.options.get("parse_info", "")).lower() not in ("true", "1"):
+        parse_info = str(self.options.get("parse_info", "")).lower() in ("true", "1")
+        parse_formats = str(self.options.get("parse_formats", "")).lower() in (
+            "true",
+            "1",
+        )
+        if not parse_info and not parse_formats:
             return self.BASE_SCHEMA
-        # header-driven struct schema: read the FIRST file's header
+        # header-driven struct schemas: read the FIRST file's header
         # (reference's first-file-wins rule, vcf/table_provider.rs:205)
         first = self._files()[0]
         headers = []
@@ -122,14 +181,19 @@ class VcfSource(FileFormatSource):
                 if not line.startswith("#"):
                     break
                 headers.append(line)
-        info_fields = parse_info_fields(headers)
-        struct = ", ".join(
-            f"`{name}` {'array<' + typ + '>' if is_list else typ}"
-            for name, typ, is_list in info_fields
-        )
-        return self.BASE_SCHEMA.replace(
-            "info string", f"info struct<{struct}>" if struct else "info string"
-        )
+        schema = self.BASE_SCHEMA
+        if parse_info:
+            info_fields = parse_info_fields(headers)
+            struct = ", ".join(
+                f"`{name}` {'array<' + typ + '>' if is_list else typ}"
+                for name, typ, is_list in info_fields
+            )
+            if struct:
+                schema = schema.replace("info string", f"info struct<{struct}>")
+        if parse_formats:
+            ddl = formats_struct_ddl(parse_format_fields(headers))
+            schema = schema.replace("formats string", f"formats {ddl}")
+        return schema
 
     @classmethod
     def plan_partitions(cls, f: FoundFile, options: dict) -> list[FilePartition]:
@@ -184,8 +248,9 @@ class VcfSource(FileFormatSource):
     @classmethod
     def parse_partition(cls, partition: FilePartition, options: dict) -> Iterator[dict]:
         parse_info = str(options.get("parse_info", "")).lower() in ("true", "1")
-        info_fields = None
-        if parse_info:
+        parse_formats = str(options.get("parse_formats", "")).lower() in ("true", "1")
+        info_fields = format_fields = None
+        if parse_info or parse_formats:
             headers = []
             with open_maybe_compressed(partition.path, partition.compression) as fh:
                 for raw in fh:
@@ -193,7 +258,10 @@ class VcfSource(FileFormatSource):
                     if not line.startswith("#"):
                         break
                     headers.append(line)
-            info_fields = parse_info_fields(headers)
+            if parse_info:
+                info_fields = parse_info_fields(headers)
+            if parse_formats:
+                format_fields = parse_format_fields(headers)
 
         def records() -> Iterator[dict]:
             if partition.extra and partition.extra[0] == "empty":
@@ -229,20 +297,25 @@ class VcfSource(FileFormatSource):
                         continue
                     yield rec
 
-        if not parse_info:
+        if not parse_info and not parse_formats:
             yield from records()
             return
         for rec in records():
-            raw_info = rec["info"]
-            kv: dict[str, str | None] = {}
-            if raw_info:
-                for item in raw_info.split(";"):
-                    k, eq, v = item.partition("=")
-                    kv[k] = v if eq else None
-            rec["info"] = {
-                name: _convert_info_value(kv.get(name), typ, is_list)
-                if name in kv
-                else None
-                for name, typ, is_list in (info_fields or [])
-            }
+            if parse_info:
+                raw_info = rec["info"]
+                kv: dict[str, str | None] = {}
+                if raw_info:
+                    for item in raw_info.split(";"):
+                        k, eq, v = item.partition("=")
+                        kv[k] = v if eq else None
+                rec["info"] = {
+                    name: _convert_info_value(kv.get(name), typ, is_list)
+                    if name in kv
+                    else None
+                    for name, typ, is_list in (info_fields or [])
+                }
+            if parse_formats:
+                rec["formats"] = convert_formats_text(
+                    rec["formats"], format_fields or []
+                )
             yield rec

@@ -247,3 +247,23 @@ def test_copy_sql(spark, fixtures, tmp_path):
     back = spark.read.format("fastq").option("file_extension", "txt").load(str(out))
     assert back.count() == 2
     assert maybe_handle_copy(spark, "SELECT 1") is None
+
+
+def test_vcf_parse_formats(spark, fixtures, tmp_path):
+    vcf = tmp_path / "fmt.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Likelihoods">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        "1\t100\t.\tA\tT\t10\tPASS\t.\tGT:PL\t0/1:0,3,26\t1/1:.\n"
+    )
+    df = (
+        spark.read.format("vcf").option("parse_formats", "true").load(str(vcf))
+    )
+    row = df.collect()[0]
+    assert len(row.formats) == 2
+    assert row.formats[0].GT == "0/1"
+    assert row.formats[0].PL == [0, 3, 26]
+    assert row.formats[1].GT == "1/1"
+    assert row.formats[1].PL is None
