@@ -59,6 +59,9 @@ def main() -> None:
         n = spec.spark_fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        # queries are independent: drop intermediates the dedup operators
+        # persisted so later queries aren't timed under cache pressure
+        spark.catalog.clearCache()
 
     # BASELINE.md §6 bio-format workloads on synthetic fixtures (generation
     # is cached and excluded from timings)

@@ -1,0 +1,91 @@
+"""Plan-shape regression tests — pin the properties that matter at scale
+(SURVEY.md §4): broadcast joins for small dims, parquet filter pushdown,
+and zero Python workers in expression-only paths."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from exon_spark import register_all
+
+    register_all(spark)
+    return spark
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _queries():
+    from exon_spark.queries import ALL_QUERIES
+
+    return ALL_QUERIES
+
+
+def test_dim_joins_broadcast(registered):
+    """TPC-H-style joins against small dims must broadcast, not shuffle."""
+    for q in ("q02_shipping_priority", "q03_local_supplier_volume"):
+        plan = _plan(_queries()[q].spark_fn(registered, SF))
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_parquet_filter_pushdown(registered):
+    plan = _plan(_queries()["q02_shipping_priority"].spark_fn(registered, SF))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(c_mktsegment" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(registered):
+    import pyspark.sql.functions as F
+
+    df = (
+        registered.read.parquet(f"{SF}/lineitem.parquet")
+        .select(F.sum("l_quantity").alias("s"))
+    )
+    schemas = re.findall(r"ReadSchema: ([^\n,]*)", _plan(df))
+    assert schemas and all("l_quantity" in s for s in schemas)
+    assert all("l_comment" not in s for s in schemas)
+
+
+def test_expression_functions_stay_jvm_side(registered):
+    """gc_content / samflags / region predicates compile to Column
+    expressions — no BatchEvalPython/ArrowEvalPython in the plan."""
+    import pyspark.sql.functions as F
+
+    import exon_spark.functions as xf
+
+    docs = registered.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(
+        xf.gc_content(F.col("text")).alias("g"),
+        xf.region_match(F.lit("chr1"), F.lit(5), "chr1:1-10").alias("r"),
+    )
+    plan = _plan(df)
+    assert "EvalPython" not in plan, plan
+
+
+def test_fasta_plain_scan_has_no_python_workers(registered, tmp_path):
+    p = tmp_path / "x.fasta"
+    p.write_text(">a\nACGT\n>b\nGGTT\n")
+    from exon_spark.sources import read_format
+
+    plan = _plan(read_format(registered, "fasta", str(p)))
+    assert "EvalPython" not in plan and "(Python)" not in plan, plan
+
+
+def test_dedup_shingles_single_shuffle(registered):
+    """shingle_rows must be shuffle-free up to its final distinct — one
+    Exchange total (the window-lead formulation had two)."""
+    from exon_spark.operators.dedup import shingle_rows
+
+    docs = registered.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(shingle_rows(docs))
+    assert plan.count("Exchange") <= 2  # hashpartitioning + AQE read
+    assert "Window" not in plan
