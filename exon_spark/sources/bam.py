@@ -21,6 +21,7 @@ from exon_spark.sources.base import FileFormatSource, FilePartition
 from exon_spark.sources.util import FoundFile, detect_compression
 
 _SEQ_CODE = "=ACMGRSVTWYHKDBN"
+_SEQ_BYTE2 = [_SEQ_CODE[b >> 4] + _SEQ_CODE[b & 0xF] for b in range(256)]
 _CIGAR_OPS = "MIDNSHP=X"
 _REF_CONSUMING = frozenset("MDN=X")
 
@@ -78,11 +79,8 @@ def decode_record(
     ref_len = sum(
         op >> 4 for op in cigar_ops if _CIGAR_OPS[op & 0xF] in _REF_CONSUMING
     )
-    seq_chars = []
-    for i in range(l_seq):
-        b = seq_packed[i // 2]
-        seq_chars.append(_SEQ_CODE[(b >> 4) if i % 2 == 0 else (b & 0xF)])
-    sequence = "".join(seq_chars)
+    # table-driven unpack: each packed byte maps to its 2-base string
+    sequence = "".join(map(_SEQ_BYTE2.__getitem__, seq_packed))[:l_seq]
     quality = [] if (l_seq == 0 or (qual and qual[0] == 0xFF)) else list(qual)
 
     tags: list | dict = {} if typed_tags else []
