@@ -153,6 +153,31 @@ class FilePartition(InputPartition):
     extra: tuple = ()  # e.g. index chunks
 
 
+def _split_ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """Split a DDL column list into (name, type) pairs, respecting nested
+    ``<...>`` in array/struct/map types."""
+    fields = []
+    depth = 0
+    start = 0
+    parts = []
+    for i, ch in enumerate(ddl):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(ddl[start:i])
+            start = i + 1
+    parts.append(ddl[start:])
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        name, _, typ = p.partition(" ")
+        fields.append((name.strip("`"), typ.strip()))
+    return fields
+
+
 class FormatReader(DataSourceReader):
     def __init__(self, source: "FileFormatSource", schema: StructType):
         self.source_cls = type(source)
@@ -225,6 +250,16 @@ class FileFormatSource(DataSource):
         ddl = self.base_schema()
         for col in partition_columns(self._files()):
             ddl += f", {col} string"
+        wanted = self.options.get("columns")
+        if wanted:
+            # projection option (reference honors FileScanConfig projection,
+            # SURVEY.md §4.3): narrows the reader schema so Arrow conversion
+            # and JVM transfer only touch the requested fields
+            keep = {c.strip() for c in wanted.split(",") if c.strip()}
+            fields = _split_ddl_fields(ddl)
+            kept = [f for f in fields if f[0] in keep]
+            if kept:
+                ddl = ", ".join(f"{n} {t}" for n, t in kept)
         return ddl
 
     def reader(self, schema: StructType) -> FormatReader:

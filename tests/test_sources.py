@@ -267,3 +267,21 @@ def test_vcf_parse_formats(spark, fixtures, tmp_path):
     assert row.formats[0].PL == [0, 3, 26]
     assert row.formats[1].GT == "1/1"
     assert row.formats[1].PL is None
+
+
+def test_columns_projection_option(spark, fixtures):
+    df = (
+        spark.read.format("fasta")
+        .option("columns", "id,sequence")
+        .load(str(fixtures / "test.fasta"))
+    )
+    assert df.columns == ["id", "sequence"]
+    assert df.count() == 3
+    # nested types survive the DDL split
+    vdf = (
+        spark.read.format("vcf")
+        .option("columns", "chrom,alt")
+        .load(str(fixtures / "test.vcf"))
+    )
+    assert vdf.columns == ["chrom", "alt"]
+    assert vdf.schema["alt"].dataType.simpleString() == "array<string>"
