@@ -259,15 +259,78 @@ def _q26_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(with_media_payload(table(spark, sf_dir, "documents")))
 
 
+def _q22_oracle() -> str:
+    """DuckDB replica of the LSH-ANN pipeline. The hyperplanes are
+    deterministic (md5-seeded), so the oracle embeds the same constants and
+    reproduces bucketing + in-bucket cosine ranking exactly."""
+    from exon_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 6)
+
+    def dot(vec: str, plane: list[float]) -> str:
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            "list_sum(list_transform(range(1, 65), "
+            f"i -> cast({vec}[i] as double) * ({lst})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(case when {dot('embedding', pl)} > 0 then {1 << i} else 0 end)"
+        for i, pl in enumerate(planes)
+    )
+    cos = (
+        "list_sum(list_transform(range(1, 65), i -> cast(q_vec[i] as double) * cast(vec[i] as double)))"
+        " / (sqrt(list_sum(list_transform(range(1, 65), i -> cast(vec[i] as double) * cast(vec[i] as double))))"
+        " * sqrt(list_sum(list_transform(range(1, 65), i -> cast(q_vec[i] as double) * cast(q_vec[i] as double)))))"
+    )
+    return f"""
+with b as (
+  select vec_id, embedding, cast({bucket} as bigint) as bucket from embeddings
+),
+q as (select vec_id as q_id, embedding as q_vec, bucket from b where vec_id < 8),
+scored as (
+  select q.q_id, c.vec_id, c.bucket, c.embedding as vec, q.q_vec
+  from b c join q on c.bucket = q.bucket and c.vec_id <> q.q_id
+),
+ranked as (
+  select q_id, vec_id, bucket, round({cos}, 6) as score,
+         row_number() over (partition by q_id order by round({cos}, 6) desc, vec_id) as rnk
+  from scored
+)
+select q_id, vec_id, bucket, score, rnk from ranked where rnk <= 5
+"""
+
+
+Q26_ORACLE = """
+with m as (
+  select doc_id as media_id,
+         (['image', 'audio', 'video'])[cast(doc_id % 3 as int) + 1] as media_type,
+         cast(octet_length(encode(text)) as int) as n_bytes
+  from documents
+)
+select media_id, media_type, n_bytes,
+  cast(case media_type when 'image' then n_bytes % 640 + 1
+                       when 'audio' then 0
+                       else n_bytes % 1920 + 1 end as int) as width,
+  cast(case media_type when 'image' then n_bytes % 480 + 1
+                       when 'audio' then 0
+                       else n_bytes % 1080 + 1 end as int) as height,
+  cast(case media_type when 'image' then 1
+                       when 'audio' then n_bytes % 1000 + 1
+                       else n_bytes % 240 + 1 end as int) as n_frames
+from m
+"""
+
+
 PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
     QuerySpec("q19_dedup_minhash_lsh", _q19_spark, Q19_ORACLE, "MinHash+LSH near-dup"),
     QuerySpec("q20_dedup_simhash", _q20_spark, Q20_ORACLE, "SimHash banding near-dup"),
     QuerySpec("q21_similarity_cosine_topk", _q21_spark, Q21_ORACLE, "brute-force cosine top-k"),
-    QuerySpec("q22_similarity_ann_lsh", _q22_spark, None, "LSH-bucketed ANN (rows-only: approximate by design)"),
+    QuerySpec("q22_similarity_ann_lsh", _q22_spark, _q22_oracle(), "LSH-bucketed ANN similarity join"),
     QuerySpec("q23_text_stats", _q23_spark, Q23_ORACLE, "token/quality statistics"),
     QuerySpec("q24_text_langid", _q24_spark, _lang_oracle(), "marker-word language ID"),
     QuerySpec("q25_text_fingerprint", _q25_spark, Q25_ORACLE, "md5 + winnowing fingerprints"),
-    QuerySpec("q26_multimodal_decode", _q26_spark, None, "binary payload + mapInPandas decode stub"),
+    QuerySpec("q26_multimodal_decode", _q26_spark, Q26_ORACLE, "binary payload + mapInPandas decode stub"),
 ]
