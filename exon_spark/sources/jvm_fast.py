@@ -101,6 +101,8 @@ def jvm_fast_reader(fmt: str, path: str, options: dict):
     comp = str(options.get("compression", "")).lower()
     if comp not in ("", "none", "gzip"):
         return None  # zstd etc. need the Python codec path
+    if path.lower().endswith((".zst", ".zstd", ".bz2", ".xz")):
+        return None  # no JVM codec for these here
     if comp == "gzip" and not path.lower().endswith((".gz", ".bgz")):
         return None  # JVM codecs dispatch on extension only
     if fmt == "fasta":

@@ -28,6 +28,32 @@ _GFF_COLS = [
 ]
 
 
+def _is_zstd(path: str, options: dict) -> bool:
+    return (
+        str(options.get("compression", "")).lower() == "zstd"
+        or path.lower().endswith((".zst", ".zstd"))
+    )
+
+
+def _zstd_lines_rdd(spark: SparkSession, path: str):
+    """Decompress .zst text files executor-side (one task per file — zstd
+    text is unsplittable, same parallelism as the reference) and return an
+    RDD of lines that spark.read.csv/text accept in place of a path. The
+    JVM lacks a zstd codec here; pyarrow's bundled codec does the work."""
+
+    def _lines(kv):
+        import io as _io
+
+        from exon_spark.sources.util import zstd_stream
+
+        _, content = kv
+        with zstd_stream(_io.BytesIO(bytes(content))) as fh:
+            for raw in fh.read().decode("utf-8", "replace").splitlines():
+                yield raw
+
+    return spark.sparkContext.binaryFiles(path).flatMap(_lines)
+
+
 def _read_tsv_raw(
     spark: SparkSession, path: str, n_cols: int, **options
 ) -> tuple[DataFrame, list[str]]:
@@ -36,10 +62,11 @@ def _read_tsv_raw(
     ``_c<i>`` is a partition column and is passed through)."""
     import re as _re
 
+    src = _zstd_lines_rdd(spark, path) if _is_zstd(path, options) else path
     df = (
         spark.read.option("sep", "\t")
         .option("comment", "#")
-        .csv(path, inferSchema=False)
+        .csv(src, inferSchema=False)
     )
     data = [c for c in df.columns if _re.fullmatch(r"_c\d+", c)][:n_cols]
     parts = [c for c in df.columns if not _re.fullmatch(r"_c\d+", c)]
@@ -166,7 +193,11 @@ _HMM_COLS = [
 def read_hmm_dom_tab(spark: SparkSession, path: str, **options) -> DataFrame:
     """hmmscan --domtblout: 22 whitespace-separated columns + free-text
     description (split with limit keeps the description intact)."""
-    txt = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    if _is_zstd(path, options):
+        txt = _zstd_lines_rdd(spark, path).map(lambda v: (v,)).toDF(["value"])
+    else:
+        txt = spark.read.text(path)
+    txt = txt.filter(~F.col("value").startswith("#"))
     part_cols = [c for c in txt.columns if c != "value"]
     fields = F.split(F.trim("value"), r"\s+", 23)
     return txt.select(

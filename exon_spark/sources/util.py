@@ -50,15 +50,39 @@ def open_maybe_compressed(path: str, compression: str | None = None):
     if comp == "gzip":
         return gzip.open(path, "rb")
     if comp == "zstd":
-        try:
-            import zstandard  # type: ignore
-        except ImportError as e:  # pragma: no cover - env without zstd
-            raise ImportError(
-                "zstd-compressed input needs the 'zstandard' package"
-            ) from e
-        fh = open(path, "rb")
-        return zstandard.ZstdDecompressor().stream_reader(fh)
+        return zstd_stream(open(path, "rb"))
     return open(path, "rb")
+
+
+class _RawAdapter(io.RawIOBase):
+    """Adapt a pyarrow NativeFile to io.RawIOBase so BufferedReader gives
+    cheap line iteration over the decompressed stream."""
+
+    def __init__(self, stream):
+        self._s = stream
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        data = self._s.read(len(b))
+        n = len(data)
+        b[:n] = data
+        return n
+
+    def close(self) -> None:
+        self._s.close()
+        super().close()
+
+
+def zstd_stream(fh) -> io.BufferedReader:
+    """Streaming zstd decompression via pyarrow's bundled codec (the
+    'zstandard' package is not required)."""
+    import pyarrow as pa
+
+    return io.BufferedReader(
+        _RawAdapter(pa.CompressedInputStream(pa.PythonFile(fh, mode="r"), "zstd"))
+    )
 
 
 def text_lines(path: str, compression: str | None = None, encoding: str = "utf-8"):

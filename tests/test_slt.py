@@ -10,9 +10,8 @@ evidence for scans, DDL, UDFs, UDTFs, region pushdown, and COPY.
 Dialect notes: the reference speaks DataFusion SQL; a small shim maps the
 few constructs Spark spells differently (array literals, make_array,
 array_element/array_length, quoted struct fields, TEXT type). Statements
-that need features absent from this environment (zstd codec, object
-stores, BCF binary codec, vcf_parse_formats display) are skipped and
-counted — the test prints per-file pass/skip so gaps stay visible.
+that need features absent from this environment (object stores) are
+skipped and counted — the test prints per-file pass/skip so gaps stay visible.
 """
 
 from __future__ import annotations
@@ -54,11 +53,7 @@ SLT_FILES = [
 ]
 
 _SKIP_PATTERNS = [
-    r"\.zst",            # no zstd codec in this environment
-    r"zstd",
     r"s3://",            # no object store in this environment
-    r"\.bcf",            # BCF needs a binary codec absent here
-    r"STORED AS BCF",
     # reference rejects a column in the pattern slot (literal-only arg);
     # our vectorized UDF accepts either — semantics superset, not an error
     r"locate_regex\('A\[TCG\]C',\s*s1\)",
