@@ -39,9 +39,13 @@ def _q12_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         xf.reverse_complement("seq").alias("rc"),
         F.round(xf.gc_content("seq").cast("double"), 6).alias("gc"),
         F.length(xf.trim_polya("seq")).cast("int").alias("trimmed_len"),
-        F.transform(xf.integer_encoding("seq", "ACGT"), lambda x: x.cast("int")).alias(
-            "enc"
-        ),
+        # joined to a scalar string so the driver's canonicalizer (pandas
+        # sort_values + hash) can handle the column — list cells are
+        # unhashable there (CORRECTNESS_r01.json q12/q13/q16 errors)
+        F.array_join(
+            F.transform(xf.integer_encoding("seq", "ACGT"), lambda x: x.cast("string")),
+            ",",
+        ).alias("enc"),
         xf.alignment_score("seq", "seq").alias("self_align"),
         xf.alignment_score("seq", F.substring("seq", 1, 8)).alias("prefix_align"),
     )
@@ -56,8 +60,8 @@ select doc_id, seq,
        round(cast(length(seq) - length(translate(seq, 'GC', '')) as double)
              / length(seq), 6) as gc,
        cast(length(regexp_replace(seq, '[Aa]+$', '')) as int) as trimmed_len,
-       list_transform(range(1, length(seq) + 1),
-                      i -> cast(instr('ACGT', substr(seq, i, 1)) - 1 as int)) as enc,
+       array_to_string(list_transform(range(1, length(seq) + 1),
+                      i -> cast(instr('ACGT', substr(seq, i, 1)) - 1 as int)), ',') as enc,
        cast(length(seq) as int) as self_align,
        8 as prefix_align
 from d
@@ -79,7 +83,10 @@ def _q13_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             "qual",
-            quals.alias("quals"),
+            # scalar string form — see q12 'enc' note on the driver canonicalizer
+            F.array_join(
+                F.transform(quals, lambda x: x.cast("string")), ","
+            ).alias("quals"),
             mean_q.alias("mean_q"),
             (xf.quality_scores_to_string(quals) == F.col("qual")).alias("roundtrip_ok"),
         )
@@ -98,7 +105,7 @@ q as (
                         i -> ascii(substr(qual, i, 1)) - 33) as quals
   from d
 )
-select doc_id, qual, quals,
+select doc_id, qual, array_to_string(quals, ',') as quals,
        round(cast(list_sum(quals) as double) / len(quals), 6) as mean_q,
        array_to_string(list_transform(quals, s -> chr(s + 33)), '') = qual as roundtrip_ok
 from q
@@ -173,7 +180,15 @@ def _q16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id",
         xf.contains_peak("mz", 250.0, 5.0).alias("has_peak"),
-        xf.bin_vectors("mz", intensity, 100.0, 8, 25.0).alias("bins"),
+        # bins are integer-valued (intensity = round(mz, 0)); emit as a
+        # comma-joined bigint string so the driver canonicalizer can hash it
+        F.array_join(
+            F.transform(
+                xf.bin_vectors("mz", intensity, 100.0, 8, 25.0),
+                lambda x: x.cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("bins"),
     )
 
 
@@ -185,10 +200,10 @@ with em as (
 )
 select vec_id,
        len(list_filter(mz, x -> abs(x - 250.0) <= 5.0)) > 0 as has_peak,
-       list_transform(range(0, 8), b -> coalesce(list_sum(
+       array_to_string(list_transform(range(0, 8), b -> cast(coalesce(list_sum(
            list_transform(list_filter(mz, x -> x >= 100.0 and x <= 100.0 + 8 * 25.0
                           and cast(floor((x - 100.0) / 25.0) as int) = b),
-                          x -> round(x, 0))), 0.0)) as bins
+                          x -> round(x, 0))), 0.0) as bigint)), ',') as bins
 from em
 """
 

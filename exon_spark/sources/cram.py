@@ -824,7 +824,12 @@ class CramReader:
                     reference=ref_name,
                     start=None if unmapped and ap == 0 else ap,
                     end=end,
-                    mapping_quality=str(mq) if mq is not None else "255",
+                    # 255 / absent = missing MAPQ → NULL, matching bam.py:110,
+                    # sam.py:147 and the reference (exon-cram array_builder.rs
+                    # maps noodles' 255→None to a null entry).
+                    mapping_quality=(
+                        None if mq is None or mq == 255 else str(mq)
+                    ),
                     cigar=cigar or "",
                     mate_reference=(
                         self.refs[mate_ref_id]

@@ -137,7 +137,13 @@ def read_tabix(path: str) -> TabixIndex:
             bin_id = u32()
             n_chunk = i32()
             chunks = [(u64(), u64()) for _ in range(n_chunk)]
-            bins[bin_id] = chunks
+            # Bin 37450 is the metadata pseudo-bin (tabix spec): its two
+            # "chunks" are (off_beg,off_end) and (n_mapped,n_unmapped),
+            # not real virtual offsets — keeping it would defeat pruning
+            # and feed garbage offsets into the reader (same handling as
+            # _BAI_PSEUDO_BIN below).
+            if bin_id != _BAI_PSEUDO_BIN:
+                bins[bin_id] = chunks
         n_intv = i32()
         linear_per_ref.append([u64() for _ in range(n_intv)])
         bins_per_ref.append(bins)
@@ -264,7 +270,9 @@ def tabix_chunks(
         return None
     rid = index.names.index(name)
     beg0 = max(lo - 1, 0)
-    end0 = hi if hi < 2**62 else 2**35  # cap open-ended regions
+    # The tabix/BAI binning scheme covers 2^29 bp; clamp so _reg2bins never
+    # sweeps past the valid bin range for open-ended / whole-chrom regions.
+    end0 = min(hi, 1 << 29)
     min_voff = 0
     lin = index.linear[rid]
     win = beg0 >> 14
@@ -336,7 +344,7 @@ def bai_chunks(index: BaiIndex, ref_id: int, region: str) -> list[tuple[int, int
     (indexed_bgzf_file.rs:88-108 semantics)."""
     _, lo, hi = parse_region(region)
     beg0 = max(lo - 1, 0)
-    end0 = hi if hi < 2**62 else 2**35
+    end0 = min(hi, 1 << 29)  # binning scheme coordinate space is 2^29
     lin = index.linear[ref_id]
     min_voff = 0
     if lin:

@@ -48,8 +48,17 @@ def _zstd_lines_rdd(spark: SparkSession, path: str):
 
         _, content = kv
         with zstd_stream(_io.BytesIO(bytes(content))) as fh:
-            for raw in fh.read().decode("utf-8", "replace").splitlines():
-                yield raw
+            # Stream line-by-line over the decompressed reader: binary
+            # iteration splits only on b"\n" (strip a trailing \r for \r\n),
+            # matching the JVM text reader's row boundaries — str.splitlines
+            # would also split on \x0b/\x0c/ /  inside fields —
+            # and avoids materializing the whole file in executor memory.
+            for raw in fh:
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith(b"\n"):
+                    raw = raw[:-1]
+                yield raw.decode("utf-8", "replace")
 
     return spark.sparkContext.binaryFiles(path).flatMap(_lines)
 
