@@ -68,9 +68,10 @@ def main() -> None:
     from exon_spark.queries.formats import FORMAT_BENCH, ensure_format_fixtures
 
     fx = ensure_format_fixtures(sf_dir)
-    # warm the Python-datasource worker path once (plan + read a small file)
-    # so per-query times measure scans, not interpreter spin-up
-    FORMAT_BENCH["mzml_scan"](spark, fx).limit(1).count()
+    # warm the Python-datasource worker path once with a full multi-task scan
+    # so per-query times measure scans, not the one-time spawn of the
+    # executor-side Python worker pool
+    FORMAT_BENCH["mzml_scan"](spark, fx).count()
     for name, fn in FORMAT_BENCH.items():
         t0 = time.perf_counter()
         n = fn(spark, fx).count()

@@ -13,7 +13,13 @@ from exon_spark.operators.dedup import (
     simhash_pairs,
 )
 from exon_spark.operators.multimodal import decode_media, with_media_payload
-from exon_spark.operators.similarity import cosine, cosine_topk, lsh_ann_topk
+from exon_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_cosine_dups,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from exon_spark.operators.text import fingerprint, lang_id, text_stats
 
 __all__ = [
@@ -29,6 +35,8 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_cosine_dups",
     "fingerprint",
     "lang_id",
     "text_stats",

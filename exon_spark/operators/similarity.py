@@ -9,6 +9,15 @@
   are restricted to the query's bucket (+ optional multi-probe neighbors),
   so the scan prunes to ~corpus/2^planes per query. Hyperplanes derive
   deterministically from md5 so results reproduce across engines/runs.
+* ``ivf_ann_topk`` — IVF (inverted-file) ANN: the corpus is partitioned
+  into cells by nearest centroid; queries probe only their ``nprobe``
+  closest cells. Cell assignment is a zero-shuffle literal-array argmax
+  (centroids are broadcast as expression literals), so the only shuffle is
+  the final tiny per-query top-k.
+* ``embedding_cosine_dups`` — embedding near-dup detection: LSH buckets as
+  the blocking key (pairs must collide in a bucket), exact cosine verify
+  within blocks. The all-pairs comparison is confined to buckets — the same
+  candidate-confinement structure as MinHash-LSH for text.
 """
 
 from __future__ import annotations
@@ -128,3 +137,110 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<s:double, negcell:int>> of cosine scores against each
+    centroid; struct ordering gives argmax = (score desc, cell asc)."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                F.lit(-cid).alias("negcell"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: corpus vectors are assigned to their nearest
+    centroid cell; each query probes its ``nprobe`` nearest cells and ranks
+    only those candidates.
+
+    Centroids here are the corpus vectors with the ``n_cells`` smallest ids —
+    a deterministic, training-free choice that keeps the DuckDB oracle
+    byte-identical. At cluster scale the centroids would come from a sampled
+    k-means fit (same plan shape: centroids are always tiny and broadcast);
+    cell assignment is a literal-array argmax, zero shuffle over the corpus.
+
+    Output: (q_id, vec_id, cell, score, rnk).
+    """
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    ]
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        (-F.array_max(_cell_scores(F.col(vec_col), cents))["negcell"]).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(_cell_scores(F.col(vec_col), cents), asc=False),
+                    1,
+                    nprobe,
+                ),
+                lambda s: -s["negcell"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "cell", cosine("vec", "q_vec").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >=
+    threshold), candidates blocked by LSH bucket so the quadratic comparison
+    runs within buckets only (recall is bounded by bucket collision
+    probability — raise by lowering n_planes or multi-probing).
+
+    Output: (id_a, id_b, score).
+    """
+    planes = hyperplanes(dim, n_planes)
+    b = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    return (
+        a_.join(
+            b_,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

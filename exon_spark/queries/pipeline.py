@@ -16,8 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from exon_spark.operators import (
     cosine_topk,
     decode_media,
+    embedding_cosine_dups,
     exact_dedup,
     fingerprint,
+    ivf_ann_topk,
     lang_id,
     lsh_ann_topk,
     minhash_dedup,
@@ -185,6 +187,95 @@ def _q22_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(em, em.filter(F.col("vec_id") < 8), k=5)
 
 
+_COS64 = (
+    "list_sum(list_transform(range(1, 65), i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> cast({a}[i] as double) * cast({a}[i] as double))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> cast({b}[i] as double) * cast({b}[i] as double)))))"
+)
+
+
+def _q27_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        em, em.filter(F.col("vec_id") < 8), k=5, n_cells=16, nprobe=2
+    )
+
+
+def _q27_oracle() -> str:
+    cos = _COS64
+    return f"""
+with cent as (
+  select vec_id as cell_id, embedding as c_vec from embeddings order by vec_id limit 16
+),
+asn_s as (
+  select e.vec_id, e.embedding, c.cell_id,
+         round({cos.format(a='e.embedding', b='c.c_vec')}, 6) as s
+  from embeddings e cross join cent c
+),
+assign as (
+  select vec_id, embedding, cell_id as cell
+  from asn_s qualify row_number() over (partition by vec_id order by s desc, cell_id) = 1
+),
+probes as (
+  select vec_id as q_id, embedding as q_vec, cell_id as cell
+  from asn_s where vec_id < 8
+  qualify row_number() over (partition by vec_id order by s desc, cell_id) <= 2
+),
+scored as (
+  select p.q_id, a.vec_id, a.cell,
+         round({cos.format(a='a.embedding', b='p.q_vec')}, 6) as score
+  from assign a join probes p on a.cell = p.cell and a.vec_id <> p.q_id
+),
+ranked as (
+  select q_id, vec_id, cell, score,
+         row_number() over (partition by q_id order by score desc, vec_id) as rnk
+  from scored
+)
+select q_id, vec_id, cell, score, rnk from ranked where rnk <= 5
+"""
+
+
+def _q28_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant deterministic duplicates (every 10th vector re-appears under
+    # id+10000) — random embeddings have no natural near-dups, and a dedup
+    # query that returns nothing verifies nothing
+    planted = em.filter((F.col("vec_id") % 10) == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return embedding_cosine_dups(em.unionAll(planted), threshold=0.95)
+
+
+def _q28_oracle() -> str:
+    from exon_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 6)
+
+    def dot(vec: str, plane: list[float]) -> str:
+        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            "list_sum(list_transform(range(1, 65), "
+            f"i -> cast({vec}[i] as double) * ({lst})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(case when {dot('embedding', pl)} > 0 then {1 << i} else 0 end)"
+        for i, pl in enumerate(planes)
+    )
+    cos = _COS64.format(a="x.embedding", b="y.embedding")
+    return f"""
+with base as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 10000 as vec_id, embedding from embeddings where vec_id % 10 = 0
+),
+bk as (select vec_id, embedding, cast({bucket} as bigint) as bucket from base)
+select x.vec_id as id_a, y.vec_id as id_b, round({cos}, 6) as score
+from bk x join bk y on x.bucket = y.bucket and x.vec_id < y.vec_id
+where round({cos}, 6) >= 0.95
+"""
+
+
 # ---------------------------------------------------------------- text layer
 
 def _q23_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,4 +424,6 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q24_text_langid", _q24_spark, _lang_oracle(), "marker-word language ID"),
     QuerySpec("q25_text_fingerprint", _q25_spark, Q25_ORACLE, "md5 + winnowing fingerprints"),
     QuerySpec("q26_multimodal_decode", _q26_spark, Q26_ORACLE, "binary payload + mapInPandas decode stub"),
+    QuerySpec("q27_similarity_ann_ivf", _q27_spark, _q27_oracle(), "IVF-cell ANN top-k"),
+    QuerySpec("q28_dedup_embedding_cosine", _q28_spark, _q28_oracle(), "embedding-cosine near-dup"),
 ]

@@ -105,6 +105,11 @@ def read_format(spark: SparkSession, fmt: str, path: str, **options) -> DataFram
         return fast(spark, path)
     register_sources(spark)
     reader = spark.read.format(fmt)
+    # let planners size index-chunk / byte-range splits to the cluster
+    # (plan_partitions runs in a sessionless worker and can't ask Spark)
+    options.setdefault(
+        "target_parallelism", spark.sparkContext.defaultParallelism
+    )
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load(path)

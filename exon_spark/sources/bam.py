@@ -224,17 +224,29 @@ class BamSource(FileFormatSource):
                     refs = read_bam_header(bg.stream_from(0))
                 ref_names = [n for n, _ in refs]
                 index = read_bai(bai)
-                parts = []
+                from exon_spark.sources.indexes import (
+                    adaptive_target_bytes,
+                    split_chunk_groups,
+                )
+
+                per_region = []
                 for region in region_list:
                     name, _, _ = parse_region(region)
                     if name not in ref_names:
                         continue
                     chunks = bai_chunks(index, ref_names.index(name), region)
-                    if not chunks:
-                        continue
-                    from exon_spark.sources.indexes import split_chunk_groups
-
-                    for group in split_chunk_groups(chunks):
+                    if chunks:
+                        per_region.append((region, chunks))
+                par = int(options.get("target_parallelism", 0) or 0)
+                total = sum(
+                    (ce >> 16) - (cb >> 16)
+                    for _, chunks in per_region
+                    for cb, ce in chunks
+                )
+                target = adaptive_target_bytes(total, par)
+                parts = []
+                for region, chunks in per_region:
+                    for group in split_chunk_groups(chunks, target):
                         parts.append(
                             FilePartition(
                                 f.path, comp, pv, extra=("bai", region, tuple(group))
@@ -259,7 +271,12 @@ class BamSource(FileFormatSource):
                 start0 = stream.tell_virtual()
             index = read_bai(bai)
             offs = sorted({v for lin in index.linear for v in lin if v > start0})
-            target = 16 << 20  # compressed bytes per split
+            from exon_spark.sources.indexes import adaptive_target_bytes
+
+            par = int(options.get("target_parallelism", 0) or 0)
+            target = adaptive_target_bytes(
+                os.path.getsize(f.path), par, floor=1 << 20, ceil=16 << 20
+            )  # compressed bytes per split
             splits = [start0]
             for v in offs:
                 if (v >> 16) - (splits[-1] >> 16) >= target:

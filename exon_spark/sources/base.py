@@ -197,6 +197,31 @@ class FormatReader(DataSourceReader):
         pv = dict(partition.partition_values)
         names = schema.names
 
+        # vectorized fast path: a source may build whole Arrow batches
+        # (e.g. via pyarrow.csv) instead of yielding per-record dicts.
+        # Returns None when the partition/options need the generic path.
+        vec = getattr(self.source_cls, "read_arrow_partition", None)
+        if vec is not None:
+            data_schema = pa.schema(
+                [f for f in schema if f.name not in pv]
+            )
+            batches = vec(partition, self.options, data_schema)
+            if batches is not None:
+                for batch in batches:
+                    if pv:
+                        arrays = list(batch.columns)
+                        bnames = list(batch.schema.names)
+                        for k in schema.names:
+                            if k in pv:
+                                arrays.append(
+                                    pa.array([pv[k]] * batch.num_rows, pa.string())
+                                )
+                                bnames.append(k)
+                        batch = pa.RecordBatch.from_arrays(arrays, names=bnames)
+                        batch = batch.select(schema.names)
+                    yield batch
+                return
+
         def flush(rows: list[dict]) -> pa.RecordBatch:
             # column-pivot + typed pa.array is ~7x faster than
             # RecordBatch.from_pylist's per-row dict decoding

@@ -365,6 +365,23 @@ def bai_chunks(index: BaiIndex, ref_id: int, region: str) -> list[tuple[int, int
     return merged
 
 
+def adaptive_target_bytes(
+    total_bytes: int,
+    parallelism: int,
+    floor: int = 256 << 10,
+    ceil: int = 8 << 20,
+) -> int:
+    """Pick a per-partition compressed-byte target that (a) fans a small
+    region query out across the cluster (aim ~2 partitions per core so a
+    bench-sized scan isn't one task) while (b) capping partition count on
+    huge inputs at `ceil` bytes each — at 100 TB the cap, not the
+    parallelism, sets the target, keeping partitions executor-memory-sized
+    and the partition count linear in data size."""
+    if parallelism <= 0:
+        return ceil
+    return max(floor, min(ceil, total_bytes // (2 * parallelism) or floor))
+
+
 def split_chunk_groups(
     chunks: list[tuple[int, int]], target_bytes: int = 8 << 20
 ) -> list[list[tuple[int, int]]]:

@@ -1,0 +1,115 @@
+"""Structured Streaming layer (beyond-parity: the reference is batch-only —
+SURVEY.md §2.3 'streaming ops ABSENT'; this module is part of the repo's
+training-data-pipeline north star, not reference parity).
+
+The streaming operators mirror the batch event-analytics queries (q10/q11):
+the same tumbling-window and session-window aggregations, expressed over an
+unbounded ``readStream`` source with watermark-bounded state. At scale the
+state store is the concern — watermarks bound it; session windows use
+Spark's native ``session_window`` (state merges are handled by the engine,
+not custom code).
+
+All helpers return *unstarted* streaming DataFrames so callers choose the
+sink/trigger; ``run_stream_to_memory`` is the test/debug sink.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Unbounded parquet-directory source over the events table layout.
+    New files appearing under ``path`` become micro-batches. Streaming
+    sources cannot infer schemas, so when none is given we peek at the
+    existing files with a batch read (driver-side, footer-only — the
+    streaming analogue of the reference's first-file-wins header inference).
+    ``ts`` may be stored NTZ; watermarks require TIMESTAMP — cast on read."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(schema).parquet(path)
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming face of q10: tumbling-window counts/sums per event_type.
+    The watermark lets Spark finalize + evict window state once event time
+    passes window_end + watermark — state is O(active windows), not O(input).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming face of q11: per-user sessions with an inactivity gap,
+    via the native ``session_window`` (dynamic-gap state merging is the
+    engine's job; late events beyond the watermark are dropped)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: float = 120.0,
+):
+    """Start the stream into an in-memory table, process everything
+    currently available (``availableNow`` trigger), and return the result
+    as a batch DataFrame. Test/debug helper — a production job would use a
+    file/Kafka sink with a real trigger."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return stream_df.sparkSession.table(name)

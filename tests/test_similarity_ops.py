@@ -1,0 +1,87 @@
+"""IVF ANN, embedding-cosine dedup, and the vectorized VCF scan path."""
+
+import os
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def test_ivf_ann_topk(spark):
+    from exon_spark.operators import cosine_topk, ivf_ann_topk
+
+    em = _emb(spark)
+    q = em.filter(F.col("vec_id") < 4)
+    got = ivf_ann_topk(em, q, k=5, n_cells=8, nprobe=2)
+    rows = got.collect()
+    assert len(rows) == 4 * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.vec_id != q_id for r in rs)
+    # probing 2 of 8 cells: every IVF hit must also appear in the exact
+    # top-50 (sanity that cells contain genuinely similar vectors)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in cosine_topk(em, q, k=50).collect()
+    }
+    hits = sum((r.q_id, r.vec_id) in exact for r in rows)
+    assert hits >= len(rows) * 0.5
+
+
+def test_embedding_cosine_dups_finds_planted(spark):
+    from exon_spark.operators import embedding_cosine_dups
+
+    em = _emb(spark).select("vec_id", "embedding")
+    planted = em.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    n_planted = planted.count()
+    dups = embedding_cosine_dups(em.unionAll(planted), threshold=0.95).collect()
+    # identical vectors always collide in their LSH bucket -> full recall
+    assert len(dups) == n_planted
+    for r in dups:
+        assert r.id_b == r.id_a + 10_000
+        assert r.score == 1.0
+
+
+def test_vcf_vectorized_matches_row_path(spark, tmp_path):
+    """Tabix-pruned scans go through the pyarrow.csv vectorized reader;
+    results must equal the per-row filter path bit-for-bit."""
+    from exon_spark.sources.bgzf import BGZFWriter
+    from exon_spark.sources.indexes import build_tabix_vcf
+
+    gz = str(tmp_path / "v.vcf.gz")
+    with BGZFWriter(gz) as w:
+        w.write(
+            b"##fileformat=VCFv4.2\n"
+            b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        )
+        for i in range(1, 501):
+            idf = "." if i % 3 == 0 else f"rs{i}"
+            qual = "." if i % 5 == 0 else f"{i % 90}.25"
+            w.write(
+                f"7\t{i * 4}\t{idf}\tA\tG,T\t{qual}\tPASS\tDP={i}\t"
+                f"GT\t0/1\n".encode()
+            )
+    build_tabix_vcf(gz)
+    fast = (
+        spark.read.format("vcf").option("regions", "7:100-1200").load(gz)
+    ).collect()
+    # drop the index so the same option takes the streaming filter path
+    gz2 = str(tmp_path / "v2.vcf.gz")
+    os.link(gz, gz2)
+    slow = (
+        spark.read.format("vcf").option("regions", "7:100-1200").load(gz2)
+    ).collect()
+    key = lambda r: r.pos
+    assert sorted(fast, key=key) == sorted(slow, key=key)
+    assert len(fast) == 276

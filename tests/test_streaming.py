@@ -1,0 +1,69 @@
+"""Structured Streaming operators: streaming results must agree with the
+equivalent batch aggregation over the same files (the exactly-once story)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from exon_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    tumbling_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_dir(spark, tmp_path):
+    """Copy the events table into a directory the stream can list (two
+    files, so more than one input split arrives). ``table`` converts the
+    nano-epoch ts column to a real timestamp on the way through."""
+    from exon_spark.queries.base import table
+
+    out = str(tmp_path / "events_stream")
+    table(spark, SF, "events").repartition(2).write.parquet(out)
+    return out
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    path = _events_dir(spark, tmp_path)
+    stream = tumbling_event_counts(read_events_stream(spark, path))
+    got = run_stream_to_memory(stream, "t_tumbling").orderBy(
+        "window_start", "event_type"
+    )
+    batch = (
+        spark.read.parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+    assert got.collect() == batch.collect()
+
+
+def test_session_stream_counts(spark, tmp_path):
+    path = _events_dir(spark, tmp_path)
+    stream = sessionize_stream(read_events_stream(spark, path))
+    got = run_stream_to_memory(stream, "t_sessions")
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    n_input = spark.read.parquet(path).count()
+    # every input event lands in exactly one session
+    assert total == n_input
+    # sessions respect the inactivity gap: no zero/negative-length overlap
+    # per user (starts strictly increase past the previous end + gap)
+    rows = got.orderBy("user_id", "session_start").collect()
+    prev = {}
+    for r in rows:
+        if r.user_id in prev:
+            assert r.session_start >= prev[r.user_id]
+        prev[r.user_id] = r.session_end
