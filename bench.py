@@ -52,6 +52,17 @@ def main() -> None:
     # queries, not session bootstrap
     ALL_QUERIES["q04_forecast_revenue"].spark_fn(spark, sf_dir).count()
 
+    def drop_intermediates() -> None:
+        """Queries are independent: drop cached tables AND the
+        eager-materialized (localCheckpoint) blocks the dedup operators
+        leave behind, so later queries aren't timed under memory pressure.
+        clearCache() alone misses checkpoint RDD blocks."""
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = ALL_QUERIES[name]
@@ -59,9 +70,7 @@ def main() -> None:
         n = spec.spark_fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
-        # queries are independent: drop intermediates the dedup operators
-        # persisted so later queries aren't timed under cache pressure
-        spark.catalog.clearCache()
+        drop_intermediates()
 
     # BASELINE.md §6 bio-format workloads on synthetic fixtures (generation
     # is cached and excluded from timings)

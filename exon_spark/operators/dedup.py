@@ -130,10 +130,21 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, shingle) rows, distinct per doc. Docs shorter than n tokens
     contribute no rows.
+
+    ``hashed=True`` replaces the shingle string with its xxhash64 *before*
+    the distinct, so every downstream shuffle (distinct, frequency groupBy,
+    inverted-index joins) carries 8-byte keys instead of ~40-byte strings —
+    the right trade at 100 TB (collision odds are ~|shingles|^2 / 2^64).
+    Only set-membership consumers (Jaccard) may use it; minhash/simhash need
+    the raw string for md5-based permutation hashing.
 
     Implementation note: ``explode(array(tokens(...)))`` materializes the
     token array once per row inside the Generate node — a barrier Catalyst
@@ -152,12 +163,14 @@ def shingle_rows(
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
         lambda i: F.array_join(F.slice("toks", i, n), " "),
     )
-    return (
+    rows = (
         toked.filter(F.size("toks") >= n)
         .select("doc_id", F.explode(sh).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
+    if hashed:
+        rows = rows.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    return rows.distinct()
 
 
 def minhash_signatures(shingles: DataFrame, perms=MINHASH_PERMS) -> DataFrame:
@@ -280,7 +293,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _materialize(shingle_rows(df, id_col, text_col, n))
+    sh = _materialize(shingle_rows(df, id_col, text_col, n, hashed=True))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("shingle"))
     ranked = (

@@ -94,3 +94,125 @@ def decode_media(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize image payloads to a fixed (width, height) via mapInPandas.
+
+    STUB resize: the payload passes through unchanged and only the target
+    dimensions are attached (a real deployment decodes + resamples with
+    PIL/opencv inside the same batch loop). Non-image rows pass through
+    with their payload and null dimensions — the op is safe on mixed
+    media tables.
+    """
+
+    def resize_batches(batches):
+        for pdf in batches:
+            out = pdf[["media_id", "media_type", "payload"]].copy()
+            is_img = pdf["media_type"] == "image"
+            out["width"] = [width if i else None for i in is_img]
+            out["height"] = [height if i else None for i in is_img]
+            yield out
+
+    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Explode video payloads into sampled frames (one output row per kept
+    frame) via mapInPandas — the 1:N shape real frame extraction has.
+
+    STUB sampler: frame count comes from the same deterministic fake as
+    ``decode_media`` and each "frame" is a byte slice of the payload; a real
+    deployment runs ffmpeg/pyav per batch. Non-video rows emit nothing.
+    """
+
+    def frame_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "video" or payload is None:
+                    continue
+                n_frames = len(payload) % 240 + 1
+                for f in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(f)
+                    start = (f * 16) % max(len(payload), 1)
+                    frames.append(bytes(payload[start : start + 16]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(frame_batches, FRAMES_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Media -> embedding feature extraction via mapInPandas: one
+    ``array<float>`` of length ``dim`` per row, derived deterministically
+    from the payload bytes (STUB for a real vision/audio encoder — the
+    output contract, Arrow batching and downstream ANN compatibility are
+    the real parts: the result feeds ``ivf_ann_topk``/``cosine_topk``
+    directly).
+    """
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def feature_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    embs.append(None)
+                    continue
+                # deterministic pseudo-encoder: md5-seeded byte expansion,
+                # scaled to [-1, 1)
+                seed = hashlib.md5(bytes(payload)).digest()
+                reps = (dim * 4) // len(seed) + 1
+                raw = np.frombuffer((seed * reps)[: dim * 4], dtype="<u4")
+                embs.append(
+                    ((raw / 2**31) - 1.0).astype(np.float32).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "embedding": embs,
+                }
+            )
+
+    return df.mapInPandas(feature_batches, schema)

@@ -24,6 +24,12 @@ def _collect() -> dict[str, QuerySpec]:
         specs += PIPELINE_QUERIES
     except ImportError:
         pass
+    try:
+        from exon_spark.queries.streaming_q import STREAMING_QUERIES
+
+        specs += STREAMING_QUERIES
+    except ImportError:
+        pass
     out: dict[str, QuerySpec] = {}
     for s in specs:
         if s.name in out:

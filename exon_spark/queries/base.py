@@ -71,9 +71,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+_REGISTERED: dict[int, tuple[str, tuple]] = {}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names=TABLES, force: bool = False
+) -> None:
+    """Register the testdata tables as temp views. Memoized on the
+    session's *current* (sf_dir, names): each registration re-reads every
+    parquet footer driver-side (~0.5 s for 10 tables), which would
+    otherwise be paid by every sql_query call in a bench run. Switching
+    sf_dir re-registers (views always reflect the last requested dir)."""
+    key = (sf_dir, tuple(names))
+    if not force and _REGISTERED.get(id(spark)) == key:
+        return
     for n in names:
         table(spark, sf_dir, n).createOrReplaceTempView(n)
+    _REGISTERED[id(spark)] = key
 
 
 def sql_query(name: str, sql: str, oracle: str | None = None, doc: str = "", tables=TABLES) -> QuerySpec:

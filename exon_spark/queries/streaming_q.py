@@ -1,0 +1,108 @@
+"""Oracle-gated queries for the streaming + multimodal layers.
+
+q29 runs a REAL Structured Streaming job (file source -> watermark ->
+tumbling window -> memory sink, availableNow trigger) and the driver's
+DuckDB oracle verifies the streamed aggregation value-for-value against a
+batch SQL equivalent — the exactly-once/agg-parity property, gated.
+
+q30 exercises the 1:N mapInPandas frame-sampling shape with a fully
+SQL-expressible oracle (the stub sampler's arithmetic is deterministic).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from exon_spark.queries.base import SUM_D, QuerySpec, table
+
+
+def _q29_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.streaming import read_events_stream, run_stream_to_memory
+
+    tag = uuid.uuid4().hex[:8]
+    d = os.path.join(tempfile.gettempdir(), f"exon_stream_q29_{tag}")
+    table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    stream = read_events_stream(spark, d)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal-exact sum (see queries/base.py) — streaming partial
+            # aggregation must not introduce FP order sensitivity vs the
+            # oracle
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(38,10)")).cast("double"),
+                4,
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, f"q29_{tag}")
+
+
+Q29_ORACLE = f"""
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*) as n_events,
+       {SUM_D("value", "sum_value")}
+from events
+group by date_trunc('hour', ts), event_type
+"""
+
+
+def _q30_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import with_media_payload
+    from exon_spark.operators.multimodal import sample_frames
+
+    d = with_media_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(d, every_n=10).select(
+        "media_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
+# videos are doc_id % 3 == 2; payload = utf-8 text bytes;
+# n_frames = n_bytes % 240 + 1, sampled every 10; frame f is the 16-byte
+# slice starting at (f*16) % n_bytes (operators/multimodal.py sample_frames).
+# DuckDB can't slice BLOBs, so both sides compare the hex encoding (2 hex
+# chars per byte).
+Q30_ORACLE = """
+with v as (
+  select doc_id as media_id, hex(encode(text)) as payload_hex,
+         octet_length(encode(text)) as n_bytes
+  from documents where doc_id % 3 = 2
+),
+f as (
+  select media_id, payload_hex, n_bytes,
+         unnest(range(0, n_bytes % 240 + 1, 10)) as frame_idx
+  from v
+)
+select media_id, cast(frame_idx as int) as frame_idx,
+       substring(payload_hex, ((frame_idx * 16) % greatest(n_bytes, 1)) * 2 + 1, 32) as frame_hex
+from f
+"""
+
+
+STREAMING_QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "q29_streaming_tumbling",
+        _q29_spark,
+        Q29_ORACLE,
+        "Structured Streaming tumbling-window agg vs batch oracle",
+    ),
+    QuerySpec(
+        "q30_multimodal_frames",
+        _q30_spark,
+        Q30_ORACLE,
+        "mapInPandas 1:N frame sampling",
+    ),
+]
