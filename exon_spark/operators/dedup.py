@@ -228,9 +228,18 @@ def jaccard_verify(
     similarity >= threshold. Join-based (distributed), no collect.
 
     If ``pairs`` already carries ``n_a``/``n_b`` set sizes (the prefix-filter
-    path computes them anyway), the two count-lookup joins are skipped."""
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    path computes them anyway), the two count-lookup joins are skipped.
+
+    String shingles are joined by xxhash64 — the set-intersection counts
+    only need equality, and 8-byte join keys shuffle ~5x less than shingle
+    text (collision odds ~|shingles|^2 / 2^64). ``n_sh`` still counts the
+    original distinct rows."""
+    if dict(shingles.dtypes).get("shingle") == "string":
+        keyed = shingles.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    else:
+        keyed = shingles
+    sa = keyed.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = keyed.select(F.col("doc_id").alias("doc_b"), "shingle")
     carry = [c for c in ("n_a", "n_b") if c in pairs.columns]
     common = (
         pairs.join(sa, "doc_a")

@@ -215,26 +215,37 @@ class BamSource(FileFormatSource):
             )
         if regions:
             bai = f.path + ".bai"
+            csi = f.path + ".csi"
             region_list = [r.strip() for r in regions.split(",") if r.strip()]
-            if os.path.exists(bai):
+            if os.path.exists(bai) or os.path.exists(csi):
                 from exon_spark.sources.bgzf import BGZFReader
-                from exon_spark.sources.indexes import bai_chunks, read_bai
+                from exon_spark.sources.indexes import (
+                    adaptive_target_bytes,
+                    bai_chunks,
+                    csi_chunks,
+                    read_bai,
+                    read_csi,
+                    split_chunk_groups,
+                )
 
                 with BGZFReader(f.path) as bg:
                     refs = read_bam_header(bg.stream_from(0))
                 ref_names = [n for n, _ in refs]
-                index = read_bai(bai)
-                from exon_spark.sources.indexes import (
-                    adaptive_target_bytes,
-                    split_chunk_groups,
-                )
+                index = read_bai(bai) if os.path.exists(bai) else None
+                cindex = None if index is not None else read_csi(csi)
 
                 per_region = []
                 for region in region_list:
-                    name, _, _ = parse_region(region)
+                    name, lo, hi = parse_region(region)
                     if name not in ref_names:
                         continue
-                    chunks = bai_chunks(index, ref_names.index(name), region)
+                    rid = ref_names.index(name)
+                    if index is not None:
+                        chunks = bai_chunks(index, rid, region)
+                    else:
+                        # samtools `index -c` .csi fallback: names come
+                        # from the BAM's own header
+                        chunks = csi_chunks(cindex, rid, lo, hi)
                     if chunks:
                         per_region.append((region, chunks))
                 par = int(options.get("target_parallelism", 0) or 0)

@@ -247,6 +247,81 @@ def build_tabix_vcf(vcf_gz_path: str, out_path: str | None = None) -> str:
     return out_path
 
 
+def build_csi_vcf(
+    vcf_gz_path: str,
+    out_path: str | None = None,
+    min_shift: int = 14,
+    depth: int = 5,
+) -> str:
+    """Build a .csi (CSI v1) index for a BGZF-compressed VCF — the htslib
+    `tabix --csi` analogue, with the tabix-style aux payload carrying the
+    reference names. With (min_shift=14, depth=5) the binning matches the
+    classic tabix scheme."""
+    import struct as _s
+
+    from exon_spark.sources.bgzf import BGZFReader, BGZFWriter
+
+    out_path = out_path or vcf_gz_path + ".csi"
+    names: list[str] = []
+    name_idx: dict[str, int] = {}
+    bins: list[dict[int, list[list[int]]]] = []
+    loffs: list[dict[int, int]] = []
+
+    def reg2bin_g(beg: int, end: int) -> int:
+        # hts-specs CSI reg2bin over half-open [beg, end)
+        end -= 1
+        s = min_shift
+        t = ((1 << (3 * depth)) - 1) // 7
+        level = depth
+        while level > 0:
+            if beg >> s == end >> s:
+                return t + (beg >> s)
+            level -= 1
+            s += 3
+            t -= 1 << (3 * level)
+        return 0
+
+    with BGZFReader(vcf_gz_path) as bg:
+        for line, v_start, v_end in bg.lines_with_voffsets():
+            if not line or line.startswith("#"):
+                continue
+            f = line.split("\t", 4)
+            chrom, pos, ref = f[0], int(f[1]), f[3] if len(f) > 3 else "N"
+            beg0 = pos - 1
+            end0 = beg0 + max(len(ref), 1)
+            if chrom not in name_idx:
+                name_idx[chrom] = len(names)
+                names.append(chrom)
+                bins.append({})
+                loffs.append({})
+            rid = name_idx[chrom]
+            b = reg2bin_g(beg0, end0)
+            chunk_list = bins[rid].setdefault(b, [])
+            if chunk_list and chunk_list[-1][1] == v_start:
+                chunk_list[-1][1] = v_end
+            else:
+                chunk_list.append([v_start, v_end])
+            if b not in loffs[rid] or v_start < loffs[rid][b]:
+                loffs[rid][b] = v_start
+
+    names_blob = b"".join(n.encode() + b"\x00" for n in names)
+    aux = _s.pack("<7i", 2, 1, 2, 0, ord("#"), 0, len(names_blob)) + names_blob
+    payload = bytearray()
+    payload += b"CSI\x01"
+    payload += _s.pack("<iii", min_shift, depth, len(aux)) + aux
+    payload += _s.pack("<i", len(names))
+    for rid in range(len(names)):
+        payload += _s.pack("<i", len(bins[rid]))
+        for bin_id in sorted(bins[rid]):
+            chunks = bins[rid][bin_id]
+            payload += _s.pack("<IQi", bin_id, loffs[rid][bin_id], len(chunks))
+            for cb, ce in chunks:
+                payload += _s.pack("<QQ", cb, ce)
+    with BGZFWriter(out_path) as out:
+        out.write(bytes(payload))
+    return out_path
+
+
 def _reg2bins(beg: int, end: int) -> list[int]:
     """UCSC binning scheme bins overlapping [beg, end) (0-based)."""
     end -= 1
@@ -476,6 +551,10 @@ class CsiIndex:
     bins: list[dict[int, list[tuple[int, int]]]]
     # per reference id: {bin: loffset}
     loffsets: list[dict[int, int]]
+    # reference names from the tabix-style aux payload (htslib writes it
+    # for `tabix --csi` indexes of VCF/GFF; empty for BCF/BAM .csi, whose
+    # names come from the data file's own header)
+    names: tuple[str, ...] = ()
 
 
 def read_csi(path: str) -> CsiIndex:
@@ -486,9 +565,21 @@ def read_csi(path: str) -> CsiIndex:
         raise ValueError(f"{path}: not a CSI index")
     off = 4
     min_shift, depth, l_aux = struct.unpack_from("<iii", data, off)
-    off += 12 + l_aux
+    off += 12
+    names: tuple[str, ...] = ()
+    if l_aux >= 32:
+        # tabix aux layout: 7 int32 (format, col_seq, col_beg, col_end,
+        # meta, skip, l_nm) + names blob
+        (l_nm,) = struct.unpack_from("<i", data, off + 24)
+        if 0 < l_nm <= l_aux - 28:
+            blob = data[off + 28 : off + 28 + l_nm]
+            names = tuple(n.decode() for n in blob.split(b"\x00") if n)
+    off += l_aux
     (n_ref,) = struct.unpack_from("<i", data, off)
     off += 4
+    # metadata pseudo-bin (same role as tabix/BAI bin 37450, generalized):
+    # one past the largest real bin for this (depth) — skip its fake chunks
+    pseudo_bin = ((1 << (3 * (depth + 1))) - 1) // 7 + 1
     bins_per_ref: list[dict[int, list[tuple[int, int]]]] = []
     loff_per_ref: list[dict[int, int]] = []
     for _ in range(n_ref):
@@ -504,11 +595,12 @@ def read_csi(path: str) -> CsiIndex:
                 cb, ce = struct.unpack_from("<QQ", data, off)
                 off += 16
                 chunks.append((cb, ce))
-            bins[bin_id] = chunks
-            loffs[bin_id] = loffset
+            if bin_id < pseudo_bin:
+                bins[bin_id] = chunks
+                loffs[bin_id] = loffset
         bins_per_ref.append(bins)
         loff_per_ref.append(loffs)
-    return CsiIndex(min_shift, depth, bins_per_ref, loff_per_ref)
+    return CsiIndex(min_shift, depth, bins_per_ref, loff_per_ref, names)
 
 
 def _csi_reg2bins(beg: int, end: int, min_shift: int, depth: int) -> list[int]:

@@ -212,20 +212,39 @@ class VcfSource(FileFormatSource):
 
             region_list = expand_regions(regions)
             tbi = f.path + ".tbi"
-            if comp == "gzip" and os.path.exists(tbi):
+            csi = f.path + ".csi"
+            if comp == "gzip" and (
+                os.path.exists(tbi) or os.path.exists(csi)
+            ):
                 from exon_spark.sources.indexes import (
                     adaptive_target_bytes,
+                    csi_chunks,
+                    read_csi,
                     read_tabix,
                     split_chunk_groups,
                     tabix_chunks,
                 )
 
-                index = read_tabix(tbi)
                 per_region = []
-                for region in region_list:
-                    chunks = tabix_chunks(index, region)
-                    if chunks:
-                        per_region.append((region, chunks))
+                if os.path.exists(tbi):
+                    index = read_tabix(tbi)
+                    for region in region_list:
+                        chunks = tabix_chunks(index, region)
+                        if chunks:
+                            per_region.append((region, chunks))
+                else:
+                    # htslib `tabix --csi` fallback: names ride in the
+                    # index's tabix-style aux payload
+                    cindex = read_csi(csi)
+                    for region in region_list:
+                        name, lo, hi = parse_region(region)
+                        if name not in cindex.names:
+                            continue
+                        chunks = csi_chunks(
+                            cindex, cindex.names.index(name), lo, hi
+                        )
+                        if chunks:
+                            per_region.append((region, chunks))
                 par = int(options.get("target_parallelism", 0) or 0)
                 total = sum(
                     (ce >> 16) - (cb >> 16)

@@ -103,3 +103,42 @@ def test_bam_region_without_index_falls_back(spark, bam_files, tmp_path):
     )
     want = [p for p in expected["chr1"] if p <= 100_000]
     assert sorted(r["start"] for r in df.collect()) == want
+
+
+def test_bam_csi_fallback(spark, bam_files, tmp_path):
+    """samtools `index -c` layout: only a .csi beside the BAM. Convert the
+    .bai to an equivalent CSI (same bins at min_shift=14/depth=5) and check
+    the region scan prunes through it identically."""
+    import shutil
+    import struct
+
+    from exon_spark.sources.bgzf import BGZFWriter
+    from exon_spark.sources.indexes import read_bai
+
+    root, expected = bam_files
+    csi_bam = tmp_path / "csionly.bam"
+    shutil.copy(root / "big.bam", csi_bam)
+    bai = read_bai(str(root / "big.bam") + ".bai")
+    payload = bytearray(b"CSI\x01")
+    payload += struct.pack("<iii", 14, 5, 0)
+    payload += struct.pack("<i", len(bai.bins))
+    for rid in range(len(bai.bins)):
+        payload += struct.pack("<i", len(bai.bins[rid]))
+        for bin_id in sorted(bai.bins[rid]):
+            chunks = bai.bins[rid][bin_id]
+            payload += struct.pack("<IQi", bin_id, 0, len(chunks))
+            for cb, ce in chunks:
+                payload += struct.pack("<QQ", cb, ce)
+    with BGZFWriter(str(csi_bam) + ".csi") as out:
+        out.write(bytes(payload))
+
+    df = (
+        spark.read.format("bam")
+        .option("regions", "chr17:1000000-2000000")
+        .load(str(csi_bam))
+    )
+    got = sorted(r["start"] for r in df.collect())
+    want = [
+        p for p in expected["chr17"] if p <= 2_000_000 and p + 9 >= 1_000_000
+    ]
+    assert got == want

@@ -92,3 +92,27 @@ def test_indexed_empty_region(spark, big_vcf):
         .load(str(gz))
     )
     assert df.count() == 0
+
+
+def test_csi_fallback_matches_tabix(big_vcf, tmp_path, spark):
+    """With only a .csi present (htslib `tabix --csi` layout), VCF region
+    scans prune through the CSI index and return the same rows."""
+    import shutil
+
+    from exon_spark.sources.indexes import build_csi_vcf, read_csi
+
+    gz, expected = big_vcf
+    gz2 = tmp_path / "csi.vcf.gz"
+    shutil.copy(gz, gz2)
+    build_csi_vcf(str(gz2))
+    idx = read_csi(str(gz2) + ".csi")
+    assert idx.names == ("1", "2", "17")
+
+    want = [p for p in expected["17"] if 1_000_000 <= p <= 2_000_000]
+    df = (
+        spark.read.format("vcf")
+        .option("regions", "17:1000000-2000000")
+        .load(str(gz2))
+    )
+    got = sorted(r.pos for r in df.select("pos").collect())
+    assert got == want
