@@ -175,13 +175,18 @@ def shingle_rows(
 
 def minhash_signatures(shingles: DataFrame, perms=MINHASH_PERMS) -> DataFrame:
     """doc_id -> m0..m{k-1} minhash columns. Single shuffle; map-side partial
-    min keeps the shuffle at 8 bytes per permutation per doc."""
-    h = h32("shingle")
+    min keeps the shuffle at 8 bytes per permutation per doc.
+
+    The md5-based feature hash is projected ONCE before the aggregation —
+    inlining ``h32`` into each of the 16 min() expressions makes the
+    aggregate compute md5 16x per row (Catalyst does not CSE across
+    aggregate expressions)."""
+    hashed = shingles.select("doc_id", h32("shingle").alias("h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_P).alias(f"m{j}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{j}")
         for j, (a, b) in enumerate(perms)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -350,14 +355,15 @@ def simhash(
     ±1 for bit b is > 0). Shingle features (default n=3) rather than unigrams
     so small-vocabulary corpora still discriminate."""
     toks = shingle_rows(df, id_col, text_col, n).withColumnRenamed("shingle", "tok")
-    h = h32("tok")
+    # hash once per row — see minhash_signatures on aggregate-expression CSE
+    hashed = toks.select("doc_id", h32("tok").alias("h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(bits)
     ]
-    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
     fp = None
     for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
