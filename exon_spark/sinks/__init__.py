@@ -58,19 +58,53 @@ def fastq_lines(df: DataFrame) -> DataFrame:
     )
 
 
+def _write_lines(
+    out: DataFrame, path: str, compression: str | None, single_file: bool
+) -> None:
+    if single_file:
+        out = out.coalesce(1)
+    if compression and compression.lower() == "zstd":
+        # the JVM text writer has no zstd codec without native hadoop;
+        # write executor-side through pyarrow's bundled codec instead —
+        # still one file per partition, fully distributed (assumes a
+        # shared/posix target path, same as any local-fs write)
+        _write_text_zstd(out, path)
+        return
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def _write_text_zstd(lines_df: DataFrame, path: str) -> None:
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(idx, it):
+        import os as _os
+
+        import pyarrow as pa
+
+        fn = _os.path.join(path, f"part-{idx:05d}.fasta.zst")
+        raw = pa.OSFile(fn, "wb")
+        with pa.CompressedOutputStream(raw, "zstd") as out:
+            for row in it:
+                out.write((row.value + "\n").encode("utf-8"))
+        yield fn
+
+    lines_df.rdd.mapPartitionsWithIndex(write_part).collect()
+
+
 def write_fasta(
     df: DataFrame,
     path: str,
     compression: str | None = None,
     single_file: bool = False,
 ) -> None:
-    out = fasta_lines(df)
-    if single_file:
-        out = out.coalesce(1)
-    w = out.write.mode("overwrite")
-    if compression:
-        w = w.option("compression", compression)
-    w.text(path)
+    _write_lines(fasta_lines(df), path, compression, single_file)
 
 
 def write_fastq(
@@ -79,13 +113,7 @@ def write_fastq(
     compression: str | None = None,
     single_file: bool = False,
 ) -> None:
-    out = fastq_lines(df)
-    if single_file:
-        out = out.coalesce(1)
-    w = out.write.mode("overwrite")
-    if compression:
-        w = w.option("compression", compression)
-    w.text(path)
+    _write_lines(fastq_lines(df), path, compression, single_file)
 
 
 def maybe_handle_copy(spark: SparkSession, sql: str) -> DataFrame | None:

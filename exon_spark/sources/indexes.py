@@ -247,6 +247,75 @@ def build_tabix_vcf(vcf_gz_path: str, out_path: str | None = None) -> str:
     return out_path
 
 
+def build_tabix_gff(gff_gz_path: str, out_path: str | None = None) -> str:
+    """Build a .tbi for a coordinate-sorted BGZF GFF/GTF (tabix GFF preset:
+    seq col 1, begin col 4, end col 5, 1-based, '#' meta)."""
+    import struct as _s
+
+    from exon_spark.sources.bgzf import BGZFReader, BGZFWriter
+
+    out_path = out_path or gff_gz_path + ".tbi"
+    names: list[str] = []
+    name_idx: dict[str, int] = {}
+    bins: list[dict[int, list[list[int]]]] = []
+    linear: list[dict[int, int]] = []
+
+    with BGZFReader(gff_gz_path) as bg:
+        for line, v_start, v_end in bg.lines_with_voffsets():
+            if not line or line.startswith("#"):
+                continue
+            f = line.split("\t", 5)
+            if len(f) < 5:
+                continue
+            chrom, beg0, end0 = f[0], int(f[3]) - 1, int(f[4])
+            if chrom not in name_idx:
+                name_idx[chrom] = len(names)
+                names.append(chrom)
+                bins.append({})
+                linear.append({})
+            rid = name_idx[chrom]
+            b = reg2bin(beg0, end0)
+            chunk_list = bins[rid].setdefault(b, [])
+            if chunk_list and chunk_list[-1][1] == v_start:
+                chunk_list[-1][1] = v_end
+            else:
+                chunk_list.append([v_start, v_end])
+            for win in range(beg0 >> 14, ((end0 - 1) >> 14) + 1):
+                cur = linear[rid].get(win)
+                if cur is None or v_start < cur:
+                    linear[rid][win] = v_start
+
+    payload = bytearray()
+    payload += b"TBI\x01"
+    payload += _s.pack("<i", len(names))
+    payload += _s.pack("<6i", 0, 1, 4, 5, ord("#"), 0)  # GFF preset
+    names_blob = b"".join(n.encode() + b"\x00" for n in names)
+    payload += _s.pack("<i", len(names_blob)) + names_blob
+    for rid in range(len(names)):
+        payload += _s.pack("<i", len(bins[rid]))
+        for bin_id in sorted(bins[rid]):
+            chunks = bins[rid][bin_id]
+            payload += _s.pack("<I", bin_id) + _s.pack("<i", len(chunks))
+            for cb, ce in chunks:
+                payload += _s.pack("<QQ", cb, ce)
+        if linear[rid]:
+            n_intv = max(linear[rid]) + 1
+            ioffs = []
+            prev = 0
+            for win in range(n_intv):
+                if win in linear[rid]:
+                    prev = linear[rid][win]
+                ioffs.append(prev)
+        else:
+            n_intv, ioffs = 0, []
+        payload += _s.pack("<i", n_intv)
+        for off in ioffs:
+            payload += _s.pack("<Q", off)
+    with BGZFWriter(out_path) as out:
+        out.write(bytes(payload))
+    return out_path
+
+
 def build_csi_vcf(
     vcf_gz_path: str,
     out_path: str | None = None,

@@ -84,8 +84,99 @@ def _read_tsv_raw(
     return df.select(*sel), parts
 
 
+def _tabix_lines_rdd(spark: SparkSession, path: str, regions: str):
+    """Distributed tabix-pruned line source for a single bgzf file: the
+    driver queries the .tbi, then chunk GROUPS (not lines) parallelize
+    across executors which each decompress + read their byte ranges
+    (INDEXED_GFF semantics, SURVEY.md §4.1). Returns None when the layout
+    doesn't support pruning (caller falls back to scan+filter)."""
+    import os
+
+    from exon_spark.functions.region import expand_regions
+    from exon_spark.sources.indexes import (
+        adaptive_target_bytes,
+        read_tabix,
+        split_chunk_groups,
+        tabix_chunks,
+    )
+
+    if not (
+        os.path.isfile(path)
+        and path.lower().endswith((".gz", ".bgz"))
+        and os.path.exists(path + ".tbi")
+    ):
+        return None
+    idx = read_tabix(path + ".tbi")
+    all_chunks = []
+    for region in expand_regions(regions):
+        chunks = tabix_chunks(idx, region)
+        if chunks:
+            all_chunks.append(chunks)
+    total = sum(
+        (ce >> 16) - (cb >> 16) for chunks in all_chunks for cb, ce in chunks
+    )
+    target = adaptive_target_bytes(total, spark.sparkContext.defaultParallelism)
+    groups = [g for chunks in all_chunks for g in split_chunk_groups(chunks, target)]
+
+    def _read_group(group):
+        from exon_spark.sources.bgzf import BGZFReader
+
+        with BGZFReader(path) as bg:
+            yield from bg.lines_in_chunks(list(group))
+
+    if not groups:
+        return "empty"
+    return spark.sparkContext.parallelize(groups, len(groups)).flatMap(_read_group)
+
+
+def _region_predicate(regions: str, seq_col: str, start_col: str, end_col: str):
+    """Residual OR-of-overlaps predicate (1-based inclusive intervals)."""
+    from functools import reduce
+
+    from exon_spark.functions.region import expand_regions, parse_region
+
+    conds = []
+    for region in expand_regions(regions):
+        name, lo, hi = parse_region(region)
+        conds.append(
+            (F.col(seq_col) == name)
+            & (F.col(start_col) <= hi)
+            & (F.col(end_col) >= lo)
+        )
+    return reduce(lambda a, b: a | b, conds) if conds else F.lit(True)
+
+
 def read_gff(spark: SparkSession, path: str, **options) -> DataFrame:
+    regions = options.pop("regions", None) or options.pop("region", None)
+    if regions:
+        src = _tabix_lines_rdd(spark, path, regions)
+        if src == "empty":  # indexed, but no reference/chunks overlap
+            return spark.createDataFrame(
+                [],
+                "seqname string, source string, type string, start bigint, "
+                "end bigint, score float, strand string, phase string, "
+                "attributes map<string,array<string>>",
+            )
+        if src is not None:
+            df = (
+                spark.read.option("sep", "\t")
+                .option("comment", "#")
+                .csv(src, inferSchema=False)
+            )
+            data = [c for c in df.columns][:9]
+            df = df.select(*[F.col(c).alias(f"_c{i}") for i, c in enumerate(data)])
+            parts = []
+        else:
+            df, parts = _read_tsv_raw(spark, path, 9, **options)
+        out = _gff_select(df, parts)
+        # residual predicate — index chunks are supersets; no-index layouts
+        # degrade to scan+filter, never to wrong answers
+        return out.filter(_region_predicate(regions, "seqname", "start", "end"))
     df, parts = _read_tsv_raw(spark, path, 9, **options)
+    return _gff_select(df, parts)
+
+
+def _gff_select(df: DataFrame, parts: list[str]) -> DataFrame:
     attrs = F.map_from_entries(
         F.transform(
             F.filter(F.split("_c8", ";"), lambda s: F.trim(s) != ""),

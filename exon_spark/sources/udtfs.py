@@ -250,26 +250,54 @@ def _make_tabular_udtf(fmt: str, indexed: bool = False):
 
         def eval(self, path, *args):
             bootstrap()
+            import os as _os
+
             from exon_spark.functions.region import parse_region
             from exon_spark.sources.udtfs import _parse_tabular_line
             from exon_spark.sources.util import list_files, text_lines
 
-            region = None
+            region = region_str = None
             if indexed:
                 if not args:
                     raise ValueError(f"{fmt}_indexed_scan(path, region) needs a region")
-                region = parse_region(args[0])
+                region_str = args[0]
+                region = parse_region(region_str)
+
+            def keep(row) -> bool:
+                if region is None:
+                    return True
+                name, lo, hi = region
+                return row[0] == name and row[3] <= hi and row[4] >= lo
+
             for f in list_files(path):
+                tbi = f.path + ".tbi"
+                if (
+                    region is not None
+                    and f.path.lower().endswith((".gz", ".bgz"))
+                    and _os.path.exists(tbi)
+                ):
+                    # tabix-pruned byte-range scan (the reference's
+                    # INDEXED_GFF path); residual predicate still applies
+                    from exon_spark.sources.bgzf import BGZFReader
+                    from exon_spark.sources.indexes import read_tabix, tabix_chunks
+
+                    chunks = tabix_chunks(read_tabix(tbi), region_str)
+                    if not chunks:
+                        continue
+                    with BGZFReader(f.path) as bg:
+                        for line in bg.lines_in_chunks(chunks):
+                            if not line or line.startswith("#"):
+                                continue
+                            row = _parse_tabular_line(fmt, line)
+                            if row is not None and keep(row):
+                                yield row
+                    continue
                 for line in text_lines(f.path):
                     if not line or line.startswith("#"):
                         continue
                     row = _parse_tabular_line(fmt, line)
-                    if row is None:
+                    if row is None or not keep(row):
                         continue
-                    if region is not None:
-                        name, lo, hi = region
-                        if row[0] != name or row[3] > hi or row[4] < lo:
-                            continue
                     yield row
 
     TabularScanUDTF.__name__ = f"{fmt}_indexed_scan" if indexed else f"{fmt}_scan"

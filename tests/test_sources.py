@@ -285,3 +285,28 @@ def test_columns_projection_option(spark, fixtures):
     )
     assert vdf.columns == ["chrom", "alt"]
     assert vdf.schema["alt"].dataType.simpleString() == "array<string>"
+
+
+def test_write_fasta_zstd_roundtrip(spark, fixtures, tmp_path):
+    """zstd sink (reference: COPY ... OPTIONS(compression 'zstd')) writes
+    through pyarrow's codec — the JVM has no zstd text codec here."""
+    from exon_spark.sinks import maybe_handle_copy, write_fasta
+
+    df = spark.read.format("fasta").load(str(fixtures / "test.fasta"))
+    out = tmp_path / "out_fasta_zst"
+    write_fasta(df, str(out), compression="zstd")
+    back = spark.read.format("fasta").load(str(out))
+    assert {r["id"]: r["sequence"] for r in back.collect()} == {
+        r["id"]: r["sequence"] for r in df.collect()
+    }
+
+    df.createOrReplaceTempView("fa_z")
+    single = tmp_path / "single.fasta.zst"
+    res = maybe_handle_copy(
+        spark,
+        f"COPY (SELECT * FROM fa_z) TO '{single}' STORED AS FASTA "
+        "OPTIONS(compression 'zstd')",
+    )
+    assert res.collect()[0]["count"] == df.count()
+    back1 = spark.read.format("fasta").load(str(single))
+    assert back1.count() == df.count()

@@ -92,3 +92,88 @@ def test_register_exon_table_helper(spark, files):
     x = ExonSession(spark)
     x.register_exon_table("my_gff", str(files / "t.gff"), "gff")
     assert spark.sql("SELECT count(*) c FROM my_gff").collect()[0]["c"] == 3
+
+
+def test_gff_indexed_scan_tabix_pruned(spark, tmp_path):
+    """gff_indexed_scan over a bgzf+tbi GFF prunes via the tabix index and
+    returns exactly the overlapping features."""
+    import random
+
+    from exon_spark.sources.bgzf import bgzip_file
+    from exon_spark.sources.indexes import build_tabix_gff
+
+    rng = random.Random(3)
+    rows = []
+    for chrom in ("chr1", "chr5"):
+        pos = sorted(rng.sample(range(1, 3_000_000), 800))
+        rows += [(chrom, p, p + 99) for p in pos]
+    plain = tmp_path / "f.gff"
+    with open(plain, "w") as fh:
+        fh.write("##gff-version 3\n")
+        for chrom, s, e in rows:
+            fh.write(f"{chrom}\tsrc\tgene\t{s}\t{e}\t.\t+\t.\tID=g{s}\n")
+    gz = tmp_path / "f.gff.gz"
+    bgzip_file(str(plain), str(gz))
+    build_tabix_gff(str(gz))
+
+    got = spark.sql(
+        f"SELECT seqname, start, end FROM gff_indexed_scan('{gz}', 'chr5:100000-200000')"
+    ).collect()
+    want = [
+        (c, s, e)
+        for c, s, e in rows
+        if c == "chr5" and s <= 200_000 and e >= 100_000
+    ]
+    assert sorted((r.seqname, r.start, r.end) for r in got) == want
+    # absent chromosome -> empty, via the index's name table
+    assert (
+        spark.sql(
+            f"SELECT * FROM gff_indexed_scan('{gz}', 'chrZ:1-100')"
+        ).count()
+        == 0
+    )
+
+
+def test_read_gff_regions_pruned_dataframe(spark, tmp_path):
+    """DataFrame-level read_gff with regions: tabix-pruned chunk groups
+    parallelized across executors, residual filter on top; falls back to
+    scan+filter without an index."""
+    import random
+
+    from exon_spark.sources import read_format
+    from exon_spark.sources.bgzf import bgzip_file
+    from exon_spark.sources.indexes import build_tabix_gff
+
+    rng = random.Random(11)
+    rows = []
+    for chrom in ("chr2", "chr8"):
+        pos = sorted(rng.sample(range(1, 2_000_000), 600))
+        rows += [(chrom, p, p + 49) for p in pos]
+    plain = tmp_path / "g.gff"
+    with open(plain, "w") as fh:
+        fh.write("##gff-version 3\n")
+        for chrom, s, e in rows:
+            fh.write(f"{chrom}\tsrc\texon\t{s}\t{e}\t.\t-\t0\tID=x{s};N=a,b\n")
+    gz = tmp_path / "g.gff.gz"
+    bgzip_file(str(plain), str(gz))
+    build_tabix_gff(str(gz))
+
+    want = [
+        (c, s, e)
+        for c, s, e in rows
+        if c == "chr8" and s <= 900_000 and e >= 800_000
+    ]
+    pruned = read_format(spark, "gff", str(gz), regions="chr8:800000-900000")
+    got = sorted(
+        (r.seqname, r.start, r.end)
+        for r in pruned.select("seqname", "start", "end").collect()
+    )
+    assert got == want
+    # attributes survive the pruned path
+    row = pruned.limit(1).collect()[0]
+    assert row.attributes["N"] == ["a", "b"]
+    # fallback (no index) must agree
+    noidx = read_format(spark, "gff", str(plain), regions="chr8:800000-900000")
+    assert noidx.count() == len(want)
+    # absent chromosome -> empty frame with the right schema
+    assert read_format(spark, "gff", str(gz), regions="chrQ").count() == 0
