@@ -17,7 +17,12 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 import pyarrow as pa
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -178,6 +183,58 @@ def _split_ddl_fields(ddl: str) -> list[tuple[str, str]]:
     return fields
 
 
+def read_partition_batches(
+    source_cls, options: dict, spark_schema: StructType, partition: FilePartition
+) -> Iterator[pa.RecordBatch]:
+    """Shared executor-side partition reader (batch + streaming paths)."""
+    schema = arrow_schema(spark_schema)
+    pv = dict(partition.partition_values)
+    names = schema.names
+
+    # vectorized fast path: a source may build whole Arrow batches
+    # (e.g. via pyarrow.csv) instead of yielding per-record dicts.
+    # Returns None when the partition/options need the generic path.
+    vec = getattr(source_cls, "read_arrow_partition", None)
+    if vec is not None:
+        data_schema = pa.schema([f for f in schema if f.name not in pv])
+        batches = vec(partition, options, data_schema)
+        if batches is not None:
+            for batch in batches:
+                if pv:
+                    arrays = list(batch.columns)
+                    bnames = list(batch.schema.names)
+                    for k in schema.names:
+                        if k in pv:
+                            arrays.append(
+                                pa.array([pv[k]] * batch.num_rows, pa.string())
+                            )
+                            bnames.append(k)
+                    batch = pa.RecordBatch.from_arrays(arrays, names=bnames)
+                    batch = batch.select(schema.names)
+                yield batch
+            return
+
+    def flush(rows: list[dict]) -> pa.RecordBatch:
+        # column-pivot + typed pa.array is ~7x faster than
+        # RecordBatch.from_pylist's per-row dict decoding
+        arrays = [
+            pa.array([r.get(n) for r in rows], type=schema.field(i).type)
+            for i, n in enumerate(names)
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    rows: list[dict] = []
+    for rec in source_cls.parse_partition(partition, options):
+        if pv:
+            rec.update(pv)
+        rows.append(rec)
+        if len(rows) >= BATCH_SIZE:
+            yield flush(rows)
+            rows = []
+    if rows:
+        yield flush(rows)
+
+
 class FormatReader(DataSourceReader):
     def __init__(self, source: "FileFormatSource", schema: StructType):
         self.source_cls = type(source)
@@ -193,54 +250,52 @@ class FormatReader(DataSourceReader):
         ]
 
     def read(self, partition: FilePartition) -> Iterator[pa.RecordBatch]:
-        schema = arrow_schema(self.schema)
-        pv = dict(partition.partition_values)
-        names = schema.names
+        yield from read_partition_batches(
+            self.source_cls, self.options, self.schema, partition
+        )
 
-        # vectorized fast path: a source may build whole Arrow batches
-        # (e.g. via pyarrow.csv) instead of yielding per-record dicts.
-        # Returns None when the partition/options need the generic path.
-        vec = getattr(self.source_cls, "read_arrow_partition", None)
-        if vec is not None:
-            data_schema = pa.schema(
-                [f for f in schema if f.name not in pv]
-            )
-            batches = vec(partition, self.options, data_schema)
-            if batches is not None:
-                for batch in batches:
-                    if pv:
-                        arrays = list(batch.columns)
-                        bnames = list(batch.schema.names)
-                        for k in schema.names:
-                            if k in pv:
-                                arrays.append(
-                                    pa.array([pv[k]] * batch.num_rows, pa.string())
-                                )
-                                bnames.append(k)
-                        batch = pa.RecordBatch.from_arrays(arrays, names=bnames)
-                        batch = batch.select(schema.names)
-                    yield batch
-                return
 
-        def flush(rows: list[dict]) -> pa.RecordBatch:
-            # column-pivot + typed pa.array is ~7x faster than
-            # RecordBatch.from_pylist's per-row dict decoding
-            arrays = [
-                pa.array([r.get(n) for r in rows], type=schema.field(i).type)
-                for i, n in enumerate(names)
-            ]
-            return pa.RecordBatch.from_arrays(arrays, schema=schema)
+class FormatStreamReader(DataSourceStreamReader):
+    """Streaming face of every format source: the directory is an unbounded
+    table and files appearing under it become micro-batches
+    (`spark.readStream.format("fastq").load(dir)`). Offsets are the sorted
+    set of files already processed — exactly-once at file granularity, the
+    same contract as Spark's built-in FileStreamSource. Index-pruned /
+    byte-range partition planning is reused verbatim, so one new 10 GB file
+    still fans out across executors within its micro-batch."""
 
-        rows: list[dict] = []
-        for rec in self.source_cls.parse_partition(partition, self.options):
-            if pv:
-                rec.update(pv)
-            rows.append(rec)
-            if len(rows) >= BATCH_SIZE:
-                yield flush(rows)
-                rows = []
-        if rows:
-            yield flush(rows)
+    def __init__(self, source: "FileFormatSource", schema: StructType):
+        self.source = source
+        self.source_cls = type(source)
+        self.options = dict(source.options)
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": sorted(f.path for f in self.source._files())}
+
+    def partitions(self, start: dict, end: dict):
+        new = set(end.get("seen", ())) - set(start.get("seen", ()))
+        parts = [
+            p
+            for f in self.source._files()
+            if f.path in new
+            for p in self.source_cls.plan_partitions(f, self.options)
+        ]
+        # Spark requires >= 1 partition per planned batch
+        return parts or [FilePartition("", "none", (), extra=("__none__",))]
+
+    def read(self, partition: FilePartition) -> Iterator[pa.RecordBatch]:
+        if partition.extra and partition.extra[0] == "__none__":
+            return
+        yield from read_partition_batches(
+            self.source_cls, self.options, self.schema, partition
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class FileFormatSource(DataSource):
@@ -289,6 +344,9 @@ class FileFormatSource(DataSource):
 
     def reader(self, schema: StructType) -> FormatReader:
         return FormatReader(self, schema)
+
+    def streamReader(self, schema: StructType) -> FormatStreamReader:
+        return FormatStreamReader(self, schema)
 
     # ---- hooks ----
 

@@ -67,3 +67,50 @@ def test_session_stream_counts(spark, tmp_path):
         if r.user_id in prev:
             assert r.session_start >= prev[r.user_id]
         prev[r.user_id] = r.session_end
+
+
+def test_format_source_stream_incremental(spark, tmp_path):
+    """spark.readStream.format('fastq'): files appearing under the
+    directory become micro-batches; a checkpointed second run processes
+    ONLY the new file (file-granular exactly-once)."""
+    from exon_spark.sources import register_sources
+
+    register_sources(spark)
+    d = tmp_path / "stream_fastq"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_fq(name, ids):
+        with open(d / name, "w") as fh:
+            for i in ids:
+                fh.write(f"@r{i} d\nACGT\n+\nIIII\n")
+
+    write_fq("a.fastq", range(5))
+    write_fq("b.fastq", range(5, 12))
+
+    out = str(tmp_path / "out_parquet")
+
+    def run_once():
+        stream = spark.readStream.format("fastq").load(str(d))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(out)
+
+    got1 = run_once()
+    assert {r.name for r in got1.collect()} == {f"r{i}" for i in range(12)}
+
+    # new file arrives; the checkpointed stream appends ONLY the delta —
+    # names stay unique, proving files are not reprocessed
+    write_fq("c.fastq", range(12, 15))
+    got2 = run_once()
+    names = [r.name for r in got2.collect()]
+    assert len(names) == 15
+    assert set(names) == {f"r{i}" for i in range(15)}
