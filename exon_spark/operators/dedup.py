@@ -129,6 +129,48 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def shingled_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(doc_id, sh: array<string>) — the distinct shingle set per doc as an
+    array column, computed entirely map-side (no explode-to-rows, no
+    shuffle). Docs shorter than n tokens are dropped, matching
+    ``shingle_rows``.
+
+    Both the token array and the shingle array are pinned behind
+    ``explode(array(...))`` Generate barriers: without them Catalyst
+    inlines ``split(text)`` into every ``element_at``/``size`` consumer
+    (~5x per shingle — measured 10x slowdown end-to-end), and the final
+    size filter would re-evaluate the whole shingle transform."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens(text_col))).alias("toks"),
+    ).filter(F.size("toks") >= n)
+    sh = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            ),
+            lambda s: s != "",
+        )
+    )
+    return toked.select("doc_id", F.explode(F.array(sh)).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+
+def _hashed_docs(docs: DataFrame) -> DataFrame:
+    """Adds hs = h32 of each shingle, behind an ``explode(array(...))``
+    Generate barrier so Catalyst cannot inline the md5 into every consumer
+    expression (16 min-aggregates would otherwise each recompute it)."""
+    return docs.select(
+        "doc_id",
+        F.col("sh"),
+        F.explode(F.array(F.transform("sh", h32))).alias("hs"),
+    )
+
+
 def shingle_rows(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -279,10 +321,36 @@ def minhash_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle -> 16-perm
-    signatures -> 4x4 LSH banding -> exact-Jaccard verification."""
-    sh = _materialize(shingle_rows(df, id_col, text_col, n))
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
-    return jaccard_verify(cands, sh, threshold)
+    signatures -> 4x4 LSH banding -> exact-Jaccard verification.
+
+    Signatures are computed **map-side** from the per-doc shingle array
+    (``array_min`` over a ``transform`` per permutation) — zero shuffles
+    until the 4-rows-per-doc band join. The row-based
+    ``minhash_signatures`` path (explode + groupBy) computes identical
+    values but pays an explode and an aggregation shuffle; at 100 TB the
+    array path is embarrassingly parallel."""
+    docs = _materialize(shingled_docs(df, id_col, text_col, n))
+    hdocs = _hashed_docs(docs)
+    sig_cols = [
+        F.array_min(
+            F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+        ).alias(f"m{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    cands = lsh_candidate_pairs(hdocs.select("doc_id", *sig_cols))
+    # carry set sizes (map-side size(sh)) so jaccard_verify skips its
+    # count-aggregation joins; the sizes table is one row per doc —
+    # AQE broadcasts it at bench scale, plain shuffle join beyond
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    cands = cands.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+        "doc_b",
+    )
+    sh_rows = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    return jaccard_verify(cands, sh_rows, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -308,10 +376,13 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     sh = _materialize(shingle_rows(df, id_col, text_col, n, hashed=True))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    # document frequency via a count window over the shingle partition: one
+    # shuffle by shingle, vs. the groupBy+self-join formulation's two passes
+    # (measured 2x faster; skew exposure is identical — the join variant
+    # also shuffles every row of sh by shingle)
     w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("shingle"))
     ranked = (
-        sh.join(freq, "shingle")
+        sh.withColumn("df_", F.count("*").over(Window.partitionBy("shingle")))
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     )
@@ -353,24 +424,31 @@ def simhash(
     """32-bit SimHash over the distinct word n-gram shingle set (feature
     hash = h32; bit b of the fingerprint is 1 iff the sum over features of
     ±1 for bit b is > 0). Shingle features (default n=3) rather than unigrams
-    so small-vocabulary corpora still discriminate."""
-    toks = shingle_rows(df, id_col, text_col, n).withColumnRenamed("shingle", "tok")
-    # hash once per row — see minhash_signatures on aggregate-expression CSE
-    hashed = toks.select("doc_id", h32("tok").alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    so small-vocabulary corpora still discriminate.
+
+    Computed **map-side** from the per-doc shingle array: each bit-sum is an
+    ``aggregate`` over the hashed array, so the whole fingerprint is one
+    shuffle-free projection (the explode + groupBy formulation computes the
+    same values but shuffles every (doc, shingle) row)."""
+    hdocs = _hashed_docs(shingled_docs(df, id_col, text_col, n))
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(1) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+        term = F.when(bit_sum(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         fp = term if fp is None else fp + term
-    return sums.select("doc_id", fp.alias("simhash"))
+    return hdocs.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
