@@ -8,9 +8,11 @@ scale to a 1000-executor cluster.
 Scale design notes:
 * ``exact_dedup``: one hash-groupBy shuffle on a 128-bit digest; at 100 TB
   the digest (16 bytes) shuffles, not the document text.
-* ``minhash``: shingling explodes to (doc, shingle) rows but is immediately
-  re-aggregated per doc (map-side partial min for each permutation ⇒ the
-  shuffle carries doc_id + 16 longs, not shingles).
+* ``minhash`` / ``simhash``: signatures are computed map-side from the
+  per-doc shingle *array* (``array_min`` / ``aggregate`` over ``transform``)
+  — zero shuffles until the band join, which carries doc_id + a band hash.
+  The row-based ``minhash_signatures`` (explode + groupBy with map-side
+  partial min) remains for callers that already have (doc, shingle) rows.
 * ``lsh_candidate_pairs``: bucket join on (band, signature) — only docs
   sharing a full band signature meet; skew-safe under AQE. All-pairs work is
   confined to within-bucket, as in the classic MMDS formulation.
