@@ -388,10 +388,17 @@ def ngram_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     )
-    prefix = _materialize(  # self-joined below: compute the rank pipeline once
+    # self-joined below: lazy persist computes the rank pipeline once (the
+    # self-join's map stages run sequentially, so the second side reads the
+    # cache) without the extra eager-materialization job a checkpoint pays
+    from pyspark import StorageLevel
+
+    prefix = (
         ranked.filter(
             F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        ).select("doc_id", "shingle", "n_sh")
+        )
+        .select("doc_id", "shingle", "n_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
