@@ -53,10 +53,10 @@ def main() -> None:
     ALL_QUERIES["q04_forecast_revenue"].spark_fn(spark, sf_dir).count()
 
     def drop_intermediates() -> None:
-        """Queries are independent: drop cached tables AND the
-        eager-materialized (localCheckpoint) blocks the dedup operators
-        leave behind, so later queries aren't timed under memory pressure.
-        clearCache() alone misses checkpoint RDD blocks."""
+        """Queries are independent: drop cached tables AND any persisted
+        RDD blocks the dedup operators leave behind, so later queries
+        aren't timed under memory pressure. clearCache() alone misses
+        non-catalog RDD blocks."""
         spark.catalog.clearCache()
         jsc = spark.sparkContext._jsc.sc()
         it = jsc.getPersistentRDDs().iterator()
