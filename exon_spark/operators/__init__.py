@@ -2,6 +2,7 @@
 search, text analysis, multimodal plumbing, interval joins."""
 
 from exon_spark.operators.dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_dedup,
     minhash_signatures,
@@ -13,6 +14,7 @@ from exon_spark.operators.dedup import (
     simhash_pairs,
 )
 from exon_spark.operators.multimodal import decode_media, with_media_payload
+from exon_spark.operators.sampling import hash_sample, stratified_mix
 from exon_spark.operators.similarity import (
     cosine,
     cosine_topk,
@@ -23,7 +25,10 @@ from exon_spark.operators.similarity import (
 from exon_spark.operators.text import fingerprint, lang_id, text_stats
 
 __all__ = [
+    "dup_clusters",
     "exact_dedup",
+    "hash_sample",
+    "stratified_mix",
     "minhash_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",

@@ -95,24 +95,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     """Persist a DataFrame that the caller will feed into several downstream
-    branches of one action.
+    branches of one action. Always ``persist(MEMORY_AND_DISK)`` — lineage
+    is kept, so losing an executor mid-query recomputes instead of failing
+    (``localCheckpoint`` truncates lineage with NO automatic retry —
+    unacceptable under dynamic allocation / spot executors).
 
-    Lazy ``persist(MEMORY_AND_DISK)``: the first stage that needs the
-    subtree computes and caches it; later stages read the cache. Map stages
-    of a self-join are scheduled sequentially, so in practice the subtree
-    is computed once; a stage that starts before the cache fills recomputes
-    at most its own partitions once. Measured equal-or-faster warm and
-    ~2x faster cold than ``localCheckpoint(eager=True)`` (which pays a
-    whole extra job up front) across the dedup pipelines at sf0.1 — and
-    unlike localCheckpoint it keeps lineage, so losing an executor
-    mid-query recomputes instead of failing the job (localCheckpoint
-    truncates lineage to executor-local blocks with NO automatic retry —
-    unacceptable under dynamic allocation / spot executors)."""
+    ``eager`` forces computation NOW (count()) and is the right call when
+    the consumers are *concurrently scheduled* stages of one job (e.g. the
+    two sides of jaccard_verify's candidate⋈shingle joins): left lazy,
+    each concurrent stage recomputes the uncached subtree from scratch
+    (measured 2-3x cold slowdown). Leave lazy when the consumers run
+    sequentially (the map stages of a self-join): the first populates the
+    cache, the second reads it, and no upfront job is paid."""
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        df.count()
+    return df
 
 
 def shingled_docs(
@@ -315,7 +317,7 @@ def minhash_dedup(
     ``minhash_signatures`` path (explode + groupBy) computes identical
     values but pays an explode and an aggregation shuffle; at 100 TB the
     array path is embarrassingly parallel."""
-    docs = _materialize(shingled_docs(df, id_col, text_col, n))
+    docs = _materialize(shingled_docs(df, id_col, text_col, n), eager=True)
     hdocs = _hashed_docs(docs)
     sig_cols = [
         F.array_min(
@@ -361,7 +363,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _materialize(shingle_rows(df, id_col, text_col, n, hashed=True))
+    sh = _materialize(shingle_rows(df, id_col, text_col, n, hashed=True), eager=True)
     # document frequency via a count window over the shingle partition: one
     # shuffle by shingle, vs. the groupBy+self-join formulation's two passes
     # (measured 2x faster; skew exposure is identical — the join variant
@@ -474,3 +476,57 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (doc_id,
+    cluster_id), where cluster_id is the minimum doc_id in the component.
+    This is the step that turns pairwise near-dup output into actionable
+    groups (keep one canonical doc per cluster).
+
+    Iterative min-label propagation: each round, every vertex takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup graphs are forests of tiny
+    dense clusters (diameter 2-4 in practice), so this beats the
+    O(log n)-round large-star/small-star alternation, which pays its
+    constant factor twice per round. Each round is one shuffle join plus
+    one map-side-combined groupBy; the label table (2 longs per doc in
+    any pair) is persisted per round and unpersisted after the next round
+    materializes. Early-stops via a per-round changed-label count.
+
+    Iterative and therefore not expressible in one SQL statement; the
+    DuckDB oracle (q31) uses a recursive CTE over the same pairs.
+    """
+    edges = _materialize(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ),
+        eager=True,
+    )
+    labels = _materialize(
+        edges.select(F.col("src").alias("doc")).distinct().select(
+            "doc", F.col("doc").alias("lab")
+        ),
+        eager=True,
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .select(F.col("src").alias("doc"), "lab")
+            .union(labels)
+            .groupBy("doc")
+            .agg(F.min("lab").alias("lab"))
+        )
+        new_labels = _materialize(nbr_min, eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels.unpersist(False)
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist(False)
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lab").alias("cluster_id"))

@@ -98,8 +98,7 @@ def _q19_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(table(spark, sf_dir, "documents"), threshold=0.5)
 
 
-Q19_ORACLE = f"""
-with {_SHINGLES_DUCK},
+_MINHASH_PAIRS_CTES = f"""{_SHINGLES_DUCK},
 hh as (
   select doc_id, shingle, ('0x' || substr(md5(shingle), 1, 8))::bigint as h from sh
 ),
@@ -117,11 +116,17 @@ common as (
   join sh a on a.doc_id = c.doc_a
   join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
   group by c.doc_a, c.doc_b
-)
-select doc_a, doc_b,
-       round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6) as jaccard
-from common join cnt x on doc_a = x.doc_id join cnt y on doc_b = y.doc_id
-where round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+),
+pairs as (
+  select doc_a, doc_b,
+         round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6) as jaccard
+  from common join cnt x on doc_a = x.doc_id join cnt y on doc_b = y.doc_id
+  where round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+)"""
+
+Q19_ORACLE = f"""
+with {_MINHASH_PAIRS_CTES}
+select doc_a, doc_b, jaccard from pairs
 """
 
 # ------------------------------------------------------------------- simhash
@@ -413,6 +418,69 @@ from m
 """
 
 
+# --------------------------------------------- dup clustering + corpus mix
+
+
+def _q31_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators.dedup import dup_clusters, minhash_dedup as _mh
+
+    return dup_clusters(_mh(table(spark, sf_dir, "documents"), threshold=0.5))
+
+
+# recursive CTE = transitive closure over the same minhash pairs; the Spark
+# side iterates min-label propagation (dedup.dup_clusters) — identical
+# components, different algorithm (closure is O(n*m) rows, fine at oracle
+# scale; propagation is O(diameter) shuffle rounds, fine at 100 TB)
+Q31_ORACLE = f"""
+with recursive {_MINHASH_PAIRS_CTES},
+e as (
+  select doc_a as src, doc_b as dst from pairs
+  union
+  select doc_b, doc_a from pairs
+),
+reach(src, dst) as (
+  select src, dst from e
+  union
+  select r.src, e2.dst from reach r join e e2 on r.dst = e2.src
+)
+select src as doc_id, least(src, min(dst)) as cluster_id
+from reach group by src
+"""
+
+_MIX_RATES = {"src0": 0.5, "src1": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _q32_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators.sampling import stratified_mix
+
+    picked = stratified_mix(
+        table(spark, sf_dir, "documents"),
+        rates=_MIX_RATES,
+        stratum_col="source",
+        default_rate=_MIX_DEFAULT,
+    )
+    return picked.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+_MIX_RATE_SQL = (
+    "case "
+    + " ".join(
+        f"when source = '{v}' then {int(r * 1_000_000)}" for v, r in _MIX_RATES.items()
+    )
+    + f" else {int(_MIX_DEFAULT * 1_000_000)} end"
+)
+
+Q32_ORACLE = f"""
+select lang, source, count(*) as n_docs, sum(n_chars) as total_chars
+from documents
+where ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000000 < {_MIX_RATE_SQL}
+group by lang, source
+"""
+
+
 PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
@@ -426,4 +494,6 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q26_multimodal_decode", _q26_spark, Q26_ORACLE, "binary payload + mapInPandas decode stub"),
     QuerySpec("q27_similarity_ann_ivf", _q27_spark, _q27_oracle(), "IVF-cell ANN top-k"),
     QuerySpec("q28_dedup_embedding_cosine", _q28_spark, _q28_oracle(), "embedding-cosine near-dup"),
+    QuerySpec("q31_dedup_clusters", _q31_spark, Q31_ORACLE, "connected components over near-dup pairs"),
+    QuerySpec("q32_corpus_mix", _q32_spark, Q32_ORACLE, "deterministic stratified corpus mixing"),
 ]

@@ -85,3 +85,49 @@ def test_vcf_vectorized_matches_row_path(spark, tmp_path):
     key = lambda r: r.pos
     assert sorted(fast, key=key) == sorted(slow, key=key)
     assert len(fast) == 276
+
+
+def test_dup_clusters_components(spark):
+    """Min-label propagation must traverse multi-hop chains: a-b-c chained
+    pairs plus a separate d-e pair -> two components labelled by min id."""
+    from exon_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from exon_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s20 = {r.doc_id for r in hash_sample(df, 0.2).collect()}
+    s20_again = {r.doc_id for r in hash_sample(df, 0.2).collect()}
+    s50 = {r.doc_id for r in hash_sample(df, 0.5).collect()}
+    assert s20 == s20_again  # reproducible, partitioning-independent
+    assert s20 <= s50  # nested: smaller fraction is a subset of larger
+    assert 0.12 < len(s20) / 2000 < 0.28  # ~fraction of rows survive
+    # repartitioning must not change the surviving row set
+    s20_rep = {r.doc_id for r in hash_sample(df.repartition(7), 0.2).collect()}
+    assert s20_rep == s20
+
+
+def test_stratified_mix_rates(spark):
+    from exon_spark.operators.sampling import stratified_mix
+
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("src", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")))
+    )
+    got = stratified_mix(
+        df, rates={"s0": 0.5, "s1": 0.1}, stratum_col="src", default_rate=0.0
+    )
+    counts = {r.src: r.n for r in got.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("s2", 0) == 0  # default rate 0 drops the stratum
+    assert 0.35 < counts["s0"] / 1000 < 0.65
+    assert 0.03 < counts["s1"] / 1000 < 0.2
