@@ -92,6 +92,35 @@ from f
 """
 
 
+def _q33_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup by content digest: documents stream in (4
+    parquet shards, maxFilesPerTrigger=1 ⇒ four micro-batches under
+    availableNow) and only first-seen content hashes pass — state carries
+    seen keys ACROSS micro-batches. Output = the distinct digest set,
+    deterministic regardless of arrival order, so it gates against a plain
+    DISTINCT oracle; which physical row surfaced first is arrival-order
+    dependent and deliberately not part of the gated output."""
+    from exon_spark.streaming import run_stream_to_memory, streaming_dedup
+
+    tag = uuid.uuid4().hex[:8]
+    d = os.path.join(tempfile.gettempdir(), f"exon_stream_q33_{tag}")
+    docs = table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select(F.md5("text").alias("h"))
+    )
+    deduped = streaming_dedup(stream, key_cols=("h",))
+    return run_stream_to_memory(deduped, f"q33_{tag}", output_mode="append")
+
+
+Q33_ORACLE = """
+select distinct md5(text) as h from documents
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q29_streaming_tumbling",
@@ -104,5 +133,11 @@ STREAMING_QUERIES: list[QuerySpec] = [
         _q30_spark,
         Q30_ORACLE,
         "mapInPandas 1:N frame sampling",
+    ),
+    QuerySpec(
+        "q33_streaming_dedup",
+        _q33_spark,
+        Q33_ORACLE,
+        "applyInPandasWithState first-seen dedup across micro-batches",
     ),
 ]

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
@@ -113,3 +114,62 @@ def run_stream_to_memory(
     q.awaitTermination(timeout_s)
     q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("key",),
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming exact-dedup: emit only the FIRST row ever seen per key
+    across the life of the stream; all later rows with the same key are
+    dropped. The canonical training-data ingestion op — documents arrive
+    continuously and only unseen content may pass.
+
+    Custom stateful operator via ``applyInPandasWithState``: state per key
+    is a single marker row (a handful of bytes), so total state is
+    O(distinct keys), not O(input). With ``ttl_minutes`` set, keys idle
+    longer than the TTL are evicted (ProcessingTimeTimeout) — dedup
+    becomes "within a TTL horizon" and state is bounded for unbounded key
+    spaces; leave it None for exact global dedup over a bounded key space
+    (e.g. content digests of a finite corpus).
+
+    Output rows surface at the micro-batch where the key first appears
+    (append mode); within a batch the group's first row wins. State
+    shuffles by key exactly like a groupBy — skew-safe under AQE, scales
+    with executors.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = events.schema
+    state_schema = StructType([StructField("seen", IntegerType())])
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def first_only(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            for _ in pdfs:  # drain; duplicates dropped
+                pass
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # refresh TTL on activity
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        if first is not None:
+            state.update((1,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield first
+
+    return events.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        first_only, out_schema, state_schema, "append", timeout
+    )
