@@ -102,19 +102,37 @@ def _materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     (``localCheckpoint`` truncates lineage with NO automatic retry —
     unacceptable under dynamic allocation / spot executors).
 
-    ``eager`` forces computation NOW (count()) and is the right call when
-    the consumers are *concurrently scheduled* stages of one job (e.g. the
-    two sides of jaccard_verify's candidate⋈shingle joins): left lazy,
-    each concurrent stage recomputes the uncached subtree from scratch
+    ``eager`` forces computation NOW and is the right call when the
+    consumers are *concurrently scheduled* stages of one job (e.g. the two
+    sides of jaccard_verify's candidate⋈shingle joins): left lazy, each
+    concurrent stage recomputes the uncached subtree from scratch
     (measured 2-3x cold slowdown). Leave lazy when the consumers run
     sequentially (the map stages of a self-join): the first populates the
-    cache, the second reads it, and no upfront job is paid."""
+    cache, the second reads it, and no upfront job is paid.
+
+    The eager path uses ``localCheckpoint(eager=True)``: it stores raw
+    partition blocks, skipping the columnar encode/decode every
+    DataFrame ``persist`` read pays (~2s across the dedup bench).
+    CAVEAT: localCheckpoint truncates lineage — losing an executor
+    mid-query fails the job permanently (no automatic retry). Fine for
+    single-JVM local mode (executor loss == driver loss anyway); under
+    dynamic allocation / spot executors set
+    ``spark.exon.reliableMaterialize=true`` to use persist+count, which
+    keeps lineage and recovers from executor loss."""
     from pyspark.storagelevel import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    if eager:
+    if not eager:
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    reliable = (
+        str(df.sparkSession.conf.get("spark.exon.reliableMaterialize", "false"))
+        .lower()
+        == "true"
+    )
+    if reliable:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
-    return df
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def shingled_docs(
