@@ -89,3 +89,31 @@ def test_dedup_shingles_single_shuffle(registered):
     plan = _plan(shingle_rows(docs))
     assert plan.count("Exchange") <= 2  # hashpartitioning + AQE read
     assert "Window" not in plan
+
+
+def test_minhash_simhash_signatures_shuffle_free(registered):
+    """Array-native signatures must be a single map-side projection: no
+    Exchange (shuffle) anywhere below the signature output."""
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators.dedup import (
+        MERSENNE_P,
+        MINHASH_PERMS,
+        _hashed_docs,
+        shingled_docs,
+        simhash,
+    )
+
+    docs = registered.read.parquet(f"{SF}/documents.parquet")
+    hdocs = _hashed_docs(shingled_docs(docs))
+    sigs = hdocs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
+    assert "Exchange" not in _plan(sigs)
+    assert "Exchange" not in _plan(simhash(docs))
