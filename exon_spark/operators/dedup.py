@@ -381,17 +381,29 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _materialize(shingle_rows(df, id_col, text_col, n, hashed=True), eager=True)
+    # array-path shingles: per-doc distinct shingle set built map-side
+    # (array_distinct), so exploding yields already-distinct (doc, shingle)
+    # rows — no ``.distinct()`` shuffle — and the set size rides along as a
+    # map-side ``size(sh)`` instead of a count window over doc_id. Shingles
+    # are xxhash64'd inside the same projection: every downstream shuffle
+    # carries 8-byte keys, not ~40-byte strings.
+    docs = shingled_docs(df, id_col, text_col, n)
+    sh = _materialize(
+        docs.select(
+            "doc_id",
+            F.size("sh").alias("n_sh"),
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
+        ),
+        eager=True,
+    )
     # document frequency via a count window over the shingle partition: one
     # shuffle by shingle, vs. the groupBy+self-join formulation's two passes
     # (measured 2x faster; skew exposure is identical — the join variant
     # also shuffles every row of sh by shingle)
     w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("shingle"))
-    ranked = (
-        sh.withColumn("df_", F.count("*").over(Window.partitionBy("shingle")))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-    )
+    ranked = sh.withColumn(
+        "df_", F.count("*").over(Window.partitionBy("shingle"))
+    ).withColumn("rn", F.row_number().over(w))
     prefix = _materialize(  # self-joined below: compute the rank pipeline once
         ranked.filter(
             F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
