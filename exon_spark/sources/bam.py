@@ -17,6 +17,7 @@ import struct
 from collections.abc import Iterator
 
 from exon_spark.functions.region import parse_region
+from exon_spark.sources.fs import fs_exists
 from exon_spark.sources.base import FileFormatSource, FilePartition
 from exon_spark.sources.util import FoundFile, detect_compression
 
@@ -217,7 +218,7 @@ class BamSource(FileFormatSource):
             bai = f.path + ".bai"
             csi = f.path + ".csi"
             region_list = [r.strip() for r in regions.split(",") if r.strip()]
-            if os.path.exists(bai) or os.path.exists(csi):
+            if fs_exists(bai) or fs_exists(csi):
                 from exon_spark.sources.bgzf import BGZFReader
                 from exon_spark.sources.indexes import (
                     adaptive_target_bytes,
@@ -231,7 +232,7 @@ class BamSource(FileFormatSource):
                 with BGZFReader(f.path) as bg:
                     refs = read_bam_header(bg.stream_from(0))
                 ref_names = [n for n, _ in refs]
-                index = read_bai(bai) if os.path.exists(bai) else None
+                index = read_bai(bai) if fs_exists(bai) else None
                 cindex = None if index is not None else read_csi(csi)
 
                 per_region = []
@@ -268,7 +269,7 @@ class BamSource(FileFormatSource):
                 return parts
             return [FilePartition(f.path, comp, pv, extra=("filter", regions, ()))]
         bai = f.path + ".bai"
-        if os.path.exists(bai):
+        if fs_exists(bai):
             # full scan, but the linear index gives record-boundary virtual
             # offsets — split the file so one BAM fans out across executors
             # (without an index BAM is unsplittable: one partition per file,
@@ -286,7 +287,7 @@ class BamSource(FileFormatSource):
 
             par = int(options.get("target_parallelism", 0) or 0)
             target = adaptive_target_bytes(
-                os.path.getsize(f.path), par, floor=1 << 20, ceil=16 << 20
+                f.size, par, floor=1 << 20, ceil=16 << 20
             )  # compressed bytes per split
             splits = [start0]
             for v in offs:

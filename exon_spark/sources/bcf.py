@@ -26,6 +26,7 @@ import struct
 from collections.abc import Iterator
 
 from exon_spark.functions.region import parse_region
+from exon_spark.sources.fs import fs_exists, fs_open
 from exon_spark.sources.base import FilePartition
 from exon_spark.sources.vcf import VcfSource, _parse_line
 
@@ -311,12 +312,12 @@ class BcfSource(VcfSource):
         from exon_spark.functions.region import expand_regions
 
         csi_path = f.path + ".csi"
-        if not os.path.exists(csi_path):
+        if not fs_exists(csi_path):
             return [FilePartition(f.path, "bgzf", pv, extra=("filter", regions, ()))]
         from exon_spark.sources.indexes import csi_chunks, read_csi
 
         # ref ids come from the BCF header's contig dictionary
-        with gzip.open(f.path, "rb") as gz:
+        with gzip.GzipFile(fileobj=fs_open(f.path)) as gz:
             hdr = read_bcf_header(gz)
         index = read_csi(csi_path)
         parts = []
@@ -343,7 +344,7 @@ class BcfSource(VcfSource):
         if parse_info or parse_formats:
             from exon_spark.sources.vcf import parse_format_fields, parse_info_fields
 
-            with gzip.open(partition.path, "rb") as gz:
+            with gzip.GzipFile(fileobj=fs_open(partition.path)) as gz:
                 headers = read_bcf_header(gz).lines
             if parse_info:
                 info_fields = parse_info_fields(headers)
@@ -358,7 +359,7 @@ class BcfSource(VcfSource):
                 name, lo, hi = parse_region(region)
                 from exon_spark.sources.bgzf import BGZFReader
 
-                with gzip.open(partition.path, "rb") as gz:
+                with gzip.GzipFile(fileobj=fs_open(partition.path)) as gz:
                     hdr = read_bcf_header(gz)
                 with BGZFReader(partition.path) as bg:
                     for cb, ce in chunks:
@@ -383,7 +384,7 @@ class BcfSource(VcfSource):
                     for r in partition.extra[1].split(",")
                     if r.strip()
                 ]
-            with gzip.open(partition.path, "rb") as gz:
+            with gzip.GzipFile(fileobj=fs_open(partition.path)) as gz:
                 hdr = read_bcf_header(gz)
                 for rec in iter_bcf_records(gz, hdr):
                     if region_filters is not None and not any(

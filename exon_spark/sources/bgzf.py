@@ -83,7 +83,9 @@ def bgzip_file(src: str, dst: str) -> None:
 
 class BGZFReader:
     def __init__(self, path: str):
-        self.fh = open(path, "rb")
+        from exon_spark.sources.fs import fs_open
+
+        self.fh = fs_open(path)
         self._block_coffset = -1
         self._block_data = b""
         self._block_next_coffset = -1

@@ -36,7 +36,9 @@ class BbiFile:
 
     def __init__(self, path: str):
         self.path = path
-        self.fh = open(path, "rb")
+        from exon_spark.sources.fs import fs_open
+
+        self.fh = fs_open(path)
         hdr = self.fh.read(64)
         (magic,) = struct.unpack_from("<I", hdr, 0)
         if magic != _BIGWIG_MAGIC:

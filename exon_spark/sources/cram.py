@@ -28,6 +28,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+from exon_spark.sources.fs import fs_exists, fs_open
 from exon_spark.sources.base import FileFormatSource, FilePartition
 from exon_spark.sources.sam import sample_tag_schema
 from exon_spark.sources.util import FoundFile
@@ -597,7 +598,7 @@ class CramReader:
 
     def __init__(self, path: str, fasta_reference: str | None = None):
         self.path = path
-        self.raw = open(path, "rb").read()
+        self.raw = fs_open(path).read()
         if self.raw[:4] != b"CRAM":
             raise ValueError(f"{path}: not a CRAM file")
         self.major, self.minor = self.raw[4], self.raw[5]
@@ -625,16 +626,16 @@ class CramReader:
                 f"CRAM slice for {name} requires a reference — pass "
                 ".option('fasta_reference', 'ref.fa')"
             )
-        if not os.path.exists(self.fasta_reference):
+        if not fs_exists(self.fasta_reference):
             raise ValueError(f"fasta_reference not found: {self.fasta_reference}")
         seq = None
         fai = self.fasta_reference + ".fai"
-        if os.path.exists(fai):
+        if fs_exists(fai):
             from exon_spark.sources.indexes import read_fai
 
             rec = read_fai(self.fasta_reference).get(name)
             if rec is not None:
-                with open(self.fasta_reference, "rb") as fh:
+                with fs_open(self.fasta_reference) as fh:
                     # tolerate off-by-one .fai offsets (seen in the
                     # reference's own two-cram fixture): the byte before the
                     # first base must be the header's newline
@@ -650,7 +651,7 @@ class CramReader:
         if seq is None:
             cur = None
             chunks: list[bytes] = []
-            with open(self.fasta_reference, "rb") as fh:
+            with fs_open(self.fasta_reference) as fh:
                 for line in fh:
                     if line.startswith(b">"):
                         if cur == name:
@@ -962,7 +963,9 @@ def read_crai(path: str) -> list[tuple[int, int, int, int, int, int]]:
     """(ref_id, start, span, container_offset, slice_offset, slice_size)
     per line (cram/index.rs:29-41; .crai is gzip TSV)."""
     out = []
-    with _gzip.open(path, "rt") as fh:
+    import io as _io
+
+    with _io.TextIOWrapper(_gzip.GzipFile(fileobj=fs_open(path))) as fh:
         for line in fh:
             f = line.split("\t")
             if len(f) >= 6:
@@ -1015,7 +1018,7 @@ class CramSource(FileFormatSource):
         pv = tuple(sorted(f.partition_values.items()))
         regions = options.get("regions") or options.get("region")
         crai = f.path + ".crai"
-        if regions and os.path.exists(crai):
+        if regions and fs_exists(crai):
             from exon_spark.functions.region import expand_regions, parse_region
 
             reader = CramReader(f.path)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
+from exon_spark.sources.fs import fs_open
 from exon_spark.sources.base import FileFormatSource, FilePartition
 from exon_spark.sources.util import FoundFile, detect_compression, open_maybe_compressed
 
@@ -144,7 +145,7 @@ class FastaSource(FileFormatSource):
     @staticmethod
     def _read_byte_range(partition: FilePartition) -> Iterator[dict]:
         """Parse records whose '>' header starts within [start, end)."""
-        with open(partition.path, "rb") as fh:
+        with fs_open(partition.path) as fh:
             fh.seek(partition.start)
             if partition.start != 0:
                 # skip the (possibly partial) record the previous split owns
@@ -180,7 +181,7 @@ class FastaSource(FileFormatSource):
     @staticmethod
     def _read_fai_slice(partition: FilePartition) -> Iterator[dict]:
         (name,) = partition.extra
-        with open(partition.path, "rb") as fh:
+        with fs_open(partition.path) as fh:
             fh.seek(partition.start)
             blob = fh.read((partition.end or 0) - partition.start)
         seq = b"".join(blob.split(b"\n")).decode("utf-8", "replace")

@@ -13,11 +13,12 @@ import re
 import struct as _struct
 from collections.abc import Iterator
 
+from exon_spark.sources.fs import fs_open
 from exon_spark.sources.base import FileFormatSource
 
 
 def _read_text_segment(path: str) -> tuple[dict[str, str], int, int]:
-    with open(path, "rb") as fh:
+    with fs_open(path) as fh:
         header = fh.read(58)
         if not header[:3] == b"FCS":
             raise ValueError(f"{path}: not an FCS file")
@@ -72,7 +73,7 @@ class FcsSource(FileFormatSource):
         dtype = kv.get("$DATATYPE", "F").upper()
         big_endian = kv.get("$BYTEORD", "1,2,3,4").startswith("4")
         tot = int(kv.get("$TOT", "0"))
-        with open(path, "rb") as fh:
+        with fs_open(path) as fh:
             fh.seek(data_start)
             blob = fh.read(data_end - data_start + 1)
         order = ">" if big_endian else "<"

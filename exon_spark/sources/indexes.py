@@ -28,8 +28,12 @@ class FaiRecord:
 
 
 def read_fai(fasta_path: str) -> dict[str, FaiRecord]:
+    import io
+
+    from exon_spark.sources.fs import fs_open
+
     recs: dict[str, FaiRecord] = {}
-    with open(fasta_path + ".fai", "r", encoding="utf-8") as fh:
+    with io.TextIOWrapper(fs_open(fasta_path + ".fai"), encoding="utf-8") as fh:
         for line in fh:
             parts = line.rstrip("\n").split("\t")
             if len(parts) < 5:
@@ -93,7 +97,9 @@ class TabixIndex:
 def read_tabix(path: str) -> TabixIndex:
     """Parse a .tbi file (SAMtools tabix spec §'The Tabix index file
     format'). The file is BGZF (valid gzip)."""
-    with gzip.open(path, "rb") as fh:
+    from exon_spark.sources.fs import fs_open
+
+    with gzip.GzipFile(fileobj=fs_open(path)) as fh:
         data = fh.read()
     off = 0
 
@@ -451,7 +457,9 @@ _BAI_PSEUDO_BIN = 37450
 
 def read_bai(path: str) -> BaiIndex:
     """Parse a .bai index (plain binary, SAM spec §5.2)."""
-    with open(path, "rb") as fh:
+    from exon_spark.sources.fs import fs_open
+
+    with fs_open(path) as fh:
         data = fh.read()
     if data[:4] != b"BAI\x01":
         raise ValueError(f"{path}: not a BAI index")
@@ -628,7 +636,9 @@ class CsiIndex:
 
 def read_csi(path: str) -> CsiIndex:
     """Parse a .csi file (BGZF-compressed, magic CSI\\x01)."""
-    with gzip.open(path, "rb") as fh:
+    from exon_spark.sources.fs import fs_open
+
+    with gzip.GzipFile(fileobj=fs_open(path)) as fh:
         data = fh.read()
     if data[:4] != b"CSI\x01":
         raise ValueError(f"{path}: not a CSI index")

@@ -127,6 +127,13 @@ def jvm_fast_reader(fmt: str, path: str, options: dict):
     if any(str(options.get(k, "")).strip() not in ("", "false")
            for k in python_only):
         return None
+    from exon_spark.sources.fs import scheme_of
+
+    scheme = scheme_of(path)
+    if scheme is not None and scheme not in ("s3a", "gs", "hdfs", "abfss", "wasbs"):
+        # exon_spark fs-handler schemes (s3://, mock://) are Python-side
+        # only; Hadoop-native schemes pass straight through to the JVM
+        return None
     comp = str(options.get("compression", "")).lower()
     if comp not in ("", "none", "gzip"):
         return None  # zstd etc. need the Python codec path

@@ -23,6 +23,7 @@ import zlib
 from collections.abc import Iterator
 from xml.etree import ElementTree as ET
 
+from exon_spark.sources.fs import fs_open
 from exon_spark.sources.base import FileFormatSource, FilePartition
 from exon_spark.sources.util import FoundFile, detect_compression, open_maybe_compressed
 
@@ -176,7 +177,7 @@ class MzmlSource(FileFormatSource):
     def plan_partitions(cls, f: FoundFile, options: dict) -> list[FilePartition]:
         comp = detect_compression(f.path, options.get("compression"))
         pv = tuple(sorted(f.partition_values.items()))
-        size = os.path.getsize(f.path)
+        size = f.size
         if comp in (None, "", "none") and size > 4 << 20:
             from exon_spark.sources.indexes import adaptive_target_bytes
 
@@ -200,7 +201,7 @@ class MzmlSource(FileFormatSource):
         if partition.end is not None:
             # byte-range split of an uncompressed file: parse standalone
             # <spectrum> fragments (no inherited xmlns -> empty namespace)
-            with open(partition.path, "rb") as fh:
+            with fs_open(partition.path) as fh:
                 for frag in _iter_spectrum_fragments(
                     fh, partition.start, partition.end
                 ):

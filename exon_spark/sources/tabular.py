@@ -63,6 +63,31 @@ def _zstd_lines_rdd(spark: SparkSession, path: str):
     return spark.sparkContext.binaryFiles(path).flatMap(_lines)
 
 
+def _remote_lines_rdd(spark: SparkSession, path: str, options: dict):
+    """Line source for fs-handler schemes (s3://, mock://): the driver LISTs
+    the prefix, executors open their file through the handler (ranged GETs)
+    and stream decompressed lines — one task per file, the same
+    file-granular parallelism as the reference's object_store scans.
+    (Hadoop-native schemes like s3a:// never reach here — spark.read
+    handles them directly.)"""
+
+    def _lines(fpath: str):
+        from exon_spark.sources.util import open_maybe_compressed
+
+        with open_maybe_compressed(fpath, options.get("compression")) as fh:
+            for raw in fh:
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith(b"\n"):
+                    raw = raw[:-1]
+                yield raw.decode("utf-8", "replace")
+
+    from exon_spark.sources.util import list_files
+
+    files = [f.path for f in list_files(path)]
+    return spark.sparkContext.parallelize(files, len(files)).flatMap(_lines)
+
+
 def _read_tsv_raw(
     spark: SparkSession, path: str, n_cols: int, **options
 ) -> tuple[DataFrame, list[str]]:
@@ -71,7 +96,14 @@ def _read_tsv_raw(
     ``_c<i>`` is a partition column and is passed through)."""
     import re as _re
 
-    src = _zstd_lines_rdd(spark, path) if _is_zstd(path, options) else path
+    from exon_spark.sources.fs import scheme_of
+
+    if scheme_of(path) is not None:
+        src = _remote_lines_rdd(spark, path, options)
+    elif _is_zstd(path, options):
+        src = _zstd_lines_rdd(spark, path)
+    else:
+        src = path
     df = (
         spark.read.option("sep", "\t")
         .option("comment", "#")
@@ -100,10 +132,12 @@ def _tabix_lines_rdd(spark: SparkSession, path: str, regions: str):
         tabix_chunks,
     )
 
+    from exon_spark.sources.fs import fs_exists
+
     if not (
-        os.path.isfile(path)
-        and path.lower().endswith((".gz", ".bgz"))
-        and os.path.exists(path + ".tbi")
+        path.lower().endswith((".gz", ".bgz"))
+        and (os.path.isfile(path) or "://" in path)
+        and fs_exists(path + ".tbi")
     ):
         return None
     idx = read_tabix(path + ".tbi")

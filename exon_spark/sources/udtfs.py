@@ -250,9 +250,8 @@ def _make_tabular_udtf(fmt: str, indexed: bool = False):
 
         def eval(self, path, *args):
             bootstrap()
-            import os as _os
-
             from exon_spark.functions.region import parse_region
+            from exon_spark.sources.fs import fs_exists as _fs_exists
             from exon_spark.sources.udtfs import _parse_tabular_line
             from exon_spark.sources.util import list_files, text_lines
 
@@ -274,7 +273,7 @@ def _make_tabular_udtf(fmt: str, indexed: bool = False):
                 if (
                     region is not None
                     and f.path.lower().endswith((".gz", ".bgz"))
-                    and _os.path.exists(tbi)
+                    and _fs_exists(tbi)
                 ):
                     # tabix-pruned byte-range scan (the reference's
                     # INDEXED_GFF path); residual predicate still applies

@@ -44,14 +44,18 @@ def detect_compression(path: str, option: str | None = None) -> str:
 
 def open_maybe_compressed(path: str, compression: str | None = None):
     """Binary stream with transparent decompression. bgzf files are valid
-    multi-member gzip, so gzip.open handles them (the indexed path uses
-    exon_spark.sources.bgzf for virtual-offset seeks instead)."""
+    multi-member gzip, so gzip handles them (the indexed path uses
+    exon_spark.sources.bgzf for virtual-offset seeks instead). Remote URIs
+    (s3://...) resolve through exon_spark.sources.fs handlers."""
+    from exon_spark.sources.fs import fs_open
+
     comp = detect_compression(path, compression)
+    fh = fs_open(path)
     if comp == "gzip":
-        return gzip.open(path, "rb")
+        return gzip.GzipFile(fileobj=fh)
     if comp == "zstd":
-        return zstd_stream(open(path, "rb"))
-    return open(path, "rb")
+        return zstd_stream(fh)
+    return fh
 
 
 class _RawAdapter(io.RawIOBase):
@@ -136,6 +140,33 @@ def list_files(
                 stripped = stripped[: -len(c)]
                 break
         return stripped.lower().endswith(tuple("." + e for e in extensions))
+
+    from exon_spark.sources.fs import handler_for
+
+    h = handler_for(path)
+    if h is not None:
+        # object store: one LIST per table path (reference: object_store
+        # list over the table prefix); key=value segments under the prefix
+        # become hive partition values, exactly as for directories
+        found = []
+        prefix = path.rstrip("/")
+        for rf in h.list(path):
+            if not ext_ok(rf.path):
+                continue
+            rel_dir = rf.path[len(prefix) :].lstrip("/")
+            pv: dict[str, str] = {}
+            for seg in rel_dir.split("/")[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    pv[k] = v
+            if partition_filters and any(
+                pv.get(k) != v for k, v in partition_filters.items()
+            ):
+                continue
+            found.append(FoundFile(rf.path, rf.size, pv))
+        if not found:
+            raise FileNotFoundError(f"no input files at {path}")
+        return found
 
     found: list[FoundFile] = []
     if os.path.isdir(path):

@@ -21,6 +21,7 @@ import os
 from collections.abc import Iterator
 
 from exon_spark.functions.region import parse_region
+from exon_spark.sources.fs import fs_exists
 from exon_spark.sources.base import FileFormatSource, FilePartition
 from exon_spark.sources.util import FoundFile, detect_compression, open_maybe_compressed
 
@@ -213,9 +214,7 @@ class VcfSource(FileFormatSource):
             region_list = expand_regions(regions)
             tbi = f.path + ".tbi"
             csi = f.path + ".csi"
-            if comp == "gzip" and (
-                os.path.exists(tbi) or os.path.exists(csi)
-            ):
+            if comp == "gzip" and (fs_exists(tbi) or fs_exists(csi)):
                 from exon_spark.sources.indexes import (
                     adaptive_target_bytes,
                     csi_chunks,
@@ -226,7 +225,7 @@ class VcfSource(FileFormatSource):
                 )
 
                 per_region = []
-                if os.path.exists(tbi):
+                if fs_exists(tbi):
                     index = read_tabix(tbi)
                     for region in region_list:
                         chunks = tabix_chunks(index, region)
