@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the pure-Python codec layer.
+
+The reference has no randomized testing (SURVEY.md §5.4); these go beyond
+it on the components where a subtle off-by-one corrupts everything
+downstream: BGZF block framing / virtual offsets, Phred quality
+encode/decode, and region-string parsing.
+
+Session-free — no Spark; safe to run first and fast.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from exon_spark.sources.bgzf import BGZFReader, BGZFWriter
+
+_SETTINGS = dict(max_examples=50, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    chunks=st.lists(st.binary(min_size=0, max_size=200_000), min_size=0, max_size=8)
+)
+def test_bgzf_roundtrip(tmp_path_factory, chunks):
+    """Anything written through BGZFWriter reads back identically — via
+    plain gzip (BGZF is valid multi-member gzip) AND via the block reader
+    from virtual offset 0."""
+    path = str(tmp_path_factory.mktemp("bgzf") / "t.bgz")
+    payload = b"".join(chunks)
+    with BGZFWriter(path) as w:
+        for c in chunks:
+            w.write(c)
+    with gzip.open(path, "rb") as fh:
+        assert fh.read() == payload
+    with BGZFReader(path) as bg:
+        stream = bg.stream_from(0)
+        assert stream.read(len(payload) + 10)[: len(payload)] == payload
+
+
+@settings(**_SETTINGS)
+@given(data=st.binary(min_size=1, max_size=300_000), cut=st.integers(0, 299_999))
+def test_bgzf_virtual_offset_seek(tmp_path_factory, data, cut):
+    """tell_virtual() after writing a prefix is a valid seek target: the
+    stream from that virtual offset yields exactly the suffix."""
+    cut = cut % len(data)
+    path = str(tmp_path_factory.mktemp("bgzf") / "t.bgz")
+    with BGZFWriter(path) as w:
+        w.write(data[:cut])
+        voff = w.tell_virtual()
+        w.write(data[cut:])
+    with BGZFReader(path) as bg:
+        stream = bg.stream_from(voff)
+        assert stream.read(len(data)) == data[cut:]
+
+
+@settings(**_SETTINGS)
+@given(scores=st.lists(st.integers(0, 93), min_size=0, max_size=500))
+def test_phred_roundtrip_python(scores):
+    """Phred+33: encode(decode(s)) == s at the Python level the pandas path
+    mirrors (chr(q+33) / ord(c)-33)."""
+    encoded = "".join(chr(q + 33) for q in scores)
+    decoded = [ord(c) - 33 for c in encoded]
+    assert decoded == scores
+
+
+@settings(**_SETTINGS)
+@given(
+    name=st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N"), whitelist_characters="_."),
+        min_size=1,
+        max_size=20,
+    ),
+    lo=st.integers(1, 2**31 - 2),
+    span=st.integers(0, 10_000_000),
+)
+def test_parse_region_roundtrip(name, lo, span):
+    from exon_spark.functions.region import parse_region
+
+    hi = lo + span
+    assert parse_region(f"{name}:{lo}-{hi}") == (name, lo, hi)
+    # bare-chromosome form: full-range interval
+    n2, l2, h2 = parse_region(name)
+    assert n2 == name and l2 <= 1 and h2 >= 2**31 - 2
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000_000), st.binary(min_size=0, max_size=50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_bgzf_lines_in_chunks_whole_file(tmp_path_factory, rows):
+    """lines_in_chunks over the whole-file chunk returns every line written,
+    regardless of how lines straddle block boundaries."""
+    lines = [
+        b"line" + str(pos).encode() + b"\t" + extra.replace(b"\n", b"").replace(b"\r", b"")
+        for pos, extra in rows
+    ]
+    path = str(tmp_path_factory.mktemp("bgzf") / "t.bgz")
+    with BGZFWriter(path) as w:
+        for ln in lines:
+            w.write(ln + b"\n")
+        end = w.tell_virtual()
+    with BGZFReader(path) as bg:
+        got = list(bg.lines_in_chunks([(0, end)]))
+    # the reader decodes utf-8 with errors="replace" (raw bytes may be
+    # arbitrary); mirror that in the expectation
+    assert got == [ln.decode("utf-8", "replace") for ln in lines]
