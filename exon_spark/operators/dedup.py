@@ -473,11 +473,13 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= 3, via exact 4-byte
     banding (pigeonhole: <=3 differing bits over 4 bytes ⇒ >=1 byte equal).
 
-    The banded table is self-joined WITHOUT persisting: the fingerprint
-    projection is shuffle-free map work, and recomputing it on each join
-    side is measurably cheaper than a persist's columnar encode+store+read
-    round-trip (1.3s vs 1.8s at sf0.1). Callers whose ``fps`` is expensive
-    to recompute (e.g. read through a slow source) should persist upstream."""
+    ``fps`` is materialized eagerly: the two sides of the band self-join
+    are concurrently scheduled stages, and without materialization each
+    recomputes the 32-aggregate fingerprint subtree from scratch
+    (measured 4.5s vs 1.8s at sf0.1 in a clean session — beware that a
+    still-registered persist from an earlier run makes the no-persist
+    variant look fast via automatic cache-manager plan substitution)."""
+    fps = _materialize(fps, eager=True)
     bands = fps.select(
         "doc_id",
         "simhash",

@@ -156,7 +156,14 @@ class ExonSession:
         Only safe for pure conjunctions (an OR could need rows outside the
         region), so any OR/NOT in the query disables the rewrite. The resi-
         dual SQL predicate always still applies — correctness never depends
-        on the pushdown (§4.1)."""
+        on the pushdown (§4.1).
+
+        Also recognizes raw coordinate predicates —
+        ``chrom = 'chr1' AND pos BETWEEN lo AND hi`` (or >=/<= pairs) —
+        the semantics of the reference's designed-but-never-compiled
+        chrom_optimizer_rule (docs/vcf_expression_rewriting.md rules A-K;
+        SURVEY.md §4.6): the same index pruning now fires without the
+        ``vcf_region_filter`` spelling."""
         import re
 
         from exon_spark.sources import read_format
@@ -164,6 +171,7 @@ class ExonSession:
         regions = re.findall(
             r"\w+_region_filter\(\s*'([^']+)'", query, re.IGNORECASE
         )
+        regions += _regions_from_raw_predicates(query)
         registry = getattr(self.spark, "_exon_tables", {}) or {}
         if (
             not regions
@@ -192,6 +200,12 @@ class ExonSession:
                 read_format(self.spark, fmt, path, **options).createOrReplaceTempView(
                     name
                 )
+
+    def register_exon_table(self, name: str, path: str, fmt: str, **options) -> None:
+        """CREATE EXTERNAL TABLE analogue (exon_context_ext.rs:683-697)."""
+        from exon_spark.sources import read_format
+
+        read_format(self.spark, fmt, path, **options).createOrReplaceTempView(name)
 
     def __getattr__(self, name: str):
         # read_fasta / read_vcf / ... resolve dynamically against sources
