@@ -50,7 +50,10 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query times measure the
     # queries, not session bootstrap
-    ALL_QUERIES["q04_forecast_revenue"].spark_fn(spark, sf_dir).count()
+    try:
+        ALL_QUERIES["q04_forecast_revenue"].spark_fn(spark, sf_dir).count()
+    except Exception as e:
+        print(f"# warmup: ERROR {type(e).__name__}: {e}", file=sys.stderr)
 
     def drop_intermediates() -> None:
         """Queries are independent: drop cached tables AND any persisted
@@ -63,43 +66,60 @@ def main() -> None:
         while it.hasNext():
             it.next()._2().unpersist(False)
 
+    # Per-query fault isolation: one red query must not zero the whole
+    # artifact (round 3 lost ALL numbers to a single AnalysisException).
+    # Errors are recorded per-entry; the final JSON line is always emitted.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = ALL_QUERIES[name]
         t0 = time.perf_counter()
-        n = spec.spark_fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        try:
+            n = spec.spark_fn(spark, sf_dir).count()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
         drop_intermediates()
 
     # BASELINE.md §6 bio-format workloads on synthetic fixtures (generation
     # is cached and excluded from timings)
     from exon_spark.queries.formats import FORMAT_BENCH, ensure_format_fixtures
 
-    fx = ensure_format_fixtures(sf_dir)
-    # warm the Python-datasource worker path once with a full multi-task scan
-    # so per-query times measure scans, not the one-time spawn of the
-    # executor-side Python worker pool
-    FORMAT_BENCH["mzml_scan"](spark, fx).count()
-    for name, fn in FORMAT_BENCH.items():
-        t0 = time.perf_counter()
-        n = fn(spark, fx).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+    try:
+        fx = ensure_format_fixtures(sf_dir)
+        # warm the Python-datasource worker path once with a full multi-task
+        # scan so per-query times measure scans, not the one-time spawn of
+        # the executor-side Python worker pool
+        FORMAT_BENCH["mzml_scan"](spark, fx).count()
+    except Exception as e:
+        fx = None
+        errors["format_fixtures"] = f"{type(e).__name__}: {e}"[:500]
+        print(f"# format fixtures: ERROR {errors['format_fixtures']}", file=sys.stderr)
+    if fx is not None:
+        for name, fn in FORMAT_BENCH.items():
+            t0 = time.perf_counter()
+            try:
+                n = fn(spark, fx).count()
+                times[name] = round(time.perf_counter() - t0, 3)
+                print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -50,10 +50,12 @@ class QuerySpec:
     doc: str = ""
 
 
-# testdata timestamps are parquet TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong=true they surface as bigint
-# nanoseconds. Convert to proper timestamps (truncating to micros — exactly
-# what DuckDB's TIMESTAMP cast of nanos does, so oracles agree).
+# testdata timestamp columns have drifted across driver regenerations:
+# TIMESTAMP(NANOS) (surfacing as bigint nanos under
+# spark.sql.legacy.parquet.nanosAsLong=true), timestamp[us] (surfacing as
+# TIMESTAMP_NTZ), or plain TIMESTAMP. table() normalizes all three to
+# session-tz TIMESTAMP (session tz is UTC, so the NTZ cast is
+# value-preserving and oracles agree — DuckDB reads the same micros).
 _NANO_TS_COLS = {
     "lineitem": ("l_shipdate",),
     "orders": ("o_orderdate",),
@@ -66,8 +68,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":  # nanos-as-long
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+            )
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -474,7 +474,8 @@ _MIX_RATE_SQL = (
 )
 
 Q32_ORACLE = f"""
-select lang, source, count(*) as n_docs, sum(n_chars) as total_chars
+select lang, source, count(*) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars
 from documents
 where ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000000 < {_MIX_RATE_SQL}
 group by lang, source

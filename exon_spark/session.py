@@ -14,6 +14,60 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+_MAX_POS = 2**63 - 1
+
+
+def _regions_from_raw_predicates(query: str) -> list[str]:
+    """Recognize raw genomic-coordinate conjunctions in a SQL string and
+    fold them into region strings — the semantics of the reference's
+    designed-but-never-compiled chrom_optimizer_rule
+    (docs/vcf_expression_rewriting.md rules A-K, SURVEY.md §4.6):
+
+    * rule A: ``chrom = 'X'`` → region ``X`` (whole sequence)
+    * rule B: ``pos = p`` → interval ``p-p``
+    * rule C: ``pos <= hi`` → interval ``1-hi`` (strict ``<`` unsupported,
+      matching the reference's note on inclusive VCF intervals)
+    * rule D: ``pos >= lo`` → interval ``lo-`` (open upper bound)
+    * rules E/I/J/K: conjunctions intersect — max of lower bounds, min of
+      upper bounds, single chrom.
+
+    The caller only invokes this for pure conjunctions (OR/NOT disable the
+    rewrite), so intersecting every matched constraint is sound: a row
+    outside the intersection fails some conjunct and is dropped by the
+    residual predicate regardless — the pushdown stays optimization-only.
+    Returns ``[]`` (no pushdown) on anything ambiguous.
+    """
+    import re
+
+    chroms = set(
+        re.findall(
+            r"\b(?:chrom|reference_name|seqname)\s*=\s*'([^']+)'", query, re.I
+        )
+    )
+    if len(chroms) != 1:
+        return []
+    (chrom,) = chroms
+    lo, hi = 1, None
+    pos = r"(?:pos|start|position)"
+    for a, b in re.findall(
+        rf"\b{pos}\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)", query, re.I
+    ):
+        lo = max(lo, int(a))
+        hi = int(b) if hi is None else min(hi, int(b))
+    for v in re.findall(rf"\b{pos}\s*>=\s*(\d+)", query, re.I):
+        lo = max(lo, int(v))
+    for v in re.findall(rf"\b{pos}\s*<=\s*(\d+)", query, re.I):
+        hi = int(v) if hi is None else min(hi, int(v))
+    for v in re.findall(rf"\b(?:pos|position)\s*=\s*(\d+)", query, re.I):
+        v = int(v)
+        lo = max(lo, v)
+        hi = v if hi is None else min(hi, v)
+    if hi is not None and hi < lo:
+        return []  # contradictory conjunction — leave the plan alone
+    if hi is None:
+        return [chrom] if lo == 1 else [f"{chrom}:{lo}"]
+    return [f"{chrom}:{lo}-{hi}"]
+
 
 def get_spark(
     app_name: str = "exon-spark",

@@ -25,7 +25,13 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return round(v, 6)
+            # Tag floats so 38.0 (a DuckDB HUGEINT sum widened to float64 in
+            # pandas) does NOT compare equal to Spark's bigint 38 — the
+            # driver's value-hasher is dtype-sensitive and flags exactly this
+            # drift (q32 was red at the driver for two rounds while == -based
+            # local comparison stayed green). Local red must predict driver
+            # red.
+            return ("f", round(v, 6))
         if isinstance(v, (list, tuple)):
             return tuple(norm_val(x) for x in v)
         if hasattr(v, "tolist"):  # numpy arrays from duckdb/spark
