@@ -131,11 +131,23 @@ select doc_a, doc_b, jaccard from pairs
 
 # ------------------------------------------------------------------- simhash
 
+# 64-bit simhash as two 32-bit halves (lo = md5 hex 1-8, hi = hex 9-16):
+# DuckDB's signed BIGINT can't build 1<<63, so each half's fingerprint is a
+# non-negative 32-bit value and hamming = popcount(lo XOR lo') +
+# popcount(hi XOR hi') — bit-identical to Spark's single 64-bit XOR.
 _BIT_SUMS = ", ".join(
-    f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as s{b}" for b in range(32)
+    f"sum(case when (hlo >> {b}) & 1 = 1 then 1 else -1 end) as s{b}"
+    for b in range(32)
+) + ", " + ", ".join(
+    f"sum(case when (hhi >> {b - 32}) & 1 = 1 then 1 else -1 end) as s{b}"
+    for b in range(32, 64)
 )
-_FP_EXPR = " + ".join(
+_FP_LO = " + ".join(
     f"(case when s{b} > 0 then cast({1 << b} as bigint) else 0 end)" for b in range(32)
+)
+_FP_HI = " + ".join(
+    f"(case when s{b} > 0 then cast({1 << (b - 32)} as bigint) else 0 end)"
+    for b in range(32, 64)
 )
 
 
@@ -148,14 +160,18 @@ def _q20_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q20_ORACLE = f"""
 with {_SHINGLES_DUCK},
 hh as (
-  select doc_id, ('0x' || substr(md5(shingle), 1, 8))::bigint as h from sh
+  select doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::bigint as hlo,
+         ('0x' || substr(md5(shingle), 9, 8))::bigint as hhi
+  from sh
 ),
 sums as (select doc_id, {_BIT_SUMS} from hh group by doc_id),
-fp as (select doc_id, {_FP_EXPR} as simhash from sums)
+fp as (select doc_id, {_FP_LO} as fp_lo, {_FP_HI} as fp_hi from sums)
 select a.doc_id as doc_a, b.doc_id as doc_b,
-       bit_count(xor(a.simhash, b.simhash)) as hamming
+       bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))
+         as hamming
 from fp a join fp b on a.doc_id < b.doc_id
-where bit_count(xor(a.simhash, b.simhash)) <= 3
+where bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
 """
 
 # --------------------------------------------------------- cosine similarity

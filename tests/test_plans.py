@@ -91,29 +91,37 @@ def test_dedup_shingles_single_shuffle(registered):
     assert "Window" not in plan
 
 
-def test_minhash_simhash_signatures_shuffle_free(registered):
-    """Array-native signatures must be a single map-side projection: no
-    Exchange (shuffle) anywhere below the signature output."""
+def test_minhash_simhash_signatures_one_shuffle(registered):
+    """Signature/fingerprint aggregation must be one shuffle with map-side
+    partial aggregation: the exchange carries (doc_id, partial states),
+    never raw shingle rows — the property that keeps both scale-safe."""
     import pyspark.sql.functions as F
 
     from exon_spark.operators.dedup import (
-        MERSENNE_P,
-        MINHASH_PERMS,
-        _hashed_docs,
+        minhash_signatures,
         shingled_docs,
         simhash,
     )
 
     docs = registered.read.parquet(f"{SF}/documents.parquet")
-    hdocs = _hashed_docs(shingled_docs(docs))
-    sigs = hdocs.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
-            ).alias(f"m{j}")
-            for j, (a, b) in enumerate(MINHASH_PERMS)
-        ],
+    rows = shingled_docs(docs).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
-    assert "Exchange" not in _plan(sigs)
-    assert "Exchange" not in _plan(simhash(docs))
+    plan = _plan(minhash_signatures(rows))
+    assert plan.count("Exchange") <= 2  # hashpartitioning + AQE read
+    assert "partial_min" in plan
+    plan = _plan(simhash(docs))
+    assert plan.count("Exchange") <= 2
+    assert "partial_sum" in plan
+
+
+def test_simhash_band_cardinality_is_16_bit(registered):
+    """The simhash band join must bucket on 16-bit band values (65,536
+    buckets) — 8-bit/256-bucket banding degenerates toward O(n²/256) at
+    corpus scale. Pin the mask in the executed plan."""
+    from exon_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = registered.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash_pairs(simhash(docs)))
+    assert "65535" in plan
+    assert "& 255" not in plan

@@ -50,7 +50,24 @@ SLT_FILES = [
     "fcs-select-tests.slt",
     "bigwig-tests.slt",
     "cram-select-tests.slt",
+    # object-store files: s3://test-bucket/* remaps to mock:// (the same
+    # ranged-GET remote code path, resolved against the reference checkout
+    # — see exon_spark/sources/fs.py MockFsHandler); COPY targets land in
+    # the test tmpdir exactly as the reference's LocalStack bucket would
+    "fasta-scan-s3-tests.slt",
+    "cram-remote-tests.slt",
 ]
+
+# s3://test-bucket fixture -> the same file in the reference checkout,
+# served through the mock:// object-store scheme (root=/ in conftest)
+_S3_FIXTURES = {
+    "s3://test-bucket/test.fasta": "mock://"
+    + f"{MANIFEST_DIR}/test-data/datasources/fasta/test.fasta".lstrip("/"),
+    "s3://test-bucket/rand1k.fa": "mock://"
+    + f"{MANIFEST_DIR}/test-data/datasources/two-cram/rand1k.fa".lstrip("/"),
+    "s3://test-bucket/twolib.sorted.cram": "mock://"
+    + f"{MANIFEST_DIR}/test-data/datasources/two-cram/twolib.sorted.cram".lstrip("/"),
+}
 
 _SKIP_PATTERNS = [
     r"s3://",            # no object store in this environment
@@ -262,6 +279,18 @@ def test_slt_file(exon, spark, tmp_path, slt_name, monkeypatch):
         sql = sql.replace("${__TEST_DIR__}", str(tmp_path) + "/")
         for old, new in path_map.items():
             sql = sql.replace(old, new)
+        for old, new in _S3_FIXTURES.items():
+            sql = sql.replace(old, new)
+        # COPY targets must not touch read-only trees or phantom buckets —
+        # remap into the test tmpdir BEFORE the skip check so COPY ... TO
+        # 's3://...' runs (against the local target) instead of skipping
+        cm = re.match(r"^\s*COPY\b.*?\bTO\s+'([^']+)'", sql, re.I | re.S)
+        if cm:
+            target = cm.group(1)
+            if not target.startswith(str(tmp_path)):
+                new_target = str(tmp_path / os.path.basename(target))
+                path_map[target] = new_target
+                sql = sql.replace(target, new_target)
         if _should_skip(rec):
             cm0 = create_re.match(sql)
             if cm0:
@@ -306,15 +335,6 @@ def test_slt_file(exon, spark, tmp_path, slt_name, monkeypatch):
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
             shutil.rmtree(os.path.join(wh, cm0.group(1).lower()), ignore_errors=True)
-        # COPY targets must not touch the read-only reference tree (or /tmp
-        # literals from the slt) — remap into the test tmpdir
-        cm = re.match(r"^\s*COPY\b.*?\bTO\s+'([^']+)'", sql, re.I | re.S)
-        if cm:
-            target = cm.group(1)
-            if not target.startswith(str(tmp_path)):
-                new_target = str(tmp_path / os.path.basename(target))
-                path_map[target] = new_target
-                sql = sql.replace(target, new_target)
         sql = to_spark_sql(sql)
         ran += 1
         try:
