@@ -93,6 +93,10 @@ def register_sources(spark: SparkSession) -> None:
 
 def read_format(spark: SparkSession, fmt: str, path: str, **options) -> DataFrame:
     fmt = fmt.lower()
+    if fmt in ("delta", "deltatable"):
+        from exon_spark.sources.delta import read_delta
+
+        return read_delta(spark, path, **options)
     if fmt in TABULAR_READERS:
         return TABULAR_READERS[fmt](spark, path, **options)
     # plain scans of text formats go through whole-stage-codegen'd Column

@@ -57,6 +57,10 @@ _FORMAT_KEYWORDS: dict[str, tuple[str, dict]] = {
     "parquet": ("parquet", {}),
     "csv": ("csv", {}),
     "json": ("json", {}),
+    # Delta Lake (exon_context_ext.rs:181-185; delta.slt) — native
+    # transaction-log replay reader, see sources/delta.py
+    "delta": ("delta", {}),
+    "deltatable": ("delta", {}),
 }
 
 _CREATE_RE = re.compile(

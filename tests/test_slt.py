@@ -56,6 +56,7 @@ SLT_FILES = [
     # the test tmpdir exactly as the reference's LocalStack bucket would
     "fasta-scan-s3-tests.slt",
     "cram-remote-tests.slt",
+    "delta.slt",
 ]
 
 # s3://test-bucket fixture -> the same file in the reference checkout,
@@ -67,6 +68,10 @@ _S3_FIXTURES = {
     + f"{MANIFEST_DIR}/test-data/datasources/two-cram/rand1k.fa".lstrip("/"),
     "s3://test-bucket/twolib.sorted.cram": "mock://"
     + f"{MANIFEST_DIR}/test-data/datasources/two-cram/twolib.sorted.cram".lstrip("/"),
+    # the delta log replay is driver-side metadata + JVM parquet scans, so
+    # the bucket maps to the local fixture (the reference's harness likewise
+    # serves test-bucket from its checkout)
+    "s3://test-bucket/delta_table/": f"{MANIFEST_DIR}/test-data/datasources/delta/",
 }
 
 _SKIP_PATTERNS = [
