@@ -310,3 +310,69 @@ def test_write_fasta_zstd_roundtrip(spark, fixtures, tmp_path):
     assert res.collect()[0]["count"] == df.count()
     back1 = spark.read.format("fasta").load(str(single))
     assert back1.count() == df.count()
+
+
+def test_fasta_vectorized_byte_ranges(spark, tmp_path):
+    """The Arrow fast path (fasta.py read_arrow_partition) must produce
+    exactly the row-path records under adversarial byte-range splits:
+    boundaries landing mid-record, mid-header, and exactly on '>'."""
+    import random
+
+    rng = random.Random(9)
+    path = tmp_path / "big.fasta"
+    want = {}
+    with open(path, "w") as fh:
+        for i in range(10000):
+            seq = "".join(rng.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(rng.randint(30, 900)))
+            desc = f"desc {i}" if i % 3 else None
+            fh.write(f">s{i}{' ' + desc if desc else ''}\n")
+            for j in range(0, len(seq), 60):
+                fh.write(seq[j : j + 60] + "\n")
+            want[f"s{i}"] = (desc, seq)
+    # target_parallelism high enough that the 1 MB floor forces several
+    # splits over this ~1.5 MB file
+    df = (
+        spark.read.format("fasta")
+        .option("target_parallelism", "64")
+        .load(str(path))
+    )
+    assert df.rdd.getNumPartitions() > 1, "file must actually split"
+    rows = df.collect()
+    assert len(rows) == 10000
+    for r in rows:
+        desc, seq = want[r["id"]]
+        assert r["description"] == desc
+        assert r["sequence"] == seq
+
+
+def test_fasta_vectorized_matches_row_path(spark, tmp_path):
+    """Same file through the vectorized Arrow path and the generic row
+    path (integer encode disables vectorization) must agree on count and
+    ids."""
+    path = tmp_path / "mix.fasta"
+    with open(path, "w") as fh:
+        for i in range(50):
+            fh.write(f">q{i} d{i}\nACGT\nACGT\n")
+    vec = spark.read.format("fasta").load(str(path))
+    row = (
+        spark.read.format("fasta")
+        .option("sequence_data_type", "integer_encode_dna")
+        .load(str(path))
+    )
+    assert vec.count() == row.count() == 50
+    assert {r.id for r in vec.collect()} == {r.id for r in row.collect()}
+
+
+def test_fasta_vectorized_gzip_framing(spark, tmp_path):
+    """Arrow fast path must also serve gzip whole-file partitions
+    (decompress + same framing), matching the JVM reader."""
+    import gzip as _gzip
+
+    p = tmp_path / "z.fasta.gz"
+    with _gzip.open(p, "wt") as fh:
+        for i in range(200):
+            fh.write(f">z{i} d{i}\nAC\nGT\n")
+    df = spark.read.format("fasta").load(str(p))
+    rows = df.collect()
+    assert len(rows) == 200
+    assert all(r.sequence == "ACGT" for r in rows)
