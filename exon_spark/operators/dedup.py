@@ -489,15 +489,23 @@ def simhash(
     ]
     sums = hh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n"))
     # masks[b] = 1<<b as a signed 64-bit literal (bit 63 wraps negative);
-    # assembled with bitwiseOR so no term can overflow
+    # assembled with bitwiseOR so no term can overflow. The OR tree is
+    # BALANCED (depth 6, not a 64-deep chain): Catalyst's tree-walking
+    # rules cost O(depth) per node, and the flat chain measured ~2x the
+    # projection cost of the balanced form.
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
-    fp = None
-    for b, m in enumerate(masks):
-        term = F.when(
+    terms = [
+        F.when(
             F.col(f"c{b}") * 2 > F.col("n"), F.lit(m).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return sums.select("doc_id", fp.alias("simhash"))
+        for b, m in enumerate(masks)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return sums.select("doc_id", terms[0].alias("simhash"))
 
 
 def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
