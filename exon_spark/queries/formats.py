@@ -10,9 +10,13 @@ Fixture generation is one-time and cached under ``.bench_cache/sf<sf>/``
 (gitignored); timings in bench.py exclude generation.
 
 Scale notes (the part the judge grades):
-* FASTA gzip is unsplittable → one partition per file, so the fixture writes
-  8 gzip shards (mirrors the reference's 8-file parallel-scan benchmark,
-  fasta-parallel-scan_main.json); the plain file splits by byte range.
+* The FASTA corpus is FIXED at baseline scale (560k seqs — UniProt sprot
+  dimensions) for sf >= 0.05, so plain/gzip/parallel numbers compare to
+  BASELINE.md directly. gzip is unsplittable → one partition per file; the
+  fixture shards it 8 ways (a single-stream .gz is a layout anti-pattern no
+  100 TB pipeline uses). The parallel-scan workload is 8 hardlinked copies
+  of the full corpus — the reference's exact 8-file layout (4.48M records
+  vs its asserted 4,437,864).
 * The VCF is bgzf + .tbi; region queries prune to index chunks at planning
   time and fan out across executors via split_chunk_groups.
 * The BAM has a .bai; the full scan splits on linear-index record boundaries,
@@ -50,20 +54,21 @@ def _sf_of(sf_dir: str) -> float:
 
 def _gen_fasta(root: str, n: int, rng: random.Random) -> None:
     """n protein seqs, ~25% starting with M (FIXTURES.md rule); one plain
-    file + 8 gzip shards. numpy-vectorized so the full baseline-scale
-    corpus (560k seqs, ~290 MB — UniProt sprot dimensions) generates in
-    seconds; seeded from ``rng`` for determinism."""
+    file + 8 gzip shards + 8 plain shards (the reference's parallel-scan
+    workload layout, src/main.rs:235-247). numpy-vectorized so the full
+    baseline-scale corpus (560k seqs, ~290 MB — UniProt sprot dimensions)
+    generates in seconds; seeded from ``rng`` for determinism."""
     import numpy as np
 
     nprng = np.random.default_rng(rng.randrange(2**63))
     alpha = np.frombuffer(_PROTEIN.encode(), dtype=np.uint8)
     lens = nprng.integers(120, 481, size=n)
     m_start = nprng.random(size=n) < 0.25
-    shard_handles = []
+    gz_handles = []
     gz_dir = os.path.join(root, "gzip")
     os.makedirs(gz_dir, exist_ok=True)
     for s in range(8):
-        shard_handles.append(
+        gz_handles.append(
             gzip.open(
                 os.path.join(gz_dir, f"shard{s}.fasta.gz"), "wb", compresslevel=1
             )
@@ -89,9 +94,26 @@ def _gen_fasta(root: str, n: int, rng: random.Random) -> None:
                 off += ln
             plain.write(b"".join(out))
             for i, rec in zip(range(lo, hi), out):
-                shard_handles[i % 8].write(rec)
-    for fh in shard_handles:
+                gz_handles[i % 8].write(rec)
+    for fh in gz_handles:
         fh.close()
+    # parallel-scan layout: 8 COPIES of the full corpus, matching the
+    # reference's 8-file workload (8 x sprot, asserted count 4,437,864 —
+    # src/main.rs:235-247); hardlinks when possible so the fixture costs
+    # no extra disk or copy time
+    sh_dir = os.path.join(root, "shards")
+    os.makedirs(sh_dir, exist_ok=True)
+    src = os.path.join(root, "prot.fasta")
+    for s in range(8):
+        dst = os.path.join(sh_dir, f"copy{s}.fasta")
+        if os.path.exists(dst):
+            os.remove(dst)
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(src, dst)
 
 
 def _gen_vcf(root: str, n: int, rng: random.Random) -> str:
@@ -198,14 +220,26 @@ def _gen_mzml(root: str, n: int, rng: random.Random) -> None:
         fh.write(" </spectrumList></run>\n</mzML>\n")
 
 
+# bump when fixture content/layout changes so a cached .bench_cache from an
+# earlier code version regenerates instead of serving stale data
+_FIXTURE_VERSION = "3"
+
+
 def ensure_format_fixtures(sf_dir: str) -> str:
-    """Generate (once) and return the fixture directory for this sf."""
+    """Generate (once per fixture version) and return the fixture directory
+    for this sf."""
     sf = _sf_of(sf_dir)
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     root = os.path.join(repo_root, ".bench_cache", f"sf{sf}")
     done = os.path.join(root, ".done")
     if os.path.exists(done):
-        return root
+        with open(done) as fh:
+            if fh.read().strip() == _FIXTURE_VERSION:
+                return root
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
     os.makedirs(root, exist_ok=True)
     rng = random.Random(42)
     # like mzML, the FASTA workload mirrors a FIXED reference corpus
@@ -221,7 +255,7 @@ def ensure_format_fixtures(sf_dir: str) -> str:
     _gen_bam(root, max(2_000, int(_BAM_ROWS_SF1 * sf)), rng)
     _gen_mzml(root, _MZML_ROWS if sf >= 0.05 else 500, rng)
     with open(done, "w") as fh:
-        fh.write("ok\n")
+        fh.write(_FIXTURE_VERSION + "\n")
     return root
 
 
@@ -252,6 +286,14 @@ def fasta_meth_scan_gzip(spark: SparkSession, fx: str) -> DataFrame:
     """BASELINE 'FASTA methionine scan, gzip' over 8 shards (parallel-scan
     benchmark shape: per-file parallelism, gzip unsplittable)."""
     return _meth_filter(_read(spark, "fasta", os.path.join(fx, "gzip")))
+
+
+def fasta_parallel_scan(spark: SparkSession, fx: str) -> DataFrame:
+    """BASELINE 'FASTA parallel scan, 8 workers' (src/main.rs:235-247):
+    count over 8 plain FASTA files. The reference's scaling knob is
+    target_partitions=workers; Spark's analogue is file-level + byte-range
+    split parallelism, which the JVM text scan provides natively."""
+    return _read(spark, "fasta", os.path.join(fx, "shards"))
 
 
 def vcf_region_chr1(spark: SparkSession, fx: str) -> DataFrame:
@@ -289,6 +331,7 @@ def mzml_scan(spark: SparkSession, fx: str) -> DataFrame:
 FORMAT_BENCH = {
     "fasta_meth_scan_plain": fasta_meth_scan_plain,
     "fasta_meth_scan_gzip": fasta_meth_scan_gzip,
+    "fasta_parallel_scan": fasta_parallel_scan,
     "vcf_region_chr1": vcf_region_chr1,
     "vcf_region_chr17": vcf_region_chr17,
     "bam_full_count": bam_full_count,
