@@ -64,13 +64,23 @@ def _gen_fasta(root: str, n: int, rng: random.Random) -> None:
     alpha = np.frombuffer(_PROTEIN.encode(), dtype=np.uint8)
     lens = nprng.integers(120, 481, size=n)
     m_start = nprng.random(size=n) < 0.25
+    import pyarrow as pa
+
     gz_handles = []
+    zst_handles = []
     gz_dir = os.path.join(root, "gzip")
+    zst_dir = os.path.join(root, "zstd")
     os.makedirs(gz_dir, exist_ok=True)
+    os.makedirs(zst_dir, exist_ok=True)
     for s in range(8):
         gz_handles.append(
             gzip.open(
                 os.path.join(gz_dir, f"shard{s}.fasta.gz"), "wb", compresslevel=1
+            )
+        )
+        zst_handles.append(
+            pa.CompressedOutputStream(
+                os.path.join(zst_dir, f"shard{s}.fasta.zst"), "zstd"
             )
         )
     with open(os.path.join(root, "prot.fasta"), "wb") as plain:
@@ -95,7 +105,8 @@ def _gen_fasta(root: str, n: int, rng: random.Random) -> None:
             plain.write(b"".join(out))
             for i, rec in zip(range(lo, hi), out):
                 gz_handles[i % 8].write(rec)
-    for fh in gz_handles:
+                zst_handles[i % 8].write(rec)
+    for fh in gz_handles + zst_handles:
         fh.close()
     # parallel-scan layout: 8 COPIES of the full corpus, matching the
     # reference's 8-file workload (8 x sprot, asserted count 4,437,864 —
@@ -222,7 +233,7 @@ def _gen_mzml(root: str, n: int, rng: random.Random) -> None:
 
 # bump when fixture content/layout changes so a cached .bench_cache from an
 # earlier code version regenerates instead of serving stale data
-_FIXTURE_VERSION = "3"
+_FIXTURE_VERSION = "5"
 
 
 def ensure_format_fixtures(sf_dir: str) -> str:
@@ -288,6 +299,15 @@ def fasta_meth_scan_gzip(spark: SparkSession, fx: str) -> DataFrame:
     return _meth_filter(_read(spark, "fasta", os.path.join(fx, "gzip")))
 
 
+def fasta_meth_scan_zstd(spark: SparkSession, fx: str) -> DataFrame:
+    """BASELINE 'FASTA methionine scan, zstd' over the same 8-shard layout
+    as the gzip workload (zstd streams are unsplittable; sharding is how a
+    pipeline keeps compressed scans parallel). Decompression is pyarrow's
+    bundled zstd codec inside the vectorized Python source — there is no
+    JVM zstd file codec in this environment."""
+    return _meth_filter(_read(spark, "fasta", os.path.join(fx, "zstd")))
+
+
 def fasta_parallel_scan(spark: SparkSession, fx: str) -> DataFrame:
     """BASELINE 'FASTA parallel scan, 8 workers' (src/main.rs:235-247):
     count over 8 plain FASTA files. The reference's scaling knob is
@@ -332,6 +352,7 @@ FORMAT_BENCH = {
     "fasta_meth_scan_plain": fasta_meth_scan_plain,
     "fasta_meth_scan_gzip": fasta_meth_scan_gzip,
     "fasta_parallel_scan": fasta_parallel_scan,
+    "fasta_meth_scan_zstd": fasta_meth_scan_zstd,
     "vcf_region_chr1": vcf_region_chr1,
     "vcf_region_chr17": vcf_region_chr17,
     "bam_full_count": bam_full_count,

@@ -133,12 +133,14 @@ class FastaSource(FileFormatSource):
         lineSep text reader (~27 MB/s/thread measured — the reference's
         Rust memchr framing is the bar, exon-fasta/src/batch_reader.rs).
         Returns None (generic row path) for indexed/encoded scans;
-        gzip/bgzf whole-file partitions decompress then frame the same
-        way (zlib is C-speed; the stream is unsplittable regardless)."""
+        gzip/bgzf/zstd whole-file partitions decompress then frame the
+        same way (zlib / pyarrow-zstd are C-speed; the stream is
+        unsplittable regardless)."""
         if partition.extra or partition.compression not in (
             "none",
             "gzip",
             "bgzf",
+            "zstd",
         ):
             return None
         if str(options.get("sequence_data_type", "")).lower().startswith(
@@ -158,6 +160,12 @@ class FastaSource(FileFormatSource):
 
             with fs_open(partition.path) as fh:
                 buf = _gzip.decompress(fh.read())
+            start = 0
+        elif partition.compression == "zstd":
+            from exon_spark.sources.util import zstd_stream
+
+            with fs_open(partition.path) as fh:
+                buf = zstd_stream(fh).read()
             start = 0
         else:
             with fs_open(partition.path) as fh:

@@ -376,3 +376,18 @@ def test_fasta_vectorized_gzip_framing(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 200
     assert all(r.sequence == "ACGT" for r in rows)
+
+
+def test_fasta_zstd_scan(spark, tmp_path):
+    """zstd FASTA via pyarrow's bundled codec (no zstandard package):
+    vectorized framing must match the plain read."""
+    import pyarrow as pa
+
+    plain = ">a one\nACGT\nTT\n>b\nGG\n" * 100
+    p = tmp_path / "z.fasta.zst"
+    with pa.CompressedOutputStream(str(p), "zstd") as out:
+        out.write(plain.encode())
+    df = spark.read.format("fasta").load(str(p))
+    rows = df.collect()
+    assert len(rows) == 200
+    assert {r.sequence for r in rows} == {"ACGTTT", "GG"}
