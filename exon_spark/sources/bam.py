@@ -146,6 +146,189 @@ def _decode_tag_value(data: bytes, off: int, typ: str):
     raise ValueError(f"unknown BAM tag type {typ!r}")
 
 
+_REF_CONSUME_LUT = None  # built lazily with numpy
+
+
+def _decode_blob_batch(blobs: list[bytes], refs, schema):
+    """One Arrow RecordBatch from a list of raw BAM record blobs.
+    Value-identical to ``decode_record`` (cross-checked in tests)."""
+    import numpy as np
+    import pyarrow as pa
+
+    global _REF_CONSUME_LUT
+    if _REF_CONSUME_LUT is None:
+        _REF_CONSUME_LUT = np.array(
+            [1 if c in _REF_CONSUMING else 0 for c in _CIGAR_OPS] + [0] * 7,
+            dtype=np.int64,
+        )
+
+    n = len(blobs)
+    lens = np.fromiter((len(b) for b in blobs), np.int64, n)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    buf = b"".join(blobs)
+    a8 = np.frombuffer(buf, np.uint8)
+    H = a8[starts[:, None] + np.arange(32)]
+
+    def le_i32(c0):
+        return H[:, c0 : c0 + 4].copy().view("<i4").ravel().astype(np.int64)
+
+    def le_u16(c0):
+        return H[:, c0 : c0 + 2].copy().view("<u2").ravel().astype(np.int64)
+
+    refid = le_i32(0)
+    pos = le_i32(4)
+    l_rn = H[:, 8].astype(np.int64)
+    mapq = H[:, 9].astype(np.int64)
+    n_cig = le_u16(12)
+    flag = le_u16(14)
+    l_seq = le_i32(16)
+    nrefid = le_i32(20)
+
+    name_off = starts + 32
+    cig_off = name_off + l_rn
+    seq_off = cig_off + 4 * n_cig
+    nb = (l_seq + 1) // 2
+    qual_off = seq_off + nb
+    tag_off = qual_off + l_seq
+    tag_len = starts + lens - tag_off
+
+    need = set(schema.names)
+
+    # flat within-record index helper: for per-record counts c, returns the
+    # global element index of every (record, k<c) pair
+    def flat_idx(offs, counts, stride=1):
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.zeros(n + 1, np.int64)
+        rep = np.repeat(offs, counts)
+        cum = np.cumsum(counts) - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        bounds = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        return rep + stride * within, bounds
+
+    out: dict[str, pa.Array] = {}
+
+    if "name" in need:
+        no = name_off.tolist()
+        nl = l_rn.tolist()
+        names = [buf[o : o + ln - 1] for o, ln in zip(no, nl)]
+        out["name"] = pa.array(
+            [m if m else None for m in names], pa.binary()
+        ).cast(pa.string())
+    if "flag" in need:
+        out["flag"] = pa.array(flag.astype(np.int32))
+
+    unmapped = (refid < 0) | (pos < 0)
+    if "reference" in need or "mate_reference" in need:
+        ref_names = np.array([r[0] for r in refs], dtype=object)
+
+        def ref_col(ids):
+            col = np.empty(n, object)
+            col[:] = None
+            ok = (ids >= 0) & (ids < len(refs))
+            col[ok] = ref_names[ids[ok]]
+            return pa.array(col, pa.string())
+
+        if "reference" in need:
+            out["reference"] = ref_col(refid)
+        if "mate_reference" in need:
+            out["mate_reference"] = ref_col(nrefid)
+
+    cigar_needed = "cigar" in need or "end" in need
+    if cigar_needed:
+        idx, bounds = flat_idx(cig_off, n_cig, stride=4)
+        ops = (
+            a8[idx].astype(np.uint32)
+            | (a8[idx + 1].astype(np.uint32) << 8)
+            | (a8[idx + 2].astype(np.uint32) << 16)
+            | (a8[idx + 3].astype(np.uint32) << 24)
+        )
+        oplen = (ops >> 4).astype(np.int64)
+        opch = (ops & 0xF).astype(np.int64)
+        if "end" in need:
+            ref_len = np.zeros(n, np.int64)
+            np.add.at(
+                ref_len,
+                np.repeat(np.arange(n), n_cig),
+                oplen * _REF_CONSUME_LUT[opch],
+            )
+        if "cigar" in need:
+            opchars = np.array(list(_CIGAR_OPS), dtype="U1")
+            parts = np.char.add(oplen.astype("U10"), opchars[opch])
+            b = bounds.tolist()
+            out["cigar"] = pa.array(
+                ["".join(parts[b[i] : b[i + 1]]) for i in range(n)],
+                pa.string(),
+            )
+
+    if "start" in need:
+        out["start"] = pa.array(pos + 1, pa.int64(), mask=unmapped)
+    if "end" in need:
+        out["end"] = pa.array(
+            pos + ref_len, pa.int64(), mask=unmapped | (ref_len == 0)
+        )
+    if "mapping_quality" in need:
+        lut = np.array([str(i) for i in range(256)], dtype=object)
+        mq = lut[mapq]
+        out["mapping_quality"] = pa.array(mq, pa.string(), mask=mapq == 255)
+
+    if "sequence" in need:
+        idx, _bounds = flat_idx(seq_off, nb)
+        pairs = np.array(_SEQ_BYTE2, dtype="S2")[a8[idx]].tobytes()
+        soff = np.zeros(n + 1, np.int64)
+        np.cumsum(nb, out=soff[1:])
+        so = (2 * soff).tolist()
+        ls = l_seq.tolist()
+        out["sequence"] = pa.array(
+            [pairs[so[i] : so[i] + ls[i]] for i in range(n)], pa.binary()
+        ).cast(pa.string())
+
+    if "quality_score" in need:
+        first = np.where(l_seq > 0, a8[np.minimum(qual_off, len(a8) - 1)], 0)
+        qlen = np.where((l_seq == 0) | (first == 0xFF), 0, l_seq)
+        idx, bounds = flat_idx(qual_off, qlen)
+        out["quality_score"] = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()),
+            pa.array(a8[idx].astype(np.int64)),
+        )
+
+    if "tags" in need:
+        if int(tag_len.max(initial=0)) == 0:
+            out["tags"] = pa.nulls(n, schema.field("tags").type)
+        else:
+            to = tag_off.tolist()
+            tl = tag_len.tolist()
+            rows = []
+            for i in range(n):
+                if tl[i] <= 0:
+                    rows.append(None)
+                    continue
+                data = buf[to[i] : to[i] + tl[i]]
+                off = 0
+                tags = []
+                while off + 3 <= len(data):
+                    tag = data[off : off + 2].decode("ascii", "replace")
+                    typ = chr(data[off + 2])
+                    off += 3
+                    val, off = _decode_tag_value(data, off, typ)
+                    if isinstance(val, list):
+                        val = ",".join(str(v) for v in val)
+                    tags.append({"tag": tag, "value": str(val)})
+                rows.append(tags or None)
+            out["tags"] = pa.array(rows, schema.field("tags").type)
+
+    cols = []
+    for name in schema.names:
+        a = out[name]
+        want = schema.field(name).type
+        if a.type != want:  # e.g. list value-field nullability/name
+            a = a.cast(want)
+        cols.append(a)
+    return pa.RecordBatch.from_arrays(cols, schema=schema)
+
+
 def iter_bam_records(
     stream,
     refs: list[tuple[str, int]],
@@ -299,6 +482,52 @@ class BamSource(FileFormatSource):
                 for s, e in bounds
             ]
         return [FilePartition(f.path, comp, pv)]
+
+    @classmethod
+    def read_arrow_partition(cls, partition: FilePartition, options: dict, schema):
+        """Vectorized full-scan decode: record blobs are concatenated and
+        the fixed 32-byte headers, packed sequences and quality arrays are
+        decoded with numpy gathers instead of per-record Python
+        (decode_record measures ~65µs/record; this path ~10µs). Region /
+        typed-tag scans keep the row path (header-driven schemas and
+        post-filters)."""
+        from exon_spark.sources.sam import parse_tags_enabled
+
+        if parse_tags_enabled(options):
+            return None
+        if partition.extra and partition.extra[0] != "range":
+            return None
+        return cls._arrow_decode_batches(partition, schema)
+
+    @classmethod
+    def _arrow_decode_batches(cls, partition: FilePartition, schema):
+        from exon_spark.sources.bgzf import BGZFReader
+
+        with BGZFReader(partition.path) as bg:
+            stream = bg.stream_from(0)
+            refs = read_bam_header(stream)
+            if partition.extra:
+                _, v_start, v_stop = partition.extra
+                stream = bg.stream_from(v_start)
+            else:
+                v_stop = None
+            blobs: list[bytes] = []
+            while True:
+                if v_stop is not None and stream.tell_virtual() >= v_stop:
+                    break
+                head = stream.read(4)
+                if len(head) < 4:
+                    break
+                (bs,) = struct.unpack("<i", head)
+                data = stream.read(bs)
+                if len(data) < bs:
+                    break
+                blobs.append(data)
+                if len(blobs) >= 16384:
+                    yield _decode_blob_batch(blobs, refs, schema)
+                    blobs = []
+            if blobs:
+                yield _decode_blob_batch(blobs, refs, schema)
 
     @classmethod
     def parse_partition(cls, partition: FilePartition, options: dict) -> Iterator[dict]:
