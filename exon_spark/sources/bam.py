@@ -146,6 +146,65 @@ def _decode_tag_value(data: bytes, off: int, typ: str):
     raise ValueError(f"unknown BAM tag type {typ!r}")
 
 
+def _iter_record_blobs(bg, v_start: int = 0, v_stop: int | None = None):
+    """Yield raw BAM record blobs from a BGZFReader, buffered block-at-a-
+    time instead of two ``stream.read`` calls per record (~30µs/record of
+    Python call overhead in the stream layer — this walk is ~10x cheaper).
+
+    Ownership matches ``iter_bam_records``: a record is yielded iff its
+    record-START virtual offset is < ``v_stop``. Block-granular metadata
+    maps buffer positions back to virtual offsets exactly."""
+    coffset = v_start >> 16
+    uoff = v_start & 0xFFFF
+    bg._load_block(coffset)
+    data = bg._block_data
+    if not data:
+        return
+    buf = bytearray(data[uoff:])
+    # (start_pos_in_buf, start_uoffset, end_pos_in_buf, coffset)
+    blocks = [(0, uoff, len(buf), coffset)]
+    next_c = bg._block_next_coffset
+    pos = 0
+    bi = 0  # index of the block entry containing pos
+
+    def load_more() -> bool:
+        nonlocal next_c
+        bg._load_block(next_c)
+        d = bg._block_data
+        if not d:
+            return False
+        blocks.append((len(buf), 0, len(buf) + len(d), next_c))
+        buf.extend(d)
+        next_c = bg._block_next_coffset
+        return True
+
+    while True:
+        while len(buf) - pos < 4:
+            if not load_more():
+                return
+        if v_stop is not None:
+            while blocks[bi][2] <= pos:
+                bi += 1
+            bstart, buoff, _bend, bcoff = blocks[bi]
+            if ((bcoff << 16) | (pos - bstart + buoff)) >= v_stop:
+                return
+        bs = int.from_bytes(buf[pos : pos + 4], "little", signed=True)
+        while len(buf) - pos < 4 + bs:
+            if not load_more():
+                return  # truncated trailing record
+        yield bytes(buf[pos + 4 : pos + 4 + bs])
+        pos += 4 + bs
+        if pos > (8 << 20):  # compact; rebase block metadata
+            del buf[:pos]
+            blocks = [
+                (s - pos, u, e - pos, c)
+                for (s, u, e, c) in blocks
+                if e > pos
+            ]
+            bi = 0
+            pos = 0
+
+
 _REF_CONSUME_LUT = None  # built lazily with numpy
 
 
@@ -508,21 +567,12 @@ class BamSource(FileFormatSource):
             refs = read_bam_header(stream)
             if partition.extra:
                 _, v_start, v_stop = partition.extra
-                stream = bg.stream_from(v_start)
             else:
-                v_stop = None
+                # whole file: records begin where the header ended
+                v_start, v_stop = stream.tell_virtual(), None
             blobs: list[bytes] = []
-            while True:
-                if v_stop is not None and stream.tell_virtual() >= v_stop:
-                    break
-                head = stream.read(4)
-                if len(head) < 4:
-                    break
-                (bs,) = struct.unpack("<i", head)
-                data = stream.read(bs)
-                if len(data) < bs:
-                    break
-                blobs.append(data)
+            for blob in _iter_record_blobs(bg, v_start, v_stop):
+                blobs.append(blob)
                 if len(blobs) >= 16384:
                     yield _decode_blob_batch(blobs, refs, schema)
                     blobs = []
