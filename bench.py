@@ -80,8 +80,14 @@ def main() -> None:
     # is ±30% cold vs warm.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    bench_start = time.monotonic()
 
     def timed(name: str, fn, runs: int = 2) -> None:
+        # safety valve: if the run is already long (slow machine, cold
+        # caches), fall back to single-run so the whole artifact can never
+        # blow a driver-side timeout — partial methodology beats no data
+        if time.monotonic() - bench_start > 300:
+            runs = 1
         best = None
         try:
             for _ in range(runs):
