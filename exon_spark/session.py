@@ -31,10 +31,14 @@ def _regions_from_raw_predicates(query: str) -> list[str]:
     * rules E/I/J/K: conjunctions intersect — max of lower bounds, min of
       upper bounds, single chrom.
 
-    The caller only invokes this for pure conjunctions (OR/NOT disable the
-    rewrite), so intersecting every matched constraint is sound: a row
-    outside the intersection fails some conjunct and is dropped by the
-    residual predicate regardless — the pushdown stays optimization-only.
+    This function is pure text→region folding; it assumes its input is a
+    pure top-level conjunction. The *gate* that guarantees that assumption
+    is ``_raw_rewrite_target`` below: it only hands over the top-level
+    WHERE text of a single-SELECT, single-format-table statement (no JOIN,
+    comma-FROM, CASE, subquery, OR, or NOT), so intersecting every matched
+    constraint is sound — a row outside the intersection fails some
+    conjunct and is dropped by the residual predicate regardless; the
+    pushdown stays optimization-only.
     Returns ``[]`` (no pushdown) on anything ambiguous.
     """
     import re
@@ -67,6 +71,63 @@ def _regions_from_raw_predicates(query: str) -> list[str]:
     if hi is None:
         return [chrom] if lo == 1 else [f"{chrom}:{lo}"]
     return [f"{chrom}:{lo}-{hi}"]
+
+
+def _raw_rewrite_target(
+    query: str, table_names: "list[str]"
+) -> "tuple[list[str], str | None]":
+    """Gate for the raw-coordinate rewrite: decide whether ``query`` is a
+    statement where folding ``chrom=... AND pos...`` into a source region
+    is provably safe, and if so WHICH single table the region may bind to.
+
+    Safe means: one SELECT (no subqueries anywhere), no JOIN / comma-FROM
+    (a second relation could share the column text but not the
+    constraint), no CASE (a coordinate comparison inside CASE WHEN is not
+    a filter), no EXISTS/UNION/INTERSECT/EXCEPT, exactly one registered
+    format table referenced, and the coordinate predicates taken ONLY
+    from the top-level WHERE clause. Anything else returns ``([], None)``
+    and the statement runs unrewritten — pushdown is optimization-only,
+    so bailing is always correct.
+
+    Mirrors the applicability conditions of the reference's
+    chrom_optimizer_rule design (docs/vcf_expression_rewriting.md: the
+    rule was scoped to a single TableScan's filter conjunction).
+    """
+    import re
+
+    if len(re.findall(r"\bSELECT\b", query, re.I)) != 1:
+        return [], None
+    if re.search(
+        r"\b(JOIN|CASE|EXISTS|UNION|INTERSECT|EXCEPT|HAVING)\b", query, re.I
+    ):
+        return [], None
+    referenced = [
+        n for n in table_names if re.search(rf"\b{re.escape(n)}\b", query)
+    ]
+    if len(referenced) != 1:
+        return [], None
+    m = re.search(
+        r"\bFROM\b(.*?)(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|$)",
+        query,
+        re.I | re.S,
+    )
+    if not m:
+        return [], None
+    from_clause = m.group(1)
+    # strip (nested) parenthesized argument lists before the comma test so
+    # `FROM vcf_scan('a','b')` isn't mistaken for a comma-join
+    while re.search(r"\([^()]*\)", from_clause):
+        from_clause = re.sub(r"\([^()]*\)", "", from_clause)
+    if "," in from_clause:
+        return [], None
+    wm = re.search(
+        r"\bWHERE\b(.*?)(?=\bGROUP\b|\bORDER\b|\bLIMIT\b|$)",
+        query,
+        re.I | re.S,
+    )
+    if not wm:
+        return [], None
+    return _regions_from_raw_predicates(wm.group(1)), referenced[0]
 
 
 def get_spark(
@@ -225,8 +286,14 @@ class ExonSession:
         regions = re.findall(
             r"\w+_region_filter\(\s*'([^']+)'", query, re.IGNORECASE
         )
-        regions += _regions_from_raw_predicates(query)
         registry = getattr(self.spark, "_exon_tables", {}) or {}
+        only_table: str | None = None  # raw rewrite binds ONE table only
+        if not regions and registry:
+            raw_regions, raw_table = _raw_rewrite_target(
+                query, list(registry)
+            )
+            if raw_regions:
+                regions, only_table = raw_regions, raw_table
         if (
             not regions
             or not registry
@@ -237,6 +304,8 @@ class ExonSession:
         rebound: list[tuple[str, str, str, dict]] = []
         for name, (fmt, path, options) in registry.items():
             if "regions" in options or "region" in options:
+                continue
+            if only_table is not None and name != only_table:
                 continue
             if not re.search(rf"\b{re.escape(name)}\b", query):
                 continue
@@ -273,9 +342,3 @@ class ExonSession:
 
             return _reader
         raise AttributeError(name)
-
-    def register_exon_table(self, name: str, path: str, fmt: str, **options) -> None:
-        """CREATE EXTERNAL TABLE analogue (exon_context_ext.rs:683-697)."""
-        from exon_spark.sources import read_format
-
-        read_format(self.spark, fmt, path, **options).createOrReplaceTempView(name)

@@ -13,7 +13,11 @@ import random
 
 import pytest
 
-from exon_spark.session import ExonSession, _regions_from_raw_predicates
+from exon_spark.session import (
+    ExonSession,
+    _raw_rewrite_target,
+    _regions_from_raw_predicates,
+)
 
 
 # ---------------------------------------------------------------- parse unit
@@ -52,6 +56,64 @@ from exon_spark.session import ExonSession, _regions_from_raw_predicates
 )
 def test_regions_from_raw_predicates(sql, expect):
     assert _regions_from_raw_predicates(sql) == expect
+
+
+# ------------------------------------------------------------- rewrite gate
+# The rewrite must NOT fire when the coordinate text is not a top-level
+# WHERE conjunct of a single-table statement: CASE WHEN expressions,
+# joins (the region would wrongly prune the OTHER table too), subqueries,
+# comma-FROM, or a predicate on a table that isn't the one registered.
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # coordinate text inside CASE WHEN is not a filter
+        "SELECT CASE WHEN chrom = 'chr1' THEN 1 ELSE 0 END AS f FROM t",
+        # join: predicate constrains one side only — binding both is wrong
+        "SELECT * FROM t JOIN u ON t.gene = u.gene "
+        "WHERE t.chrom = 'chr1' AND t.pos <= 100",
+        # comma-FROM is a join too
+        "SELECT * FROM t, u WHERE t.chrom = 'chr1' AND t.pos <= 100",
+        # subquery: inner predicate must not escape to the outer table
+        "SELECT * FROM t WHERE gene IN "
+        "(SELECT gene FROM u WHERE chrom = 'chr1' AND pos <= 100)",
+        # EXISTS subquery
+        "SELECT * FROM t WHERE EXISTS "
+        "(SELECT 1 FROM u WHERE u.chrom = 'chr1' AND u.pos = t.pos)",
+        # UNION arms may have different tables
+        "SELECT * FROM t WHERE chrom = 'chr1' UNION ALL SELECT * FROM u",
+    ],
+)
+def test_raw_rewrite_gate_bails(sql):
+    regions, table = _raw_rewrite_target(sql, ["t", "u"])
+    assert regions == [] and table is None
+
+
+def test_raw_rewrite_gate_accepts_single_table():
+    regions, table = _raw_rewrite_target(
+        "SELECT chrom, pos FROM t WHERE chrom = 'chr1' AND pos BETWEEN 5 AND 9"
+        " ORDER BY pos LIMIT 10",
+        ["t", "u"],
+    )
+    assert regions == ["chr1:5-9"] and table == "t"
+    # coordinate text in the select list alone (no WHERE) must not fire
+    regions, table = _raw_rewrite_target(
+        "SELECT concat(chrom, ':', pos) FROM t", ["t"]
+    )
+    assert regions == []
+    # two registered tables referenced → ambiguous → bail
+    regions, table = _raw_rewrite_target(
+        "SELECT * FROM t WHERE chrom = 'chr1' AND gene = 'u'", ["t", "u"]
+    )
+    assert regions == [] and table is None
+    # scan-UDTF argument commas are not a comma-join
+    regions, table = _raw_rewrite_target(
+        "SELECT * FROM vcf_scan('f.vcf.gz', 'parse_info=true') AS t "
+        "WHERE chrom = 'chr1' AND pos <= 100",
+        ["t"],
+    )
+    assert regions == ["chr1:1-100"] and table == "t"
 
 
 # ---------------------------------------------------------- end-to-end prune
