@@ -363,6 +363,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity join with **prefix filtering**
     (PPJoin-style) — exact results for pairs with jaccard >= threshold.
@@ -376,6 +377,18 @@ def ngram_jaccard_pairs(
     (``min(|x|,|y|) >= t*max(|x|,|y|)``) prunes further before
     verification. Verification computes exact Jaccard over the full shingle
     sets, so the output is identical to the naive join.
+
+    ``max_shingle_df`` (the standard stop-shingle cap) additionally drops
+    shingles whose document frequency exceeds the cap from **candidate
+    generation only** — verification still runs over full shingle sets, so
+    every emitted pair's jaccard stays exact. The trade is recall, bounded
+    and explicit: a true pair can only be missed if *every* prefix shingle
+    it shares sits in more than ``max_shingle_df`` documents — i.e. the
+    pair overlaps solely on corpus-level stopword n-grams, which at a cap
+    like 0.1% of the corpus means boilerplate, not content. At 100 TB this
+    is the knob that prevents one viral shingle from pinning a d^2 join
+    task (d = df of the hot shingle); default ``None`` keeps the exact
+    PPJoin guarantee.
     """
     from pyspark.sql import Window
 
@@ -402,10 +415,15 @@ def ngram_jaccard_pairs(
     ranked = sh.withColumn(
         "df_", F.count("*").over(Window.partitionBy("shingle"))
     ).withColumn("rn", F.row_number().over(w))
+    in_prefix = (
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    )
+    if max_shingle_df is not None:
+        # stop-shingle cap: hot shingles leave the inverted index (candidate
+        # generation) only; rn/n_sh and the verification sets are untouched
+        in_prefix = in_prefix & (F.col("df_") <= F.lit(int(max_shingle_df)))
     prefix = _materialize(  # self-joined below: compute the rank pipeline once
-        ranked.filter(
-            F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        ).select("doc_id", "shingle", "n_sh")
+        ranked.filter(in_prefix).select("doc_id", "shingle", "n_sh")
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")

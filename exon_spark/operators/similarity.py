@@ -14,10 +14,11 @@
   closest cells. Cell assignment is a zero-shuffle literal-array argmax
   (centroids are broadcast as expression literals), so the only shuffle is
   the final tiny per-query top-k.
-* ``embedding_cosine_dups`` — embedding near-dup detection: LSH buckets as
-  the blocking key (pairs must collide in a bucket), exact cosine verify
-  within blocks. The all-pairs comparison is confined to buckets — the same
-  candidate-confinement structure as MinHash-LSH for text.
+* ``embedding_cosine_dups`` — embedding near-dup detection: banded
+  hyperplane LSH as the blocking key (64-bit signature, 4 x 16-bit bands,
+  hamming-1 multi-probe), exact cosine verify on the deduped candidate
+  set. Same band geometry as ``simhash_pairs`` — n_bands * 2^band_bits
+  buckets, no single-small-bucket self-join degeneracy at corpus scale.
 """
 
 from __future__ import annotations
@@ -209,38 +210,101 @@ def ivf_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def band_keys(
+    vec_col: Column | str,
+    planes: list[list[float]],
+    band_bits: int = 16,
+) -> list[Column]:
+    """Split an ``len(planes)``-bit hyperplane signature into
+    ``len(planes)//band_bits`` band keys. Key ``b`` packs the band index in
+    the high bits (``b << band_bits``) so one join column addresses every
+    (band, pattern) bucket — ``n_bands * 2**band_bits`` distinct buckets."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n_bands = len(planes) // band_bits
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(b << band_bits).cast("bigint")
+        for i in range(band_bits):
+            plane = planes[b * band_bits + i]
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            key = key + F.when(
+                _dot(v, lit_plane) > 0, F.lit(1 << i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        keys.append(key)
+    return keys
+
+
 def embedding_cosine_dups(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int = 64,
+    band_bits: int = 16,
+    probe_hamming: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >=
-    threshold), candidates blocked by LSH bucket so the quadratic comparison
-    runs within buckets only (recall is bounded by bucket collision
-    probability — raise by lowering n_planes or multi-probing).
+    threshold), candidates blocked by **banded** hyperplane LSH — a pair is
+    a candidate iff some band of its ``n_planes``-bit signatures agrees
+    within ``probe_hamming`` bits (multi-probe: one side also emits its
+    hamming<=1 key variants, so near-miss bands still collide).
+
+    Bucket geometry mirrors ``simhash_pairs``: 4 bands x 16 bits =
+    ``n_bands * 2**band_bits`` = 2**18 distinct (band, pattern) buckets, so
+    within-bucket comparison is O(n²/2^18)-ish per band rather than the
+    O(n²/64) the old single-6-plane-bucket blocking degenerated to at
+    corpus scale. Identical vectors agree on every band — planted-dup
+    recall is exactly 1. The exploded probe side carries only (id, key)
+    pairs — 8-byte rows, never the vectors; vectors re-join by id after
+    the candidate set is deduped, so shuffle volume stays bounded.
 
     Output: (id_a, id_b, score).
     """
+    if n_planes % band_bits:
+        raise ValueError("n_planes must be a multiple of band_bits")
     planes = hyperplanes(dim, n_planes)
-    b = df.select(
+    keys = band_keys(vec_col, planes, band_bits)
+    base = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
+        F.array(*keys).alias("bands"),
     )
-    a_, b_ = b.alias("a"), b.alias("b")
-    return (
-        a_.join(
-            b_,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # probe side: each band's exact key plus its single-bit flips (XOR on
+    # the low band_bits leaves the packed band index untouched); exact
+    # side: the 4 exact keys. hamming(a,b) <= 1 in some band ==> one of
+    # a's probes equals b's exact key, so one-sided probing covers pairs.
+    probes = F.flatten(
+        F.transform(
+            "bands",
+            lambda k: F.array(
+                k, *[k.bitwiseXOR(F.lit(1 << j)) for j in range(band_bits)]
+            )
+            if probe_hamming >= 1
+            else F.array(k),
         )
+    )
+    a = base.select("vec_id", F.explode(probes).alias("bkey")).select(
+        F.col("vec_id").alias("id_a"), "bkey"
+    )
+    b = base.select("vec_id", F.explode("bands").alias("bkey")).select(
+        F.col("vec_id").alias("id_b"), "bkey"
+    )
+    cands = (
+        a.join(b, "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+            "id_a",
+            "id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -268,9 +268,13 @@ def _q28_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q28_oracle() -> str:
+    # regenerate the banded-LSH candidate rule (64 planes, 4x16-bit bands,
+    # hamming<=1 multi-probe) with the same md5-derived hyperplanes and the
+    # same sequential-fold dot product the Spark expressions use
     from exon_spark.operators.similarity import hyperplanes
 
-    planes = hyperplanes(64, 6)
+    planes = hyperplanes(64, 64)
+    band_bits, n_bands = 16, 4
 
     def dot(vec: str, plane: list[float]) -> str:
         lst = "[" + ", ".join(repr(x) for x in plane) + "]"
@@ -279,9 +283,17 @@ def _q28_oracle() -> str:
             f"i -> cast({vec}[i] as double) * ({lst})[i]))"
         )
 
-    bucket = " + ".join(
-        f"(case when {dot('embedding', pl)} > 0 then {1 << i} else 0 end)"
-        for i, pl in enumerate(planes)
+    bands = []
+    for b in range(n_bands):
+        key = " + ".join(
+            f"(case when {dot('embedding', planes[b * band_bits + i])} > 0 "
+            f"then {1 << i} else 0 end)"
+            for i in range(band_bits)
+        )
+        bands.append(f"cast({key} as bigint) as b{b}")
+    band_cols = ",\n  ".join(bands)
+    collide = " or ".join(
+        f"bit_count(xor(x.b{b}, y.b{b})) <= 1" for b in range(n_bands)
     )
     cos = _COS64.format(a="x.embedding", b="y.embedding")
     return f"""
@@ -290,9 +302,11 @@ with base as (
   union all
   select vec_id + 10000 as vec_id, embedding from embeddings where vec_id % 10 = 0
 ),
-bk as (select vec_id, embedding, cast({bucket} as bigint) as bucket from base)
+bk as (select vec_id, embedding,
+  {band_cols}
+  from base)
 select x.vec_id as id_a, y.vec_id as id_b, round({cos}, 6) as score
-from bk x join bk y on x.bucket = y.bucket and x.vec_id < y.vec_id
+from bk x join bk y on x.vec_id < y.vec_id and ({collide})
 where round({cos}, 6) >= 0.95
 """
 

@@ -223,6 +223,16 @@ def _decode_blob_batch(blobs: list[bytes], refs, schema):
 
     n = len(blobs)
     lens = np.fromiter((len(b) for b in blobs), np.int64, n)
+    if n and int(lens.min()) < 32:
+        # The fixed-header gather below assumes every blob carries the full
+        # 32-byte BAM record header; an undersized (truncated/corrupt) blob
+        # would silently read the next record's bytes. Fail cleanly instead,
+        # matching the row decoder's struct.unpack_from behavior.
+        short = int(np.argmin(lens))
+        raise ValueError(
+            f"corrupt BAM record: blob {short} is {int(lens[short])} bytes, "
+            "shorter than the 32-byte fixed header"
+        )
     starts = np.zeros(n, np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     buf = b"".join(blobs)

@@ -65,6 +65,14 @@ def _replay_log(log_dir: str) -> tuple[list[str], dict]:
             raise DeltaProtocolError(
                 f"multipart checkpoint incomplete: want {parts} got {len(cp_files)}"
             )
+        if not cp_files:
+            # _last_checkpoint names a version whose parquet files are gone:
+            # advancing start_version would silently skip every commit <= v,
+            # returning a partial file set. Module contract: raise instead.
+            raise DeltaProtocolError(
+                f"_last_checkpoint names version {v} but no "
+                f"{pref}*.parquet files exist in {log_dir}"
+            )
         start_version = v
 
     if cp_files:
@@ -145,14 +153,39 @@ def read_delta(spark: SparkSession, path: str, **options) -> DataFrame:
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {path}")
     rel_paths, meta = _replay_log(log_dir)
-    if not rel_paths:
-        # empty table: derive schema from metaData.schemaString
-        from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType
 
+    schema = None
+    if meta.get("schemaString"):
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not rel_paths:
+        if schema is None:
+            raise DeltaProtocolError(f"Delta log has no metaData action: {path}")
         return spark.createDataFrame([], schema)
-    files = [
-        os.path.join(path, urllib.parse.unquote(p)) for p in sorted(rel_paths)
-    ]
+    files = [_resolve_add_path(path, p) for p in sorted(rel_paths)]
     reader = spark.read.option("basePath", path)
+    if schema is not None:
+        # Pin the declared Delta schema (column types, order, nullability)
+        # rather than re-inferring from parquet footers — this also pins
+        # partition-column types, which path-string inference can drift on
+        # (e.g. '01' -> int 1, '2024-01-01' -> date).
+        reader = reader.schema(schema)
     return reader.parquet(*files)
+
+
+def _resolve_add_path(table_path: str, p: str) -> str:
+    """add.path is a relative path within the table, or an absolute URI
+    (PROTOCOL.md: 'a path ... relative ... or an absolute path'); both are
+    percent-encoded."""
+    p = urllib.parse.unquote(p)
+    parsed = urllib.parse.urlparse(p)
+    if parsed.scheme and parsed.scheme != "file":
+        raise DeltaProtocolError(
+            f"absolute add.path with scheme {parsed.scheme!r} not supported "
+            "without delta-spark"
+        )
+    if parsed.scheme == "file":
+        p = parsed.path
+    if os.path.isabs(p):
+        return p
+    return os.path.join(table_path, p)

@@ -154,42 +154,118 @@ class FastaSource(FileFormatSource):
         import pyarrow as pa
 
         CHUNK = 4 << 20
+        names = set(schema.names)
+        want_hdr = "id" in names or "description" in names
+        ids: list[bytes] = []
+        descs: list[bytes | None] = []
+        seqs: list[bytes] = []
+        crlf = False
+
+        def flush():
+            arrays = []
+            for name in schema.names:
+                if name == "id":
+                    a = pa.array(ids, pa.binary()).cast(pa.string())
+                elif name == "description":
+                    a = pa.array(descs, pa.binary()).cast(pa.string())
+                else:
+                    a = pa.array(seqs, pa.binary()).cast(pa.string())
+                arrays.append(a)
+            return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+        def frame(slab):
+            # slab starts with '>' and holds only whole records
+            for rec in slab[1:].split(b"\n>"):
+                nl = rec.find(b"\n")
+                if nl < 0:
+                    header, seq = rec, b""
+                else:
+                    header, seq = rec[:nl], rec[nl + 1 :].replace(b"\n", b"")
+                if crlf:
+                    header = header.rstrip(b"\r")
+                    seq = seq.replace(b"\r", b"")
+                if not header and not seq:
+                    continue
+                if want_hdr:
+                    sp = header.find(b" ")
+                    if sp < 0:
+                        ids.append(header)
+                        descs.append(None)
+                    else:
+                        ids.append(header[:sp])
+                        descs.append(header[sp + 1 :] or None)
+                else:
+                    ids.append(b"")
+                    descs.append(None)
+                seqs.append(seq)
+
         start = partition.start or 0
-        if partition.compression in ("gzip", "bgzf"):
-            import gzip as _gzip
-
-            with fs_open(partition.path) as fh:
-                buf = _gzip.decompress(fh.read())
-            start = 0
-        elif partition.compression == "zstd":
-            from exon_spark.sources.util import zstd_stream
-
-            with fs_open(partition.path) as fh:
-                buf = zstd_stream(fh).read()
-            start = 0
-        else:
-            with fs_open(partition.path) as fh:
-                # read one byte early so a record starting exactly at
-                # `start` (previous byte '\n') is recognized as ours
-                lead = 1 if start > 0 else 0
-                fh.seek(start - lead)
-                n = (partition.end - start + lead) if partition.end else None
-                buf = fh.read(n) if n else fh.read()
-                if partition.end is not None:
-                    # extend to the end of the last record we own: the
-                    # first '\n>' boundary at/after `end` closes it
-                    boundary = -1
+        if partition.compression in ("gzip", "bgzf", "zstd"):
+            # Stream-decompress and frame incrementally: a multi-GB gzip
+            # shard would otherwise hold its whole uncompressed body (plus
+            # the framed copy) in executor memory at once. We accumulate
+            # decompressed bytes only up to the last '\n>' record boundary,
+            # flush those records, and carry the tail.
+            stream = open_maybe_compressed(partition.path, partition.compression)
+            with stream:
+                carry = b""
+                skipped_head = False
+                first = True
+                while True:
+                    chunk = stream.read(8 << 20)
+                    if first and chunk:
+                        crlf = b"\r" in chunk[: 1 << 16]
+                        first = False
+                    if not chunk:
+                        if not skipped_head:
+                            if not carry.startswith(b">"):
+                                return
+                            skipped_head = True
+                        if carry:
+                            frame(carry)
+                        break
+                    carry += chunk
+                    if not skipped_head:
+                        if carry.startswith(b">"):
+                            skipped_head = True
+                        else:
+                            j = carry.find(b"\n>")
+                            if j < 0:
+                                continue
+                            carry = carry[j + 1 :]
+                            skipped_head = True
+                    boundary = carry.rfind(b"\n>")
+                    if boundary >= 0:
+                        frame(carry[: boundary + 1])
+                        carry = carry[boundary + 1 :]
+                    if len(seqs) >= 8192:
+                        yield flush()
+                        ids, descs, seqs = [], [], []
+            if seqs:
+                yield flush()
+            return
+        with fs_open(partition.path) as fh:
+            # read one byte early so a record starting exactly at
+            # `start` (previous byte '\n') is recognized as ours
+            lead = 1 if start > 0 else 0
+            fh.seek(start - lead)
+            n = (partition.end - start + lead) if partition.end else None
+            buf = fh.read(n) if n else fh.read()
+            if partition.end is not None:
+                # extend to the end of the last record we own: the
+                # first '\n>' boundary at/after `end` closes it
+                boundary = -1
+                probe = max(0, len(buf) - 1)
+                while True:
+                    boundary = buf.find(b"\n>", probe)
+                    if boundary != -1:
+                        buf = buf[: boundary + 1]
+                        break
                     probe = max(0, len(buf) - 1)
-                    while True:
-                        boundary = buf.find(b"\n>", probe)
-                        if boundary != -1:
-                            buf = buf[: boundary + 1]
-                            break
-                        probe = max(0, len(buf) - 1)
-                        extra = fh.read(CHUNK)
-                        if not extra:
-                            break
-                        buf += extra
+                    extra = fh.read(CHUNK)
+                    if not extra:
+                        break
+                    buf += extra
         # first owned record: '>' at absolute pos p with start <= p,
         # preceded by '\n' (or p == 0)
         if start == 0 and buf.startswith(b">"):
@@ -204,51 +280,14 @@ class FastaSource(FileFormatSource):
         if not slab:
             return
         crlf = b"\r" in slab[: 1 << 16] or b"\r" in slab[-(1 << 16) :]
-        names = set(schema.names)
-        want_hdr = "id" in names or "description" in names
-        ids: list[bytes] = []
-        descs: list[bytes | None] = []
-        seqs: list[bytes] = []
-
-        def flush():
-            arrays = []
-            for name in schema.names:
-                if name == "id":
-                    a = pa.array(ids, pa.binary()).cast(pa.string())
-                elif name == "description":
-                    a = pa.array(descs, pa.binary()).cast(pa.string())
-                else:
-                    a = pa.array(seqs, pa.binary()).cast(pa.string())
-                arrays.append(a)
-            return pa.RecordBatch.from_arrays(arrays, schema=schema)
-
-        for rec in slab[1:].split(b"\n>"):
-            nl = rec.find(b"\n")
-            if nl < 0:
-                header, seq = rec, b""
-            else:
-                header, seq = rec[:nl], rec[nl + 1 :].replace(b"\n", b"")
-            if crlf:
-                header = header.rstrip(b"\r")
-                seq = seq.replace(b"\r", b"")
-            if not header and not seq:
-                continue
-            if want_hdr:
-                sp = header.find(b" ")
-                if sp < 0:
-                    ids.append(header)
-                    descs.append(None)
-                else:
-                    ids.append(header[:sp])
-                    descs.append(header[sp + 1 :] or None)
-            else:
-                ids.append(b"")
-                descs.append(None)
-            seqs.append(seq)
-            if len(seqs) >= 8192:
-                yield flush()
-                ids, descs, seqs = [], [], []
-        if seqs:
+        # split once (C-speed), then emit in 8192-record batches
+        frame(slab)
+        del slab
+        all_ids, all_descs, all_seqs = ids, descs, seqs
+        for i in range(0, len(all_seqs), 8192):
+            ids = all_ids[i : i + 8192]
+            descs = all_descs[i : i + 8192]
+            seqs = all_seqs[i : i + 8192]
             yield flush()
 
     @classmethod

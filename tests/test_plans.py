@@ -115,6 +115,21 @@ def test_minhash_simhash_signatures_one_shuffle(registered):
     assert "partial_sum" in plan
 
 
+def test_embedding_dups_band_cardinality(registered):
+    """embedding_cosine_dups must block on banded keys — n_bands * 2^16
+    buckets (>= 2^18 effective), not the old single 2^6-bucket self-join
+    that degenerates to O(n²/64) at corpus scale. The packed key for band 3
+    is offset 3 << 16 = 196608: its presence pins both the 16-bit band
+    width and >= 4 bands; the xor literals pin hamming-1 multi-probe."""
+    from exon_spark.operators.similarity import embedding_cosine_dups
+
+    em = registered.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_cosine_dups(em))
+    assert "196608" in plan, "expected 4x16-bit packed band keys"
+    assert "bkey" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_band_cardinality_is_16_bit(registered):
     """The simhash band join must bucket on 16-bit band values (65,536
     buckets) — 8-bit/256-bucket banding degenerates toward O(n²/256) at

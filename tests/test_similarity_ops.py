@@ -53,6 +53,39 @@ def test_embedding_cosine_dups_finds_planted(spark):
         assert r.score == 1.0
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """max_shingle_df drops hot shingles from candidate generation only:
+    a generous cap reproduces the exact (uncapped) output; a cap of 1
+    can only lose pairs whose every shared prefix shingle is hot —
+    emitted pairs keep exact jaccard values either way."""
+    from exon_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "completely different text with no overlap whatsoever here"),
+        (4, "completely different text with no overlap whatsoever there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert exact  # the two near-dup pairs exist
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.3, max_shingle_df=100
+        ).collect()
+    }
+    assert capped == exact
+    tight = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_shingle_df=1).collect()
+    }
+    assert tight <= exact
+
+
 def test_vcf_vectorized_matches_row_path(spark, tmp_path):
     """Tabix-pruned scans go through the pyarrow.csv vectorized reader;
     results must equal the per-row filter path bit-for-bit."""
