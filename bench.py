@@ -19,26 +19,48 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# every CORRECTNESS gate query has a tracked time (r4 verdict, wrong #2 —
+# an untimed query is a perf regression nobody sees). q29/q33 run real
+# availableNow Structured Streaming jobs; q26/q30 run the multimodal
+# mapInPandas plumbing. Single-run (runs=1) for the streaming pair: their
+# memory-sink tables are rebuilt per call, so best-of-2 adds time without
+# removing one-shot JVM work.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_shipping_priority",
     "q03_local_supplier_volume",
     "q04_forecast_revenue",
     "q05_top_customers_window",
+    "q06_order_priority_rollup",
+    "q07_customers_without_orders",
+    "q08_brand_stats",
     "q09_interval_containment_join",
     "q10_events_tumbling_window",
     "q11_events_sessionize",
     "q12_sequence_ops",
+    "q13_quality_filter",
     "q14_samflag_summary",
+    "q15_region_query",
     "q16_mass_spec",
     "q17_dedup_exact",
     "q18_dedup_ngram_jaccard",
     "q19_dedup_minhash_lsh",
     "q20_dedup_simhash",
     "q21_similarity_cosine_topk",
+    "q22_similarity_ann_lsh",
     "q23_text_stats",
+    "q24_text_langid",
     "q25_text_fingerprint",
+    "q26_multimodal_decode",
+    "q27_similarity_ann_ivf",
+    "q28_dedup_embedding_cosine",
+    "q29_streaming_tumbling",
+    "q30_multimodal_frames",
+    "q31_dedup_clusters",
+    "q32_corpus_mix",
+    "q33_streaming_dedup",
 ]
+_SINGLE_RUN = {"q29_streaming_tumbling", "q33_streaming_dedup"}
 
 
 def main() -> None:
@@ -105,14 +127,23 @@ def main() -> None:
 
     for name in HEADLINE:
         spec = ALL_QUERIES[name]
-        timed(name, lambda spec=spec: spec.spark_fn(spark, sf_dir))
+        timed(
+            name,
+            lambda spec=spec: spec.spark_fn(spark, sf_dir),
+            runs=1 if name in _SINGLE_RUN else 2,
+        )
 
     # BASELINE.md §6 bio-format workloads on synthetic fixtures (generation
     # is cached and excluded from timings)
     from exon_spark.queries.formats import FORMAT_BENCH, ensure_format_fixtures
 
     try:
+        gen_t0 = time.monotonic()
         fx = ensure_format_fixtures(sf_dir)
+        # fixture generation (minutes at baseline scale, one-time per cache
+        # version) must not push the format workloads into the single-run
+        # fallback — exclude it from the bench budget clock
+        bench_start += time.monotonic() - gen_t0
         # warm the Python-datasource worker path once with a full multi-task
         # scan so per-query times measure scans, not the one-time spawn of
         # the executor-side Python worker pool

@@ -479,6 +479,7 @@ class BamSource(FileFormatSource):
                     read_bai,
                     read_csi,
                     split_chunk_groups,
+                    split_chunks_at_offsets,
                 )
 
                 with BGZFReader(f.path) as bg:
@@ -495,21 +496,27 @@ class BamSource(FileFormatSource):
                     rid = ref_names.index(name)
                     if index is not None:
                         chunks = bai_chunks(index, rid, region)
+                        lin = index.linear[rid]
                     else:
                         # samtools `index -c` .csi fallback: names come
                         # from the BAM's own header
                         chunks = csi_chunks(cindex, rid, lo, hi)
+                        lin = list(cindex.loffsets[rid].values())
                     if chunks:
-                        per_region.append((region, chunks))
+                        per_region.append((region, chunks, lin))
                 par = int(options.get("target_parallelism", 0) or 0)
                 total = sum(
                     (ce >> 16) - (cb >> 16)
-                    for _, chunks in per_region
+                    for _, chunks, _lin in per_region
                     for cb, ce in chunks
                 )
                 target = adaptive_target_bytes(total, par)
                 parts = []
-                for region, chunks in per_region:
+                for region, chunks, lin in per_region:
+                    # subdivide merged chunks at linear-index record
+                    # boundaries so a whole-chromosome region fans out
+                    # (split_chunk_groups can group but never split)
+                    chunks = split_chunks_at_offsets(chunks, lin, target)
                     for group in split_chunk_groups(chunks, target):
                         parts.append(
                             FilePartition(

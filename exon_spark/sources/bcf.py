@@ -272,6 +272,13 @@ class BcfSource(VcfSource):
     NAME = "bcf"
     EXTENSIONS = ("bcf",)
 
+    @classmethod
+    def read_arrow_partition(cls, partition, options: dict, schema):
+        # VcfSource's vectorized path parses TEXT (pyarrow.csv over bgzf
+        # chunk ranges); BCF records are binary — always use the BCF2
+        # decoder in parse_partition
+        return None
+
     def base_schema(self) -> str:
         parse_info = str(self.options.get("parse_info", "")).lower() in ("true", "1")
         parse_formats = str(self.options.get("parse_formats", "")).lower() in (

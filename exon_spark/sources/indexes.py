@@ -182,14 +182,94 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def write_tbi(
+    out_path: str,
+    names: list[str],
+    bins: list[dict[int, list]],
+    linear: list[dict[int, int]],
+    preset: tuple[int, int, int, int, int, int],
+) -> str:
+    """Serialize a .tbi from builder-internal structures: per-ref
+    ``bins[rid] = {bin: [(voff_start, voff_end), ...]}`` and sparse linear
+    index ``linear[rid] = {window: min_voff}``. ``preset`` is the 6-int
+    tabix header (format, col_seq, col_begin, col_end, meta, skip)."""
+    import struct as _s
+
+    from exon_spark.sources.bgzf import BGZFWriter
+
+    payload = bytearray()
+    payload += b"TBI\x01"
+    payload += _s.pack("<i", len(names))
+    payload += _s.pack("<6i", *preset)
+    names_blob = b"".join(n.encode() + b"\x00" for n in names)
+    payload += _s.pack("<i", len(names_blob)) + names_blob
+    for rid in range(len(names)):
+        payload += _s.pack("<i", len(bins[rid]))
+        for bin_id in sorted(bins[rid]):
+            chunks = bins[rid][bin_id]
+            payload += _s.pack("<I", bin_id) + _s.pack("<i", len(chunks))
+            for cb, ce in chunks:
+                payload += _s.pack("<QQ", cb, ce)
+        if linear[rid]:
+            n_intv = max(linear[rid]) + 1
+            ioffs = []
+            prev = 0
+            for win in range(n_intv):
+                if win in linear[rid]:
+                    prev = linear[rid][win]
+                ioffs.append(prev)
+        else:
+            n_intv, ioffs = 0, []
+        payload += _s.pack("<i", n_intv)
+        for off in ioffs:
+            payload += _s.pack("<Q", off)
+    with BGZFWriter(out_path) as out:
+        out.write(bytes(payload))
+    return out_path
+
+
+def write_bai(
+    out_path: str,
+    n_ref: int,
+    bins: list[dict[int, list]],
+    linear: list[dict[int, int]],
+) -> str:
+    """Serialize a .bai (plain binary) from the same builder-internal
+    structures as :func:`write_tbi`."""
+    out = bytearray()
+    out += b"BAI\x01"
+    out += struct.pack("<i", n_ref)
+    for rid in range(n_ref):
+        out += struct.pack("<i", len(bins[rid]))
+        for bin_id in sorted(bins[rid]):
+            chunks = bins[rid][bin_id]
+            out += struct.pack("<Ii", bin_id, len(chunks))
+            for cb, ce in chunks:
+                out += struct.pack("<QQ", cb, ce)
+        if linear[rid]:
+            n_intv = max(linear[rid]) + 1
+            prev = 0
+            ioffs = []
+            for win in range(n_intv):
+                if win in linear[rid]:
+                    prev = linear[rid][win]
+                ioffs.append(prev)
+        else:
+            n_intv, ioffs = 0, []
+        out += struct.pack("<i", n_intv)
+        for off_ in ioffs:
+            out += struct.pack("<Q", off_)
+    with open(out_path, "wb") as fh:
+        fh.write(bytes(out))
+    return out_path
+
+
 def build_tabix_vcf(vcf_gz_path: str, out_path: str | None = None) -> str:
     """Build a .tbi tabix index for a BGZF-compressed VCF — pure Python (no
     external tabix needed; the reference shells out to pre-built indexes).
     VCF preset: seq col 1, begin col 2, 1-based; end = pos + len(ref) - 1.
     """
-    import struct as _s
-
-    from exon_spark.sources.bgzf import BGZFReader, BGZFWriter
+    from exon_spark.sources.bgzf import BGZFReader
 
     out_path = out_path or vcf_gz_path + ".tbi"
     names: list[str] = []
@@ -222,43 +302,13 @@ def build_tabix_vcf(vcf_gz_path: str, out_path: str | None = None) -> str:
                 if cur is None or v_start < cur:
                     linear[rid][win] = v_start
 
-    payload = bytearray()
-    payload += b"TBI\x01"
-    payload += _s.pack("<i", len(names))
-    payload += _s.pack("<6i", 2, 1, 2, 0, ord("#"), 0)  # VCF preset
-    names_blob = b"".join(n.encode() + b"\x00" for n in names)
-    payload += _s.pack("<i", len(names_blob)) + names_blob
-    for rid in range(len(names)):
-        payload += _s.pack("<i", len(bins[rid]))
-        for bin_id in sorted(bins[rid]):
-            chunks = bins[rid][bin_id]
-            payload += _s.pack("<I", bin_id) + _s.pack("<i", len(chunks))
-            for cb, ce in chunks:
-                payload += _s.pack("<QQ", cb, ce)
-        if linear[rid]:
-            n_intv = max(linear[rid]) + 1
-            ioffs = []
-            prev = 0
-            for win in range(n_intv):
-                if win in linear[rid]:
-                    prev = linear[rid][win]
-                ioffs.append(prev)
-        else:
-            n_intv, ioffs = 0, []
-        payload += _s.pack("<i", n_intv)
-        for off in ioffs:
-            payload += _s.pack("<Q", off)
-    with BGZFWriter(out_path) as out:
-        out.write(bytes(payload))
-    return out_path
+    return write_tbi(out_path, names, bins, linear, (2, 1, 2, 0, ord("#"), 0))
 
 
 def build_tabix_gff(gff_gz_path: str, out_path: str | None = None) -> str:
     """Build a .tbi for a coordinate-sorted BGZF GFF/GTF (tabix GFF preset:
     seq col 1, begin col 4, end col 5, 1-based, '#' meta)."""
-    import struct as _s
-
-    from exon_spark.sources.bgzf import BGZFReader, BGZFWriter
+    from exon_spark.sources.bgzf import BGZFReader
 
     out_path = out_path or gff_gz_path + ".tbi"
     names: list[str] = []
@@ -291,35 +341,7 @@ def build_tabix_gff(gff_gz_path: str, out_path: str | None = None) -> str:
                 if cur is None or v_start < cur:
                     linear[rid][win] = v_start
 
-    payload = bytearray()
-    payload += b"TBI\x01"
-    payload += _s.pack("<i", len(names))
-    payload += _s.pack("<6i", 0, 1, 4, 5, ord("#"), 0)  # GFF preset
-    names_blob = b"".join(n.encode() + b"\x00" for n in names)
-    payload += _s.pack("<i", len(names_blob)) + names_blob
-    for rid in range(len(names)):
-        payload += _s.pack("<i", len(bins[rid]))
-        for bin_id in sorted(bins[rid]):
-            chunks = bins[rid][bin_id]
-            payload += _s.pack("<I", bin_id) + _s.pack("<i", len(chunks))
-            for cb, ce in chunks:
-                payload += _s.pack("<QQ", cb, ce)
-        if linear[rid]:
-            n_intv = max(linear[rid]) + 1
-            ioffs = []
-            prev = 0
-            for win in range(n_intv):
-                if win in linear[rid]:
-                    prev = linear[rid][win]
-                ioffs.append(prev)
-        else:
-            n_intv, ioffs = 0, []
-        payload += _s.pack("<i", n_intv)
-        for off in ioffs:
-            payload += _s.pack("<Q", off)
-    with BGZFWriter(out_path) as out:
-        out.write(bytes(payload))
-    return out_path
+    return write_tbi(out_path, names, bins, linear, (0, 1, 4, 5, ord("#"), 0))
 
 
 def build_csi_vcf(
@@ -534,6 +556,38 @@ def adaptive_target_bytes(
     return max(floor, min(ceil, total_bytes // (2 * parallelism) or floor))
 
 
+def split_chunks_at_offsets(
+    chunks: list[tuple[int, int]],
+    voffs,
+    target_bytes: int,
+) -> list[tuple[int, int]]:
+    """Subdivide merged chunks larger than ``target_bytes`` (compressed) at
+    record-aligned virtual offsets — the linear index's per-16kb-window
+    voffsets, which are guaranteed record starts.
+
+    ``split_chunk_groups`` alone can only *group* chunks, never split one:
+    a whole-chromosome region over a contiguous file lands in a handful of
+    ~hundred-MB merged chunks and the scan runs on that many tasks no
+    matter the cluster size (measured: chr1 over a 2.5 GB VCF planned 9
+    partitions of 148 MB each). Cutting at linear-index offsets restores
+    ~target-sized partitions with no change to the bytes read."""
+    import bisect
+
+    voffs = sorted(set(voffs))
+    out: list[tuple[int, int]] = []
+    for cb, ce in chunks:
+        cur = cb
+        while (ce >> 16) - (cur >> 16) > target_bytes:
+            goal = ((cur >> 16) + target_bytes) << 16
+            j = bisect.bisect_left(voffs, goal)
+            if j >= len(voffs) or voffs[j] >= ce or voffs[j] <= cur:
+                break
+            out.append((cur, voffs[j]))
+            cur = voffs[j]
+        out.append((cur, ce))
+    return out
+
+
 def split_chunk_groups(
     chunks: list[tuple[int, int]], target_bytes: int = 8 << 20
 ) -> list[list[tuple[int, int]]]:
@@ -586,32 +640,7 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
                 if cur is None or v_start < cur:
                     linear[rid][win] = v_start
 
-    out = bytearray()
-    out += b"BAI\x01"
-    out += struct.pack("<i", len(refs))
-    for rid in range(len(refs)):
-        out += struct.pack("<i", len(bins[rid]))
-        for bin_id in sorted(bins[rid]):
-            chunks = bins[rid][bin_id]
-            out += struct.pack("<Ii", bin_id, len(chunks))
-            for cb, ce in chunks:
-                out += struct.pack("<QQ", cb, ce)
-        if linear[rid]:
-            n_intv = max(linear[rid]) + 1
-            prev = 0
-            ioffs = []
-            for win in range(n_intv):
-                if win in linear[rid]:
-                    prev = linear[rid][win]
-                ioffs.append(prev)
-        else:
-            n_intv, ioffs = 0, []
-        out += struct.pack("<i", n_intv)
-        for off_ in ioffs:
-            out += struct.pack("<Q", off_)
-    with open(out_path, "wb") as fh:
-        fh.write(bytes(out))
-    return out_path
+    return write_bai(out_path, len(refs), bins, linear)
 
 
 # ----------------------------------------------------------------------- csi

@@ -125,10 +125,12 @@ def _tabix_lines_rdd(spark: SparkSession, path: str, regions: str):
     import os
 
     from exon_spark.functions.region import expand_regions
+    from exon_spark.functions.region import parse_region
     from exon_spark.sources.indexes import (
         adaptive_target_bytes,
         read_tabix,
         split_chunk_groups,
+        split_chunks_at_offsets,
         tabix_chunks,
     )
 
@@ -145,12 +147,19 @@ def _tabix_lines_rdd(spark: SparkSession, path: str, regions: str):
     for region in expand_regions(regions):
         chunks = tabix_chunks(idx, region)
         if chunks:
-            all_chunks.append(chunks)
+            name = parse_region(region)[0]
+            all_chunks.append((chunks, idx.linear[idx.names.index(name)]))
     total = sum(
-        (ce >> 16) - (cb >> 16) for chunks in all_chunks for cb, ce in chunks
+        (ce >> 16) - (cb >> 16) for chunks, _ in all_chunks for cb, ce in chunks
     )
     target = adaptive_target_bytes(total, spark.sparkContext.defaultParallelism)
-    groups = [g for chunks in all_chunks for g in split_chunk_groups(chunks, target)]
+    groups = [
+        g
+        for chunks, lin in all_chunks
+        for g in split_chunk_groups(
+            split_chunks_at_offsets(chunks, lin, target), target
+        )
+    ]
 
     def _read_group(group):
         from exon_spark.sources.bgzf import BGZFReader

@@ -34,6 +34,16 @@ _INFO_TYPE_MAP = {
 }
 
 
+def _strip_header(seg: bytes) -> bytes:
+    """Drop the leading '#' header lines from the first slab of a stream."""
+    while seg.startswith(b"#"):
+        nl = seg.find(b"\n")
+        if nl < 0:
+            return b""
+        seg = seg[nl + 1 :]
+    return seg
+
+
 def _parse_line(line: str) -> dict | None:
     if line.startswith("#") or not line:
         return None
@@ -221,6 +231,7 @@ class VcfSource(FileFormatSource):
                     read_csi,
                     read_tabix,
                     split_chunk_groups,
+                    split_chunks_at_offsets,
                     tabix_chunks,
                 )
 
@@ -230,7 +241,9 @@ class VcfSource(FileFormatSource):
                     for region in region_list:
                         chunks = tabix_chunks(index, region)
                         if chunks:
-                            per_region.append((region, chunks))
+                            name = parse_region(region)[0]
+                            lin = index.linear[index.names.index(name)]
+                            per_region.append((region, chunks, lin))
                 else:
                     # htslib `tabix --csi` fallback: names ride in the
                     # index's tabix-style aux payload
@@ -239,22 +252,28 @@ class VcfSource(FileFormatSource):
                         name, lo, hi = parse_region(region)
                         if name not in cindex.names:
                             continue
-                        chunks = csi_chunks(
-                            cindex, cindex.names.index(name), lo, hi
-                        )
+                        rid = cindex.names.index(name)
+                        chunks = csi_chunks(cindex, rid, lo, hi)
                         if chunks:
-                            per_region.append((region, chunks))
+                            per_region.append(
+                                (region, chunks, list(cindex.loffsets[rid].values()))
+                            )
                 par = int(options.get("target_parallelism", 0) or 0)
                 total = sum(
                     (ce >> 16) - (cb >> 16)
-                    for _, chunks in per_region
+                    for _, chunks, _lin in per_region
                     for cb, ce in chunks
                 )
                 target = adaptive_target_bytes(total, par)
                 parts = []
-                for region, chunks in per_region:
+                for region, chunks, lin in per_region:
                     # fan a big region out across executors: ~2 groups per
-                    # core for bench-sized scans, 8 MB cap at cluster scale
+                    # core for bench-sized scans, 8 MB cap at cluster scale.
+                    # Merged chunks above the target are first subdivided at
+                    # linear-index record boundaries — a whole-chromosome
+                    # region over a contiguous multi-GB file is otherwise a
+                    # handful of ~100 MB chunks no grouping can fan out.
+                    chunks = split_chunks_at_offsets(chunks, lin, target)
                     for group in split_chunk_groups(chunks, target):
                         parts.append(
                             FilePartition(
@@ -271,6 +290,35 @@ class VcfSource(FileFormatSource):
             return [
                 FilePartition(f.path, comp, pv, extra=("filter", regions, ()))
             ]
+        tbi = f.path + ".tbi"
+        if comp == "gzip" and fs_exists(tbi):
+            # full scan, but the tabix linear index provides record-aligned
+            # virtual offsets — split the bgzf stream so one multi-GB VCF
+            # fans out across executors (same trick as the BAM full scan;
+            # without an index a gzip stream is one partition per file)
+            from exon_spark.sources.indexes import (
+                adaptive_target_bytes,
+                read_tabix,
+            )
+
+            index = read_tabix(tbi)
+            voffs = sorted(
+                {v for lin in index.linear for v in lin if v > 0}
+            )
+            if voffs:
+                par = int(options.get("target_parallelism", 0) or 0)
+                target = adaptive_target_bytes(
+                    f.size, par, floor=1 << 20, ceil=16 << 20
+                )
+                splits = [voffs[0]]
+                for v in voffs[1:]:
+                    if (v >> 16) - (splits[-1] >> 16) >= target:
+                        splits.append(v)
+                bounds = list(zip(splits, splits[1:] + [None]))
+                return [
+                    FilePartition(f.path, comp, pv, extra=("range", s, e))
+                    for s, e in bounds
+                ]
         return [FilePartition(f.path, comp, pv)]
 
     @classmethod
@@ -283,88 +331,180 @@ class VcfSource(FileFormatSource):
         Returns None to fall back to the generic reader."""
         parse_info = str(options.get("parse_info", "")).lower() in ("true", "1")
         parse_formats = str(options.get("parse_formats", "")).lower() in ("true", "1")
-        if parse_info or parse_formats or options.get("columns"):
+        if parse_info or parse_formats:
             return None
-        if not partition.extra or partition.extra[0] not in ("tabix", "empty"):
+        if partition.extra and partition.extra[0] not in (
+            "tabix",
+            "empty",
+            "range",
+        ):
             return None
+
+        # schema-driven projection: `schema` is already narrowed by the
+        # `columns` option (FileScanConfig-projection analogue, base.py
+        # schema()) — parse and build only the requested fields. The
+        # reference's flagship VCF benchmark selects (chrom, pos, id)
+        # (exon-benchmarks/src/main.rs:153); without pruning the scan pays
+        # for 9 columns of Arrow build + JVM row conversion regardless.
+        _SRC = {
+            "chrom": ("c0",),
+            "pos": ("c1",),
+            "id": ("c2",),
+            "ref": ("c3",),
+            "alt": ("c4",),
+            "qual": ("c5",),
+            "filter": ("c6",),
+            "info": ("c7",),
+        }
+
+        def raw_segments():
+            """Yield contiguous slabs of whole data lines (headers
+            stripped), per the partition's scan mode."""
+            from exon_spark.sources.bgzf import BGZFReader
+
+            extra = partition.extra
+            if extra and extra[0] == "empty":
+                return
+            if extra and extra[0] == "tabix":
+                _, _region, chunks = extra
+                with BGZFReader(partition.path) as bg:
+                    # tabix chunks are record-aligned: whole data lines
+                    yield b"".join(bg.read_range(cb, ce) for cb, ce in chunks)
+                return
+            if extra and extra[0] == "range":
+                _, s, e = extra
+                if e is None:
+                    import os as _os
+
+                    e = _os.path.getsize(partition.path) << 16
+                with BGZFReader(partition.path) as bg:
+                    yield bg.read_range(s, e)
+                return
+            # single-stream full scan (no index): decompress sequentially,
+            # cut ~32 MB segments at line boundaries, drop the header prefix
+            with open_maybe_compressed(
+                partition.path, partition.compression
+            ) as fh:
+                carry = b""
+                first = True
+                while True:
+                    chunk = fh.read(32 << 20)
+                    if not chunk:
+                        if carry:
+                            yield carry if not first else _strip_header(carry)
+                        return
+                    carry += chunk
+                    nl = carry.rfind(b"\n")
+                    if nl < 0:
+                        continue
+                    seg, carry = carry[: nl + 1], carry[nl + 1 :]
+                    if first:
+                        seg = _strip_header(seg)
+                        first = False
+                    if seg:
+                        yield seg
+
+        region = None
+        if partition.extra and partition.extra[0] == "tabix":
+            region = [parse_region(partition.extra[1])]
 
         def batches():
             import pyarrow as pa
-
-            if partition.extra[0] == "empty":
-                return
             import pyarrow.compute as pc
             import pyarrow.csv as pacsv
 
-            from exon_spark.sources.bgzf import BGZFReader
-
-            _, region, chunks = partition.extra
-            name, lo, hi = parse_region(region)
-            with BGZFReader(partition.path) as bg:
-                raw = b"".join(bg.read_range(cb, ce) for cb, ce in chunks)
-            if not raw:
-                return
-            # tabix chunks are record-aligned: raw is whole data lines
-            n_cols = raw.split(b"\n", 1)[0].count(b"\t") + 1
-            cols = [f"c{i}" for i in range(n_cols)]
-            tbl = pacsv.read_csv(
-                pa.BufferReader(raw),
-                read_options=pacsv.ReadOptions(column_names=cols),
-                parse_options=pacsv.ParseOptions(
-                    delimiter="\t", quote_char=False
-                ),
-                convert_options=pacsv.ConvertOptions(
-                    column_types={c: pa.string() for c in cols}
-                ),
-            )
-            pos = pc.cast(tbl["c1"], pa.int64())
-            # residual region predicate — chunks are supersets
-            keep = pc.and_(
-                pc.equal(tbl["c0"], name),
-                pc.and_(pc.greater_equal(pos, lo), pc.less_equal(pos, hi)),
-            )
-            tbl = tbl.filter(keep)
-            pos = pc.cast(tbl["c1"], pa.int64())
-            null_str = pa.scalar(None, pa.string())
-
-            def dot_null(arr):
-                return pc.if_else(
-                    pc.is_in(arr, value_set=pa.array([".", ""])), null_str, arr
+            need_fields = list(schema.names)
+            for raw in raw_segments():
+                if not raw:
+                    continue
+                n_cols = raw.split(b"\n", 1)[0].count(b"\t") + 1
+                cols = [f"c{i}" for i in range(n_cols)]
+                need_cols = set()
+                if region is not None:
+                    need_cols.update(("c0", "c1"))  # residual predicate
+                for f in need_fields:
+                    if f == "formats":
+                        need_cols.update(f"c{i}" for i in range(8, n_cols))
+                    else:
+                        need_cols.update(_SRC.get(f, ()))
+                include = [c for c in cols if c in need_cols]
+                tbl = pacsv.read_csv(
+                    pa.BufferReader(raw),
+                    read_options=pacsv.ReadOptions(column_names=cols),
+                    parse_options=pacsv.ParseOptions(
+                        delimiter="\t", quote_char=False
+                    ),
+                    convert_options=pacsv.ConvertOptions(
+                        column_types={c: pa.string() for c in include},
+                        include_columns=include,
+                    ),
                 )
-
-            def split_col(arr, sep):
-                return pc.split_pattern(dot_null(arr), sep)
-
-            qual = pc.cast(
-                pc.if_else(
-                    pc.is_in(tbl["c5"], value_set=pa.array([".", ""])),
-                    null_str,
-                    tbl["c5"],
-                ),
-                pa.float32(),
-            )
-            if n_cols > 8:
-                fmt = pc.binary_join_element_wise(
-                    *[tbl[f"c{i}"] for i in range(8, n_cols)], "\t"
+                pos = (
+                    pc.cast(tbl["c1"], pa.int64()) if "c1" in include else None
                 )
-            else:
-                fmt = pa.nulls(tbl.num_rows, pa.string())
-            arrays = [
-                tbl["c0"],
-                pos,
-                split_col(tbl["c2"], ";"),
-                tbl["c3"],
-                split_col(tbl["c4"], ","),
-                qual,
-                split_col(tbl["c6"], ";"),
-                dot_null(tbl["c7"]),
-                fmt,
-            ]
-            out = pa.table(
-                {n: a for n, a in zip(schema.names, arrays)}
-            ).cast(schema)
-            for batch in out.to_batches(max_chunksize=8192):
-                yield batch
+                if region is not None:
+                    # residual region predicate — chunks are supersets
+                    name, lo, hi = region[0]
+                    keep = pc.and_(
+                        pc.equal(tbl["c0"], name),
+                        pc.and_(
+                            pc.greater_equal(pos, lo), pc.less_equal(pos, hi)
+                        ),
+                    )
+                    # whole-chromosome chunks are usually 100% selective:
+                    # the take behind .filter() re-gathers every string
+                    # column (~40% of task time measured) — skip it when
+                    # nothing is dropped
+                    if pc.all(keep).as_py() is not True:
+                        tbl = tbl.filter(keep)
+                        pos = pc.cast(tbl["c1"], pa.int64())
+                null_str = pa.scalar(None, pa.string())
+
+                def dot_null(arr):
+                    return pc.if_else(
+                        pc.is_in(arr, value_set=pa.array([".", ""])),
+                        null_str,
+                        arr,
+                    )
+
+                def split_col(arr, sep):
+                    return pc.split_pattern(dot_null(arr), sep)
+
+                def build(fname):
+                    if fname == "chrom":
+                        return tbl["c0"]
+                    if fname == "pos":
+                        return (
+                            pos
+                            if pos is not None
+                            else pc.cast(tbl["c1"], pa.int64())
+                        )
+                    if fname == "id":
+                        return split_col(tbl["c2"], ";")
+                    if fname == "ref":
+                        return tbl["c3"]
+                    if fname == "alt":
+                        return split_col(tbl["c4"], ",")
+                    if fname == "qual":
+                        return pc.cast(dot_null(tbl["c5"]), pa.float32())
+                    if fname == "filter":
+                        return split_col(tbl["c6"], ";")
+                    if fname == "info":
+                        return dot_null(tbl["c7"])
+                    if fname == "formats":
+                        if n_cols > 8:
+                            return pc.binary_join_element_wise(
+                                *[tbl[f"c{i}"] for i in range(8, n_cols)],
+                                "\t",
+                            )
+                        return pa.nulls(tbl.num_rows, pa.string())
+                    raise KeyError(fname)
+
+                out = pa.table(
+                    {n: build(n) for n in need_fields}
+                ).cast(schema)
+                for batch in out.to_batches(max_chunksize=8192):
+                    yield batch
 
         return batches()
 
@@ -388,6 +528,22 @@ class VcfSource(FileFormatSource):
 
         def records() -> Iterator[dict]:
             if partition.extra and partition.extra[0] == "empty":
+                return
+            if partition.extra and partition.extra[0] == "range":
+                _, s, e = partition.extra
+                from exon_spark.sources.bgzf import BGZFReader
+
+                if e is None:
+                    import os as _os
+
+                    e = _os.path.getsize(partition.path) << 16
+                with BGZFReader(partition.path) as bg:
+                    for line in bg.read_range(s, e).decode(
+                        "utf-8", "replace"
+                    ).split("\n"):
+                        rec = _parse_line(line)
+                        if rec:
+                            yield rec
                 return
             if partition.extra and partition.extra[0] == "tabix":
                 _, region, chunks = partition.extra
