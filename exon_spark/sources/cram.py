@@ -602,6 +602,16 @@ class CramReader:
         if self.raw[:4] != b"CRAM":
             raise ValueError(f"{path}: not a CRAM file")
         self.major, self.minor = self.raw[4], self.raw[5]
+        if (self.major, self.minor) > (3, 0):
+            # CRAM 3.1+ adds rANS-Nx16, the name tokenizer and fqzcomp
+            # codecs this decoder does not implement — fail with the
+            # specific version rather than a cryptic codec error mid-slice
+            raise NotImplementedError(
+                f"{path}: CRAM {self.major}.{self.minor} is not supported "
+                "(this decoder implements CRAM 3.0; 3.1 adds rANS-Nx16 / "
+                "name-tokenizer codecs). Re-encode with "
+                "`samtools view -O cram,version=3.0`."
+            )
         off = 26  # magic + version + file id
         hdr, boff = parse_container_header(self.raw, off)
         block, _ = parse_block(self.raw, boff)

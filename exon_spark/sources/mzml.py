@@ -112,7 +112,7 @@ def _is_spectrum_start(buf: bytes, i: int) -> bool:
 
 
 def _iter_spectrum_fragments(
-    fh, start: int, end: int | None, chunk: int = 1 << 20
+    fh, start: int, end: int | None, chunk: int = 4 << 20
 ) -> Iterator[bytes]:
     """Yield raw <spectrum>...</spectrum> byte fragments whose start tag
     offset falls in [start, end). Scans forward from ``start``; the final

@@ -111,3 +111,24 @@ def test_cram_parse_tags_struct(registered):
     )
     row = df.limit(1).collect()[0]
     assert row.tags.PG == "bull"
+
+
+def test_cram_31_version_gate(tmp_path):
+    """A CRAM 3.1 file must fail with the specific unsupported-version
+    message (rANS-Nx16 / name-tokenizer codecs), not a cryptic codec
+    error mid-decode."""
+    from exon_spark.sources.cram import CramReader
+
+    p = tmp_path / "v31.cram"
+    p.write_bytes(b"CRAM\x03\x01" + bytes(20) + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match=r"CRAM 3\.1.*rANS-Nx16"):
+        CramReader(str(p))
+    # 3.0 passes the gate (and then fails later only on real parse issues)
+    p30 = tmp_path / "v30.cram"
+    p30.write_bytes(b"CRAM\x03\x00" + bytes(20) + b"\x00" * 64)
+    try:
+        CramReader(str(p30))
+    except NotImplementedError:
+        pytest.fail("3.0 must not hit the version gate")
+    except Exception:
+        pass  # truncated fixture: container parse may fail, gate must not
