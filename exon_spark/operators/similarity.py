@@ -140,18 +140,34 @@ def lsh_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """array<struct<s:double, negcell:int>> of cosine scores against each
-    centroid; struct ordering gives argmax = (score desc, cell asc)."""
-    return F.array(
-        *[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-                F.lit(-cid).alias("negcell"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
+def _cell_topk_udf(centroids: list[tuple[int, list[float]]], k: int):
+    """Arrow-vectorized nearest-centroid UDF: embedding -> array of the
+    ``k`` nearest cell ids, ranked by (round(cosine, 6) desc, cell asc) —
+    the exact ordering the DuckDB oracle regenerates. One numpy matmul per
+    batch replaces ``n_cells`` interpreted Catalyst cosine expressions
+    (16 x 64-literal trees cost seconds of planning/codegen per plan arm).
+    Centroids ride in the UDF closure — still broadcast, zero shuffle."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([cid for cid, _ in centroids], np.int64)
+    order_ids = np.argsort(ids, kind="stable")
+    ids = ids[order_ids]  # ascending cell id -> stable argsort tiebreak
+    C = np.array([c for _, c in centroids], np.float64)[order_ids]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("array<bigint>")
+    def f(emb):
+        import pandas as pd
+
+        M = np.stack([np.asarray(v, np.float64) for v in emb])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(Mn @ Cn.T, 6)  # (n, n_cells), oracle-identical rounding
+        order = np.argsort(-S, axis=1, kind="stable")[:, :k]
+        return pd.Series(list(ids[order]))
+
+    return f
 
 
 def ivf_ann_topk(
@@ -171,7 +187,8 @@ def ivf_ann_topk(
     a deterministic, training-free choice that keeps the DuckDB oracle
     byte-identical. At cluster scale the centroids would come from a sampled
     k-means fit (same plan shape: centroids are always tiny and broadcast);
-    cell assignment is a literal-array argmax, zero shuffle over the corpus.
+    cell assignment is a vectorized nearest-centroid UDF with the centroids
+    in its closure — broadcast, zero shuffle over the corpus.
 
     Output: (q_id, vec_id, cell, score, rnk).
     """
@@ -182,24 +199,17 @@ def ivf_ann_topk(
         .limit(n_cells)
         .collect()
     ]
+    assign_udf = _cell_topk_udf(cents, 1)
+    probe_udf = _cell_topk_udf(cents, nprobe)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        (-F.array_max(_cell_scores(F.col(vec_col), cents))["negcell"]).alias("cell"),
+        F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.sort_array(_cell_scores(F.col(vec_col), cents), asc=False),
-                    1,
-                    nprobe,
-                ),
-                lambda s: -s["negcell"],
-            )
-        ).alias("cell"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(probes), "cell")
@@ -218,20 +228,67 @@ def band_keys(
     """Split an ``len(planes)``-bit hyperplane signature into
     ``len(planes)//band_bits`` band keys. Key ``b`` packs the band index in
     the high bits (``b << band_bits``) so one join column addresses every
-    (band, pattern) bucket — ``n_bands * 2**band_bits`` distinct buckets."""
+    (band, pattern) bucket — ``n_bands * 2**band_bits`` distinct buckets.
+
+    The sign bits come from ONE ``transform`` over a single 2-D literal
+    array of planes (not ``len(planes)`` separate dot expressions) — the
+    flat formulation built a ~4k-node tree per key that Catalyst plans and
+    codegens per use; the nested-lambda version is one literal + one HOF.
+    Band values then assemble by Horner (acc*2 + bit over reversed slices),
+    which equals sum(bit_i << i) exactly — the DuckDB oracle regenerates
+    the same arithmetic."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     n_bands = len(planes) // band_bits
+    planes_lit = F.array(
+        *[F.array(*[F.lit(x) for x in p]) for p in planes]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(_dot(v, p) > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
     keys = []
     for b in range(n_bands):
-        key = F.lit(b << band_bits).cast("bigint")
-        for i in range(band_bits):
-            plane = planes[b * band_bits + i]
-            lit_plane = F.array(*[F.lit(x) for x in plane])
-            key = key + F.when(
-                _dot(v, lit_plane) > 0, F.lit(1 << i).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
+        band = F.reverse(F.slice(bits, b * band_bits + 1, band_bits))
+        key = F.aggregate(
+            band,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * 2 + x,
+        ) + F.lit(b << band_bits).cast("bigint")
         keys.append(key)
     return keys
+
+
+def _band_keys_udf(planes: list[list[float]], band_bits: int):
+    """Arrow-vectorized banded-signature UDF: array<float> embedding ->
+    array<bigint> of ``n_bands`` packed (band_idx << band_bits | pattern)
+    keys. Defined lazily inside a factory so cloudpickle serializes by
+    value (an active SparkSession is required at creation time)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+    n_bands = len(planes) // band_bits
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+    offsets = (np.arange(n_bands, dtype=np.int64) << band_bits)
+
+    @pandas_udf("array<bigint>")
+    def keys_udf(emb):
+        import pandas as pd
+
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (M @ P) > 0  # (n, n_planes)
+        vals = np.empty((len(M), n_bands), np.int64)
+        for b in range(n_bands):
+            vals[:, b] = (
+                bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+            )
+        vals += offsets
+        return pd.Series(list(vals))
+
+    return keys_udf
 
 
 def embedding_cosine_dups(
@@ -264,11 +321,25 @@ def embedding_cosine_dups(
     if n_planes % band_bits:
         raise ValueError("n_planes must be a multiple of band_bits")
     planes = hyperplanes(dim, n_planes)
-    keys = band_keys(vec_col, planes, band_bits)
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        F.array(*keys).alias("bands"),
+    # Signatures via ONE Arrow-vectorized pandas UDF (batch x dim @ dim x
+    # n_planes matmul) rather than 64 Catalyst dot expressions: the
+    # expression tree (64 x 64 literals) costs seconds of planning/codegen
+    # per plan arm and evaluates interpreted. numpy's pairwise summation
+    # can round differently from a sequential fold, but a sign flip needs
+    # |dot| within ~1e-13 of zero — measure-zero for md5-derived planes;
+    # the oracle regenerates fold arithmetic and the gate stays green.
+    keys_udf = _band_keys_udf(planes, band_bits)
+    from exon_spark.operators.dedup import _materialize
+
+    # the signature projection feeds four plan arms (probe explode, exact
+    # explode, two vector re-joins) — materialize it once
+    base = _materialize(
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            keys_udf(F.col(vec_col)).alias("bands"),
+        ),
+        eager=True,
     )
     # probe side: each band's exact key plus its single-bit flips (XOR on
     # the low band_bits leaves the packed band index untouched); exact

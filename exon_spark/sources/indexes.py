@@ -588,6 +588,25 @@ def split_chunks_at_offsets(
     return out
 
 
+def full_scan_ranges(
+    linear: list[list[int]],
+    target_bytes: int,
+) -> list[tuple[int, int | None]]:
+    """Record-aligned (start_voff, end_voff|None) ranges covering a whole
+    tabix-indexed BGZF file, ~target_bytes compressed each — the full-scan
+    analogue of ``split_chunks_at_offsets`` (a bgzf stream is otherwise one
+    unsplittable gzip partition). The final range is open-ended (None =
+    read to EOF)."""
+    voffs = sorted({v for lin in linear for v in lin if v > 0})
+    if not voffs:
+        return []
+    splits = [voffs[0]]
+    for v in voffs[1:]:
+        if (v >> 16) - (splits[-1] >> 16) >= target_bytes:
+            splits.append(v)
+    return list(zip(splits, splits[1:] + [None]))
+
+
 def split_chunk_groups(
     chunks: list[tuple[int, int]], target_bytes: int = 8 << 20
 ) -> list[list[tuple[int, int]]]:

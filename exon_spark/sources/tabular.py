@@ -88,6 +88,51 @@ def _remote_lines_rdd(spark: SparkSession, path: str, options: dict):
     return spark.sparkContext.parallelize(files, len(files)).flatMap(_lines)
 
 
+def _bgzf_split_lines_rdd(spark: SparkSession, path: str):
+    """Full scan of a tabix-indexed bgzf text file, split at linear-index
+    record boundaries so one multi-GB .gff.gz/.bed.gz fans out across
+    executors — the JVM gzip codec would make it one unsplittable
+    partition. Returns None when the layout doesn't qualify."""
+    import os
+
+    from exon_spark.sources.fs import fs_exists
+
+    if not (
+        path.lower().endswith((".gz", ".bgz"))
+        and os.path.isfile(path)
+        and fs_exists(path + ".tbi")
+    ):
+        return None
+    from exon_spark.sources.indexes import (
+        adaptive_target_bytes,
+        full_scan_ranges,
+        read_tabix,
+    )
+
+    idx = read_tabix(path + ".tbi")
+    size = os.path.getsize(path)
+    target = adaptive_target_bytes(
+        size, spark.sparkContext.defaultParallelism, floor=1 << 20, ceil=16 << 20
+    )
+    bounds = full_scan_ranges(idx.linear, target)
+    if not bounds:
+        return None
+
+    def _read(rng):
+        from exon_spark.sources.bgzf import BGZFReader
+
+        s, e = rng
+        if e is None:
+            e = os.path.getsize(path) << 16
+        with BGZFReader(path) as bg:
+            data = bg.read_range(s, e)
+        for line in data.split(b"\n"):
+            if line:
+                yield line.decode("utf-8", "replace")
+
+    return spark.sparkContext.parallelize(bounds, len(bounds)).flatMap(_read)
+
+
 def _read_tsv_raw(
     spark: SparkSession, path: str, n_cols: int, **options
 ) -> tuple[DataFrame, list[str]]:
@@ -103,7 +148,7 @@ def _read_tsv_raw(
     elif _is_zstd(path, options):
         src = _zstd_lines_rdd(spark, path)
     else:
-        src = path
+        src = _bgzf_split_lines_rdd(spark, path) or path
     df = (
         spark.read.option("sep", "\t")
         .option("comment", "#")

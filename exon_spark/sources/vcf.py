@@ -298,23 +298,17 @@ class VcfSource(FileFormatSource):
             # without an index a gzip stream is one partition per file)
             from exon_spark.sources.indexes import (
                 adaptive_target_bytes,
+                full_scan_ranges,
                 read_tabix,
             )
 
             index = read_tabix(tbi)
-            voffs = sorted(
-                {v for lin in index.linear for v in lin if v > 0}
+            par = int(options.get("target_parallelism", 0) or 0)
+            target = adaptive_target_bytes(
+                f.size, par, floor=1 << 20, ceil=16 << 20
             )
-            if voffs:
-                par = int(options.get("target_parallelism", 0) or 0)
-                target = adaptive_target_bytes(
-                    f.size, par, floor=1 << 20, ceil=16 << 20
-                )
-                splits = [voffs[0]]
-                for v in voffs[1:]:
-                    if (v >> 16) - (splits[-1] >> 16) >= target:
-                        splits.append(v)
-                bounds = list(zip(splits, splits[1:] + [None]))
+            bounds = full_scan_ranges(index.linear, target)
+            if bounds:
                 return [
                     FilePartition(f.path, comp, pv, extra=("range", s, e))
                     for s, e in bounds

