@@ -48,7 +48,24 @@ def _q29_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_stream_to_memory(agg, f"q29_{tag}")
+    return _sized_state_run(spark, agg, f"q29_{tag}")
+
+
+def _sized_state_run(spark, df, name, output_mode="complete", partitions=8):
+    """Run a bounded (availableNow) stream with the state shuffle sized to
+    the workload: stateful operators create one state store per shuffle
+    partition per micro-batch, so the session default of 32 means 32 store
+    instances for a handful of keys — task overhead, not parallelism. At
+    scale this knob is sized to key cardinality; restored after the run."""
+    from exon_spark.streaming import run_stream_to_memory
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(partitions))
+    try:
+        return run_stream_to_memory(df, name, output_mode=output_mode)
+    finally:
+        spark.conf.set(key, old)
 
 
 Q29_ORACLE = f"""
@@ -113,7 +130,7 @@ def _q33_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("h"))
     )
     deduped = streaming_dedup(stream, key_cols=("h",))
-    return run_stream_to_memory(deduped, f"q33_{tag}", output_mode="append")
+    return _sized_state_run(spark, deduped, f"q33_{tag}", output_mode="append")
 
 
 Q33_ORACLE = """
