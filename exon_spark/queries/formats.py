@@ -233,13 +233,15 @@ def _gen_mzml(root: str, n: int, rng: random.Random) -> None:
 
 # bump when fixture content/layout changes so a cached .bench_cache from an
 # earlier code version regenerates instead of serving stale data
-_FIXTURE_VERSION = "6"
+_FIXTURE_VERSION = "7"
 
 # baseline dataset dimensions (exon-benchmarks/README.md:13-23): the bench
 # VCF/BAM must be at the reference's compressed size or the region/full-scan
-# rows measure Spark's job floor, not throughput (r4 verdict, missing #1)
-_VCF_TARGET_BYTES = 2_600_000_000
-_BAM_TARGET_BYTES = 303_000_000
+# rows measure Spark's job floor, not throughput (r4 verdict, missing #1).
+# Targets carry the measured calibration shortfall (+4%/+1.5%) so the
+# generated files land on ~2.6 GB / ~303 MB.
+_VCF_TARGET_BYTES = 2_700_000_000
+_BAM_TARGET_BYTES = 307_500_000
 
 
 def ensure_format_fixtures(sf_dir: str) -> str:

@@ -331,6 +331,7 @@ class VcfSource(FileFormatSource):
             "tabix",
             "empty",
             "range",
+            "filter",
         ):
             return None
 
@@ -401,6 +402,14 @@ class VcfSource(FileFormatSource):
         region = None
         if partition.extra and partition.extra[0] == "tabix":
             region = [parse_region(partition.extra[1])]
+        elif partition.extra and partition.extra[0] == "filter":
+            # unindexed region scan: full stream + vectorized residual
+            # OR-of-regions predicate (was the per-row Python path)
+            region = [
+                parse_region(r.strip())
+                for r in partition.extra[1].split(",")
+                if r.strip()
+            ]
 
         def batches():
             import pyarrow as pa
@@ -437,14 +446,18 @@ class VcfSource(FileFormatSource):
                     pc.cast(tbl["c1"], pa.int64()) if "c1" in include else None
                 )
                 if region is not None:
-                    # residual region predicate — chunks are supersets
-                    name, lo, hi = region[0]
-                    keep = pc.and_(
-                        pc.equal(tbl["c0"], name),
-                        pc.and_(
-                            pc.greater_equal(pos, lo), pc.less_equal(pos, hi)
-                        ),
-                    )
+                    # residual region predicate (OR over regions) — index
+                    # chunks are supersets; filter scans apply it in full
+                    keep = None
+                    for name, lo, hi in region:
+                        one = pc.and_(
+                            pc.equal(tbl["c0"], name),
+                            pc.and_(
+                                pc.greater_equal(pos, lo),
+                                pc.less_equal(pos, hi),
+                            ),
+                        )
+                        keep = one if keep is None else pc.or_(keep, one)
                     # whole-chromosome chunks are usually 100% selective:
                     # the take behind .filter() re-gathers every string
                     # column (~40% of task time measured) — skip it when
