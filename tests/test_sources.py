@@ -126,6 +126,52 @@ def test_fastq(spark, fixtures):
     assert rows["r2"]["sequence"] == "GGTTAA"
 
 
+def test_fastq_vectorized_matches_row_path(spark, tmp_path):
+    """The Arrow fast path must be value-identical to the readline parser
+    across CRLF, blank lines, quality lines starting '@', and gzip."""
+    import gzip as _gzip
+
+    body = []
+    for i in range(3000):
+        desc = f" read {i}" if i % 3 == 0 else ""
+        qual = "@" + "I" * 9 if i % 7 == 0 else "#" * 10  # '@'-led quality
+        body.append(f"@r{i}{desc}\r\nACGTACGTAA\r\n+\r\n{qual}\r\n")
+        if i % 500 == 0:
+            body.append("\r\n")  # stray blank line
+    text = "".join(body)
+    plain = tmp_path / "a.fastq"
+    plain.write_text(text)
+    gz = tmp_path / "b.fastq.gz"
+    with _gzip.open(gz, "wt") as fh:
+        fh.write(text)
+
+    from exon_spark.sources.base import FilePartition, read_partition_batches
+    from exon_spark.sources.fastq import FastqSource
+
+    df = spark.read.format("fastq").load(str(plain))
+    rows = df.collect()
+    assert len(rows) == 3000
+    byname = {r["name"]: r for r in rows}
+    assert byname["r0"]["description"] == "read 0"
+    assert byname["r7"]["quality_scores"].startswith("@")
+    assert byname["r1"]["description"] is None
+    # row path (parse_partition) must agree value-for-value
+    import pyarrow as pa
+
+    part = FilePartition(str(plain), "none", ())
+    slow = list(
+        FastqSource.parse_partition(part, {})
+    )
+    assert len(slow) == 3000
+    assert slow[0]["name"] == "r0" and slow[0]["description"] == "read 0"
+    fast_rows = [r.asDict() for r in rows]
+    assert sorted(fast_rows, key=lambda r: r["name"]) == sorted(
+        slow, key=lambda r: r["name"]
+    )
+    gz_rows = spark.read.format("fastq").load(str(gz)).collect()
+    assert sorted(r["name"] for r in gz_rows) == sorted(r["name"] for r in rows)
+
+
 def test_gff(spark, fixtures):
     from exon_spark.sources import read_format
 
