@@ -60,6 +60,8 @@ HEADLINE = [
     "q31_dedup_clusters",
     "q32_corpus_mix",
     "q33_streaming_dedup",
+    "q34_decontaminate",
+    "q35_pii_stats",
 ]
 
 

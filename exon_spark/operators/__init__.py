@@ -2,6 +2,7 @@
 search, text analysis, multimodal plumbing, interval joins."""
 
 from exon_spark.operators.dedup import (
+    decontaminate,
     dup_clusters,
     exact_dedup,
     minhash_dedup,
@@ -22,9 +23,10 @@ from exon_spark.operators.similarity import (
     ivf_ann_topk,
     lsh_ann_topk,
 )
-from exon_spark.operators.text import fingerprint, lang_id, text_stats
+from exon_spark.operators.text import fingerprint, lang_id, pii_stats, text_stats
 
 __all__ = [
+    "decontaminate",
     "dup_clusters",
     "exact_dedup",
     "hash_sample",
@@ -44,6 +46,7 @@ __all__ = [
     "embedding_cosine_dups",
     "fingerprint",
     "lang_id",
+    "pii_stats",
     "text_stats",
     "decode_media",
     "with_media_payload",

@@ -581,6 +581,46 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word n-grams it shares with the ``benchmark`` (eval-set)
+    documents — the standard train/test overlap check run before LLM
+    training (e.g. GPT-3 appendix C / PaLM-style 8-gram overlap).
+
+    Output: (doc_id, n_hits, contaminated) for every corpus doc.
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    benchmark's distinct shingle set builds once and BROADCASTS; the corpus
+    explodes to xxhash64'd 8-byte shingle rows map-side, hits the broadcast
+    hash join with no corpus shuffle, and aggregates per doc with map-side
+    partial counts. Docs shorter than n tokens contribute no shingles and
+    report 0 hits.
+    """
+    bg = (
+        shingle_rows(benchmark, id_col, text_col, n, hashed=True)
+        .select("shingle")
+        .distinct()
+    )
+    cg = shingle_rows(df, id_col, text_col, n, hashed=True)
+    hits = (
+        cg.join(F.broadcast(bg), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"))
+    return docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs -> (doc_id,
     cluster_id), where cluster_id is the minimum doc_id in the component.

@@ -109,3 +109,37 @@ def fingerprint(
         F.md5("norm").alias("fingerprint"),
         F.array_min(F.transform(wins, lambda w: h32(w))).alias("min_window_hash"),
     )
+
+
+# Regexes chosen for identical semantics under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, leftmost-first alternation.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\(\d{3}\) \d{3}-\d{4}|\d{3}-\d{3}-\d{4}",
+    "n_ssns": r"\d{3}-\d{2}-\d{4}",
+    "n_ips": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def pii_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII signal counts (emails, phone numbers, SSN-shaped
+    ids, IPv4 addresses) + a has_pii flag — the redaction/filter pass every
+    training-data pipeline runs before release. Pure Column expressions
+    (JVM regexp_count, whole-stage codegen): no shuffle, no Python.
+
+    Counts are independent per pattern (an SSN-shaped string also matches
+    nothing else here; phone/SSN differ in group sizes). Output:
+    (doc_id, n_emails, n_phones, n_ssns, n_ips, has_pii).
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(name)
+        for name, p in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col).alias("doc_id"), *counts)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(name)
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", total > 0)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from exon_spark.operators import (
     cosine_topk,
     decode_media,
+    decontaminate,
     embedding_cosine_dups,
     exact_dedup,
     fingerprint,
@@ -24,6 +25,7 @@ from exon_spark.operators import (
     lsh_ann_topk,
     minhash_dedup,
     ngram_jaccard_pairs,
+    pii_stats,
     simhash,
     simhash_pairs,
     text_stats,
@@ -311,6 +313,108 @@ where round({cos}, 6) >= 0.95
 """
 
 
+# ------------------------------------------------- decontamination / PII
+
+_CANARY = "the held out benchmark canary sentence appears verbatim here"
+
+
+def _q34_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out eval set; every other doc reports its 5-gram overlap count.
+    A canary sentence is planted into the eval docs AND into corpus docs
+    with doc_id % 25 == 3 (synthetic text has almost no natural 5-gram
+    overlap — a result of all zeros would verify nothing); the oracle
+    plants identically."""
+    docs = table(spark, sf_dir, "documents")
+    leak = ((F.col("doc_id") % 97) == 0) | ((F.col("doc_id") % 25) == 3)
+    planted = docs.select(
+        "doc_id",
+        F.when(leak, F.concat(F.col("text"), F.lit(" " + _CANARY)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = planted.filter((F.col("doc_id") % 97) == 0)
+    corpus = planted.filter((F.col("doc_id") % 97) != 0)
+    return decontaminate(corpus, bench, n=5)
+
+
+Q34_ORACLE = f"""
+with docs0 as (
+  select doc_id,
+         case when doc_id % 97 = 0 or doc_id % 25 = 3
+              then text || ' {_CANARY}' else text end as text
+  from documents
+),
+tok as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from docs0
+),
+sh as (
+  select distinct doc_id, s as shingle from tok,
+  unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) as t(s)
+  where s <> ''
+),
+bench as (select distinct shingle from sh where doc_id % 97 = 0),
+hits as (
+  select c.doc_id, count(*) as n_hits
+  from (select * from sh where doc_id % 97 <> 0) c
+  join bench using (shingle)
+  group by c.doc_id
+)
+select d.doc_id,
+       coalesce(h.n_hits, 0) as n_hits,
+       coalesce(h.n_hits, 0) > 0 as contaminated
+from (select doc_id from documents where doc_id % 97 <> 0) d
+left join hits h using (doc_id)
+"""
+
+
+def _q35_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection over documents with deterministically planted PII
+    (synthetic corpus text carries none — a query returning all zeros
+    verifies nothing): every doc_id % 4 == 1 doc gains an email, a phone
+    number and an IPv4; the oracle plants identically."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 4) == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-123-4567 at 10.0.0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_stats(planted)
+
+
+Q35_ORACLE = """
+with planted as (
+  select doc_id,
+         case when doc_id % 4 = 1
+              then text || ' reach user' || doc_id ||
+                   '@mail.example.com or 555-123-4567 at 10.0.0.1'
+              else text end as text
+  from documents
+)
+select doc_id,
+       cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as int) as n_emails,
+       cast(len(regexp_extract_all(text, '\\(\\d{3}\\) \\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}')) as int) as n_phones,
+       cast(len(regexp_extract_all(text, '\\d{3}-\\d{2}-\\d{4}')) as int) as n_ssns,
+       cast(len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) as int) as n_ips,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\\(\\d{3}\\) \\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}'))
+        + len(regexp_extract_all(text, '\\d{3}-\\d{2}-\\d{4}'))
+        + len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))) > 0 as has_pii
+from planted
+"""
+
+
 # ---------------------------------------------------------------- text layer
 
 def _q23_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,4 +631,6 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q28_dedup_embedding_cosine", _q28_spark, _q28_oracle(), "embedding-cosine near-dup"),
     QuerySpec("q31_dedup_clusters", _q31_spark, Q31_ORACLE, "connected components over near-dup pairs"),
     QuerySpec("q32_corpus_mix", _q32_spark, Q32_ORACLE, "deterministic stratified corpus mixing"),
+    QuerySpec("q34_decontaminate", _q34_spark, Q34_ORACLE, "train/eval n-gram overlap check"),
+    QuerySpec("q35_pii_stats", _q35_spark, Q35_ORACLE, "PII signal counts (emails/phones/SSNs/IPs)"),
 ]

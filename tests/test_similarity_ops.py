@@ -86,6 +86,42 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert tight <= exact
 
 
+def test_decontaminate_finds_planted_overlap(spark):
+    from exon_spark.operators import decontaminate
+
+    canary = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "completely unrelated text with enough tokens to shingle fine"),
+        (2, "another clean document that shares nothing with the benchmark"),
+        (3, "leaky document prefix " + canary),
+    ]
+    bench = [(100, "benchmark eval question " + canary)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    b = spark.createDataFrame(bench, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in decontaminate(df, b, n=5).collect()}
+    assert len(got) == 3
+    assert got[3].contaminated and got[3].n_hits >= 4  # canary 8 tokens -> 4 5-grams
+    assert not got[1].contaminated and got[1].n_hits == 0
+    assert not got[2].contaminated
+
+
+def test_pii_stats_counts(spark):
+    from exon_spark.operators import pii_stats
+
+    rows = [
+        (1, "email me at jane.doe+x@corp.example.org thanks"),
+        (2, "call (415) 555-0100 or 650-555-0199 now"),
+        (3, "ssn 123-45-6789 leaked with host 192.168.10.20"),
+        (4, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in pii_stats(df).collect()}
+    assert got[1].n_emails == 1 and got[1].has_pii
+    assert got[2].n_phones == 2
+    assert got[3].n_ssns == 1 and got[3].n_ips == 1
+    assert not got[4].has_pii
+
+
 def test_vcf_vectorized_matches_row_path(spark, tmp_path):
     """Tabix-pruned scans go through the pyarrow.csv vectorized reader;
     results must equal the per-row filter path bit-for-bit."""
