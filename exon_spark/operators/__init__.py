@@ -21,6 +21,7 @@ from exon_spark.operators.similarity import (
     cosine_topk,
     embedding_cosine_dups,
     ivf_ann_topk,
+    ivf_fit_centroids,
     lsh_ann_topk,
 )
 from exon_spark.operators.text import fingerprint, lang_id, pii_stats, text_stats
@@ -43,6 +44,7 @@ __all__ = [
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "ivf_fit_centroids",
     "embedding_cosine_dups",
     "fingerprint",
     "lang_id",

@@ -170,6 +170,50 @@ def _cell_topk_udf(centroids: list[tuple[int, list[float]]], k: int):
     return f
 
 
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_cells: int = 256,
+    sample_n: int = 100_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Sampled k-means (spherical Lloyd) fit for IVF cells — the scale path
+    for real corpora, where first-k-ids centroids are arbitrary.
+
+    The driver collects a DETERMINISTIC sample bounded at ``sample_n`` rows
+    (ordered by xxhash64 of the id — reproducible across runs and
+    partitionings, and driver-memory-safe by construction: 100k x 64 f64 =
+    ~50 MB however big the corpus is), L2-normalizes it, and runs Lloyd
+    iterations with cosine assignment in numpy. Returned centroids are
+    (cell_id, vector) in the same shape ``ivf_ann_topk(centroids=...)``
+    accepts — tiny, broadcast via the scoring UDF closure, zero shuffle
+    over the corpus."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([np.asarray(r.v, np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, len(X))
+    C = X[:n_cells].copy()  # deterministic init: first sample rows
+    for _ in range(iters):
+        S = X @ C.T
+        assign = np.argmax(S, axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    C[c] = v / nv
+    return [(c, C[c].tolist()) for c in range(n_cells)]
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -178,21 +222,22 @@ def ivf_ann_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus vectors are assigned to their nearest
     centroid cell; each query probes its ``nprobe`` nearest cells and ranks
     only those candidates.
 
-    Centroids here are the corpus vectors with the ``n_cells`` smallest ids —
-    a deterministic, training-free choice that keeps the DuckDB oracle
-    byte-identical. At cluster scale the centroids would come from a sampled
-    k-means fit (same plan shape: centroids are always tiny and broadcast);
-    cell assignment is a vectorized nearest-centroid UDF with the centroids
-    in its closure — broadcast, zero shuffle over the corpus.
+    Default centroids are the corpus vectors with the ``n_cells`` smallest
+    ids — a deterministic, training-free choice that keeps the DuckDB
+    oracle byte-identical. Pass ``centroids=ivf_fit_centroids(corpus, ...)``
+    for the k-means scale path (real cell quality on real corpora); either
+    way cell assignment is a vectorized nearest-centroid UDF with the
+    centroids in its closure — broadcast, zero shuffle over the corpus.
 
     Output: (q_id, vec_id, cell, score, rnk).
     """
-    cents = [
+    cents = centroids or [
         (int(r[0]), list(r[1]))
         for r in corpus.select(id_col, vec_col)
         .orderBy(id_col)

@@ -37,6 +37,28 @@ def test_ivf_ann_topk(spark):
     assert hits >= len(rows) * 0.5
 
 
+def test_ivf_kmeans_centroids(spark):
+    """The k-means scale path: fitted centroids are unit-norm,
+    deterministic across calls, and the ANN built on them keeps recall
+    against the exact top-k."""
+    from exon_spark.operators import cosine_topk, ivf_ann_topk, ivf_fit_centroids
+
+    em = _emb(spark)
+    c1 = ivf_fit_centroids(em, n_cells=8, sample_n=200, iters=5)
+    c2 = ivf_fit_centroids(em, n_cells=8, sample_n=200, iters=5)
+    assert c1 == c2  # deterministic sample + init
+    import math
+
+    for _cid, vec in c1:
+        assert abs(math.sqrt(sum(x * x for x in vec)) - 1.0) < 1e-9
+    q = em.filter(F.col("vec_id") < 4)
+    rows = ivf_ann_topk(em, q, k=5, nprobe=3, centroids=c1).collect()
+    assert len(rows) == 4 * 5
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(em, q, k=50).collect()}
+    hits = sum((r.q_id, r.vec_id) in exact for r in rows)
+    assert hits >= len(rows) * 0.5
+
+
 def test_embedding_cosine_dups_finds_planted(spark):
     from exon_spark.operators import embedding_cosine_dups
 
