@@ -114,8 +114,15 @@ def lsh_ann_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH bucket,
+    plus (``probe_hamming=1``) its hamming-1 neighbor buckets — multi-probe
+    LSH. At corpus scale the right configuration is MORE planes (sharper
+    pruning: candidates ~ corpus/2^planes) WITH multi-probe to buy the
+    recall back; the query side explodes to ``1 + n_planes`` bucket keys
+    while the corpus side stays one row per vector — probing cost rides
+    the tiny broadcast side, never the corpus.
 
     Output: (q_id, vec_id, score, rnk, bucket). Recall < 1 by design — the
     scale path that avoids scanning the full corpus per query.
@@ -126,10 +133,15 @@ def lsh_ann_topk(
         F.col(vec_col).alias("vec"),
         lsh_bucket(vec_col, planes).alias("bucket"),
     )
+    qb = lsh_bucket(vec_col, planes)
+    if probe_hamming >= 1:
+        qb = F.explode(
+            F.array(qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+        )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
+        qb.alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -37,6 +37,30 @@ def test_ivf_ann_topk(spark):
     assert hits >= len(rows) * 0.5
 
 
+def test_lsh_ann_multiprobe_widens_candidates(spark):
+    """probe_hamming=1 must return a superset of the exact-bucket scan's
+    matches (the exact bucket is always among the probes) and, at a plane
+    count where single-bucket candidate mass is sparse, strictly more —
+    with 2000 vectors and 12 planes the exact bucket holds ~0.5 candidates
+    per query while 13 probes hold ~6."""
+    from exon_spark.operators import lsh_ann_topk
+
+    em = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 16)
+    r0 = {
+        (r.q_id, r.vec_id)
+        for r in lsh_ann_topk(em, q, k=50, n_planes=12).collect()
+    }
+    r1 = {
+        (r.q_id, r.vec_id)
+        for r in lsh_ann_topk(
+            em, q, k=50, n_planes=12, probe_hamming=1
+        ).collect()
+    }
+    assert r0 <= r1
+    assert len(r1) > len(r0)
+
+
 def test_ivf_kmeans_centroids(spark):
     """The k-means scale path: fitted centroids are unit-norm,
     deterministic across calls, and the ANN built on them keeps recall
