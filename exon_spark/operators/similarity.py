@@ -277,46 +277,6 @@ def ivf_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def band_keys(
-    vec_col: Column | str,
-    planes: list[list[float]],
-    band_bits: int = 16,
-) -> list[Column]:
-    """Split an ``len(planes)``-bit hyperplane signature into
-    ``len(planes)//band_bits`` band keys. Key ``b`` packs the band index in
-    the high bits (``b << band_bits``) so one join column addresses every
-    (band, pattern) bucket — ``n_bands * 2**band_bits`` distinct buckets.
-
-    The sign bits come from ONE ``transform`` over a single 2-D literal
-    array of planes (not ``len(planes)`` separate dot expressions) — the
-    flat formulation built a ~4k-node tree per key that Catalyst plans and
-    codegens per use; the nested-lambda version is one literal + one HOF.
-    Band values then assemble by Horner (acc*2 + bit over reversed slices),
-    which equals sum(bit_i << i) exactly — the DuckDB oracle regenerates
-    the same arithmetic."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    n_bands = len(planes) // band_bits
-    planes_lit = F.array(
-        *[F.array(*[F.lit(x) for x in p]) for p in planes]
-    )
-    bits = F.transform(
-        planes_lit,
-        lambda p: F.when(_dot(v, p) > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
-    )
-    keys = []
-    for b in range(n_bands):
-        band = F.reverse(F.slice(bits, b * band_bits + 1, band_bits))
-        key = F.aggregate(
-            band,
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc * 2 + x,
-        ) + F.lit(b << band_bits).cast("bigint")
-        keys.append(key)
-    return keys
-
-
 def _band_keys_udf(planes: list[list[float]], band_bits: int):
     """Arrow-vectorized banded-signature UDF: array<float> embedding ->
     array<bigint> of ``n_bands`` packed (band_idx << band_bits | pattern)
