@@ -660,7 +660,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("doc")
             .agg(F.min("lab").alias("lab"))
         )
-        new_labels = _materialize(nbr_min, eager=True)
+        # lazy persist: the changed-count action below both materializes
+        # the cache AND computes the early-stop signal — one job per round
+        # instead of the eager-materialize-then-count two
+        new_labels = _materialize(nbr_min)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")
