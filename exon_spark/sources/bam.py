@@ -528,20 +528,28 @@ class BamSource(FileFormatSource):
                 return parts
             return [FilePartition(f.path, comp, pv, extra=("filter", regions, ()))]
         bai = f.path + ".bai"
-        if fs_exists(bai):
-            # full scan, but the linear index gives record-boundary virtual
+        csi = f.path + ".csi"
+        if fs_exists(bai) or fs_exists(csi):
+            # full scan, but the index gives record-boundary virtual
             # offsets — split the file so one BAM fans out across executors
             # (without an index BAM is unsplittable: one partition per file,
-            # same as the reference's per-file parallelism)
+            # same as the reference's per-file parallelism). `samtools
+            # index -c` files carry a .csi instead of a .bai: its per-bin
+            # loffsets are record starts too.
             from exon_spark.sources.bgzf import BGZFReader
-            from exon_spark.sources.indexes import read_bai
+            from exon_spark.sources.indexes import read_bai, read_csi
 
             with BGZFReader(f.path) as bg:
                 stream = bg.stream_from(0)
                 read_bam_header(stream)
                 start0 = stream.tell_virtual()
-            index = read_bai(bai)
-            offs = sorted({v for lin in index.linear for v in lin if v > start0})
+            if fs_exists(bai):
+                index = read_bai(bai)
+                voff_src = (v for lin in index.linear for v in lin)
+            else:
+                cindex = read_csi(csi)
+                voff_src = (v for lo in cindex.loffsets for v in lo.values())
+            offs = sorted({v for v in voff_src if v > start0})
             from exon_spark.sources.indexes import adaptive_target_bytes
 
             par = int(options.get("target_parallelism", 0) or 0)

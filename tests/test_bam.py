@@ -142,3 +142,8 @@ def test_bam_csi_fallback(spark, bam_files, tmp_path):
         p for p in expected["chr17"] if p <= 2_000_000 and p + 9 >= 1_000_000
     ]
     assert got == want
+    # full scan through the csi-only layout (r5: .csi loffsets also drive
+    # the full-scan range split; this index's zero loffsets degrade to one
+    # partition, which must still count correctly)
+    n_all = sum(len(v) for v in expected.values())
+    assert spark.read.format("bam").load(str(csi_bam)).count() == n_all

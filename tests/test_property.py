@@ -112,3 +112,41 @@ def test_bgzf_lines_in_chunks_whole_file(tmp_path_factory, rows):
     # the reader decodes utf-8 with errors="replace" (raw bytes may be
     # arbitrary); mirror that in the expectation
     assert got == [ln.decode("utf-8", "replace") for ln in lines]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=200_000),  # record lengths
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fixtures_xl_voffset_arithmetic(tmp_path_factory, lens):
+    """The XL fixture generator derives every record's BGZF virtual offset
+    arithmetically (no re-read); reading each derived (start, end) range
+    through the real BGZFReader must return exactly that record's bytes —
+    including records straddling many blocks and records ending exactly on
+    a block boundary."""
+    import numpy as np
+
+    from exon_spark.queries.fixtures_xl import _compress_blocks, _voffsets
+
+    recs = [bytes([65 + (i % 26)]) * n for i, n in enumerate(lens)]
+    blob = b"".join(recs)
+    stream, sizes = _compress_blocks(blob)
+    lens_a = np.array([len(r) for r in recs], np.int64)
+    offs = np.zeros(len(recs), np.int64)
+    np.cumsum(lens_a[:-1], out=offs[1:])
+    v_start, v_end = _voffsets(offs, lens_a, sizes)
+    d = tmp_path_factory.mktemp("xlprop")
+    p = os.path.join(str(d), "x.bgzf")
+    from exon_spark.sources.bgzf import BGZF_EOF
+
+    with open(p, "wb") as fh:
+        fh.write(stream)
+        fh.write(BGZF_EOF)
+    with BGZFReader(p) as bg:
+        for i, rec in enumerate(recs):
+            got = bg.read_range(int(v_start[i]), int(v_end[i]))
+            assert got == rec, f"record {i} (len {len(rec)})"
