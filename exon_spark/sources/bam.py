@@ -422,6 +422,10 @@ def iter_bam_records(
 class BamSource(FileFormatSource):
     NAME = "bam"
     EXTENSIONS = ("bam",)
+    # region derivation from pushed start-bounds is sound for alignments:
+    # any read with start in [lo, hi] overlaps [lo, hi], so the bai
+    # overlap query returns a superset; the residual re-applies exactly
+    REGION_FIELDS = ("reference", "start")
     BASE_SCHEMA = (
         "name string, flag int, reference string, start bigint, end bigint, "
         "mapping_quality string, cigar string, mate_reference string, "

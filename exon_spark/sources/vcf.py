@@ -166,6 +166,7 @@ def _convert_info_value(raw: str | None, typ: str, is_list: bool):
 class VcfSource(FileFormatSource):
     NAME = "vcf"
     EXTENSIONS = ("vcf",)
+    REGION_FIELDS = ("chrom", "pos")
     BASE_SCHEMA = (
         "chrom string, pos bigint, id array<string>, ref string, "
         "alt array<string>, qual float, filter array<string>, "

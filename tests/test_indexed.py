@@ -116,3 +116,43 @@ def test_csi_fallback_matches_tabix(big_vcf, tmp_path, spark):
     )
     got = sorted(r.pos for r in df.select("pos").collect())
     assert got == want
+
+
+def test_filter_pushdown_region_derivation(spark, tmp_path):
+    """Opt-in DataFrame-API index pruning: with derive_regions=true and
+    Spark's python filter pushdown enabled, chrom/pos filters prune like
+    the regions option and return exactly the filtered rows; the residual
+    predicate is never consumed, so values match the unpruned scan."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from exon_spark.sources.bgzf import BGZFWriter
+    from exon_spark.sources.indexes import build_tabix_vcf
+
+    gz = str(tmp_path / "pd.vcf.gz")
+    with BGZFWriter(gz) as w:
+        w.write(b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for chrom in ("1", "2"):
+            for i in range(1, 2001):
+                w.write(f"{chrom}\t{i * 30}\t.\tA\tG\t50\tPASS\tDP={i}\n".encode())
+    build_tabix_vcf(gz)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("vcf")
+            .option("derive_regions", "true")
+            .load(gz)
+            .filter((F.col("chrom") == "2") & (F.col("pos") <= 30_000))
+        )
+        rows = df.collect()
+        assert len(rows) == 1000
+        assert all(r.chrom == "2" and r.pos <= 30_000 for r in rows)
+        # without the option, filters are left alone (stateless pushFilters)
+        df2 = spark.read.format("vcf").load(gz)
+        assert df2.count() == 4000
+        assert df2.filter(F.col("chrom") == "1").count() == 2000
+        assert df2.count() == 4000  # sibling-query contamination guard
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
