@@ -173,6 +173,8 @@ def _cell_topk_udf(centroids: list[tuple[int, list[float]]], k: int):
     def f(emb):
         import pandas as pd
 
+        if len(emb) == 0:  # np.stack raises on empty batches
+            return pd.Series([], dtype=object)
         M = np.stack([np.asarray(v, np.float64) for v in emb])
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = np.round(Mn @ Cn.T, 6)  # (n, n_cells), oracle-identical rounding
@@ -295,6 +297,8 @@ def _band_keys_udf(planes: list[list[float]], band_bits: int):
     def keys_udf(emb):
         import pandas as pd
 
+        if len(emb) == 0:  # np.stack raises on empty batches
+            return pd.Series([], dtype=object)
         M = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
         bits = (M @ P) > 0  # (n, n_planes)
         vals = np.empty((len(M), n_bands), np.int64)
