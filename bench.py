@@ -62,6 +62,10 @@ HEADLINE = [
     "q33_streaming_dedup",
     "q34_decontaminate",
     "q35_pii_stats",
+    "q36_quality_signals",
+    "q37_dup_ngram_coverage",
+    "q38_bm25_search",
+    "q39_streaming_interval_join",
 ]
 
 

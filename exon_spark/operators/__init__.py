@@ -4,6 +4,7 @@ search, text analysis, multimodal plumbing, interval joins."""
 from exon_spark.operators.dedup import (
     decontaminate,
     dup_clusters,
+    dup_ngram_coverage,
     exact_dedup,
     minhash_dedup,
     minhash_signatures,
@@ -24,11 +25,21 @@ from exon_spark.operators.similarity import (
     ivf_fit_centroids,
     lsh_ann_topk,
 )
-from exon_spark.operators.text import fingerprint, lang_id, pii_stats, text_stats
+from exon_spark.operators.text import (
+    bm25_search,
+    fingerprint,
+    lang_id,
+    pii_stats,
+    quality_signals,
+    text_stats,
+)
 
 __all__ = [
+    "bm25_search",
     "decontaminate",
     "dup_clusters",
+    "dup_ngram_coverage",
+    "quality_signals",
     "exact_dedup",
     "hash_sample",
     "stratified_mix",

@@ -676,3 +676,88 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     edges.unpersist(False)
     return labels.select(F.col("doc").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams from a token array —
+    repetition/coverage metrics need every occurrence with its position,
+    unlike ``word_shingles``. Docs shorter than n tokens yield an empty
+    array (same Spark sequence(1, 0) counts-DOWN guard as word_shingles)."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_coverage(
+    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document exact-substring duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of token positions covered by a word n-gram that
+    also appears in at least one OTHER document — the corpus-level
+    boilerplate / license-header / template detector that exact- and
+    near-dedup both miss (they compare whole documents; this finds shared
+    substrings inside otherwise-distinct documents).
+
+    Output: (doc_id, n_toks, n_dup_ngrams, covered_tokens, covered_frac)
+    where n_dup_ngrams counts window positions whose n-gram is shared
+    cross-doc and covered_tokens is the size of the union of those windows.
+
+    Scale: the inverted index shuffles (doc, pos, gram) by gram — one
+    codegen'd agg for the distinct-doc count, one shuffle join back, and a
+    distinct on (doc, pos) that only materializes DUPLICATED windows (8×
+    the dup-window rows, not the corpus). Grams are grouped by their text
+    for oracle-exactness; at 100 TB swap the join key to xxhash64(gram)
+    (8-byte shuffle, collisions only add a 2^-64 false-dup) and cap hot
+    grams the same way ngram_jaccard_pairs' max_shingle_df does.
+    """
+    toks = tokens(text_col)
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_toks"),
+        word_ngrams(toks, n).alias("grams"),
+    )
+    g = d.select("doc_id", F.posexplode("grams").alias("pos", "gram"))
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = g.join(dup_grams, "gram")
+    cov = (
+        dup.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + n)).alias(
+                "tokpos"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    wins = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_ngrams"))
+    return (
+        d.select("doc_id", "n_toks")
+        .join(cov, "doc_id", "left")
+        .join(wins, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.greatest("n_toks", F.lit(1)),
+                6,
+            ).alias("covered_frac"),
+        )
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from exon_spark.operators.dedup import h32, tokens
+from exon_spark.operators.dedup import h32, tokens, word_ngrams
 
 STOPWORDS_EN = ("the", "and", "of", "is", "was", "a", "to", "in")
 
@@ -143,3 +143,148 @@ def pii_stats(
         c = F.col(name)
         total = c if total is None else total + c
     return out.withColumn("has_pii", total > 0)
+
+
+def quality_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    filter-rule family every LLM-scale corpus pass applies before training.
+
+    Per document:
+      * ``frac_top_unigram``  — occurrences of the most repeated token
+                                (count ≥ 2, else 0) / n
+      * ``frac_top_bigram``   — occurrences of the most repeated bigram /
+                                (n-1)
+      * ``frac_dup_trigram``  — fraction of trigram positions whose trigram
+                                occurs more than once in the doc
+      * ``frac_unique``       — distinct tokens / n
+      * ``quality_pass``      — the conjunction of Gopher-shaped
+                                thresholds re-tuned to token fractions
+                                (top-unigram ≤ 0.20, top-bigram ≤ 0.10,
+                                dup-trigram ≤ 0.10)
+
+    Scale: pure Column expressions — no shuffle, no Python, whole-stage
+    codegen. The per-doc frequency scans are O(n·distinct) inside one row;
+    documents are bounded (tens of KB), so this stays cache-local per task
+    and parallelizes embarrassingly at 100 TB.
+    """
+    toks = tokens(text_col, lowercase=True)
+    n = F.size(toks)
+
+    def top_count(grams: Column) -> Column:
+        # max occurrence count over distinct grams, counting only grams
+        # that actually REPEAT (count ≥ 2) — a gram seen once is not
+        # repetition, and without the floor every short all-unique doc
+        # would score 1/n and trip the thresholds
+        counts = F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+        return F.coalesce(
+            F.array_max(F.filter(counts, lambda c: c >= 2)), F.lit(0)
+        )
+
+    bigrams = word_ngrams(toks, 2)
+    trigrams = word_ngrams(toks, 3)
+    dup_tri = F.size(
+        F.filter(
+            trigrams,
+            lambda g: F.size(F.filter(trigrams, lambda x: x == g)) > 1,
+        )
+    )
+    one = F.lit(1)
+    frac_top_uni = F.round(top_count(toks) / n.cast("double"), 6)
+    frac_top_bi = F.round(
+        top_count(bigrams) / F.greatest(n - 1, one).cast("double"), 6
+    )
+    frac_dup_tri = F.round(
+        dup_tri / F.greatest(n - 2, one).cast("double"), 6
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        frac_top_uni.alias("frac_top_unigram"),
+        frac_top_bi.alias("frac_top_bigram"),
+        frac_dup_tri.alias("frac_dup_trigram"),
+        F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 6).alias(
+            "frac_unique"
+        ),
+        (
+            (frac_top_uni <= 0.20)
+            & (frac_top_bi <= 0.10)
+            & (frac_dup_tri <= 0.10)
+        ).alias("quality_pass"),
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-ranked keyword search over a document corpus (Robertson &
+    Zaragoza 2009): Okapi BM25 with the +1 idf smoothing
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5))), the standard relevance
+    scorer for corpus curation / retrieval QA passes.
+
+    Returns the ``limit`` best (doc_id, n_terms_matched, score) rows,
+    deterministically ordered by (score desc, doc_id) — score is rounded
+    per-term to 6 dp and summed as exact decimal so Spark and DuckDB agree
+    bit-for-bit despite FP ln/÷.
+
+    Scale: one corpus agg (N, avgdl — 1-row broadcast), one map-side token
+    filter (the query term set broadcasts as a literal array; no explode of
+    non-matching tokens), one groupBy(term) over ≤|terms| keys, and a
+    distributed TakeOrdered for the top-k — no global sort, no driver
+    collect. Document-frequency and corpus stats join back via broadcast.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = tokens(text_col, lowercase=True)
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("hit"),
+    )
+    # corpus stats: exact bigint sum / count → one double division
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.filter(F.size("hit") > 0)
+        .select("doc_id", "dl", F.explode("hit").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        j.select(
+            "doc_id",
+            F.round(idf * tf_part, 6).alias("s_term"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms_matched"),
+            F.round(
+                F.sum(F.col("s_term").cast("decimal(38,10)")).cast("double"),
+                4,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(limit)

@@ -14,9 +14,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from exon_spark.operators import (
+    bm25_search,
     cosine_topk,
     decode_media,
     decontaminate,
+    dup_ngram_coverage,
     embedding_cosine_dups,
     exact_dedup,
     fingerprint,
@@ -26,6 +28,7 @@ from exon_spark.operators import (
     minhash_dedup,
     ngram_jaccard_pairs,
     pii_stats,
+    quality_signals,
     simhash,
     simhash_pairs,
     text_stats,
@@ -616,6 +619,162 @@ group by lang, source
 """
 
 
+# ------------------------------------------- quality / coverage / ranking
+
+def _q36_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_signals(table(spark, sf_dir, "documents"))
+
+
+Q36_ORACLE = """
+with d as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+),
+g as (
+  select doc_id, toks, len(toks) as n,
+         list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i+1]) as bi,
+         list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) as tri
+  from d
+),
+m as (
+  select doc_id,
+    round(cast(coalesce(list_max(list_filter(list_transform(list_distinct(toks),
+          t -> len(list_filter(toks, x -> x = t))), c -> c >= 2)), 0)
+      as double) / n, 6) as frac_top_unigram,
+    round(cast(coalesce(list_max(list_filter(list_transform(list_distinct(bi),
+          t -> len(list_filter(bi, x -> x = t))), c -> c >= 2)), 0)
+      as double) / greatest(n - 1, 1), 6) as frac_top_bigram,
+    round(cast(len(list_filter(tri,
+          t -> len(list_filter(tri, x -> x = t)) > 1)) as double)
+      / greatest(n - 2, 1), 6) as frac_dup_trigram,
+    round(cast(len(list_distinct(toks)) as double) / n, 6) as frac_unique
+  from g
+)
+select doc_id, frac_top_unigram, frac_top_bigram, frac_dup_trigram,
+       frac_unique,
+       (frac_top_unigram <= 0.20 and frac_top_bigram <= 0.10
+        and frac_dup_trigram <= 0.10) as quality_pass
+from m
+"""
+
+
+_BOILERPLATE = (
+    "shared boilerplate license header text appears verbatim across many "
+    "documents here"
+)
+
+
+def _q37_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-8-gram coverage. A fixed 11-token boilerplate
+    sentence is planted into docs with doc_id % 7 == 2 (the synthetic
+    corpus has almost no natural cross-doc 8-gram overlap — all-zero output
+    would verify nothing); the oracle plants identically, so the 4
+    plant-internal windows are shared across ~1/7 of the corpus while the
+    plant/test-boundary windows stay doc-unique."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 2,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dup_ngram_coverage(planted, n=8)
+
+
+_Q37_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(8))
+
+Q37_ORACLE = f"""
+with planted as (
+  select doc_id,
+         case when doc_id % 7 = 2 then text || ' {_BOILERPLATE}'
+              else text end as text
+  from documents
+),
+tok as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from planted
+),
+g as (
+  select doc_id, i as pos, {_Q37_GRAM.replace('toks[i+0]', 'toks[i]')} as gram
+  from tok, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) as t(i)
+),
+dupg as (
+  select gram from g group by gram having count(distinct doc_id) >= 2
+),
+dup as (select g.doc_id, g.pos from g join dupg using (gram)),
+cov as (
+  select doc_id, count(*) as covered_tokens from (
+    select distinct doc_id, pos + k as p
+    from dup, unnest(range(0, 8)) as u(k)
+  ) group by doc_id
+),
+wins as (select doc_id, count(*) as n_dup_ngrams from dup group by doc_id),
+nt as (select doc_id, cast(len(toks) as int) as n_toks from tok)
+select nt.doc_id, nt.n_toks,
+       coalesce(w.n_dup_ngrams, 0) as n_dup_ngrams,
+       coalesce(c.covered_tokens, 0) as covered_tokens,
+       round(cast(coalesce(c.covered_tokens, 0) as double)
+             / greatest(nt.n_toks, 1), 6) as covered_frac
+from nt
+left join cov c on nt.doc_id = c.doc_id
+left join wins w on nt.doc_id = w.doc_id
+"""
+
+
+_BM25_TERMS = ("hash", "sort", "spark", "window")
+
+
+def _q38_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(
+        table(spark, sf_dir, "documents"), list(_BM25_TERMS), limit=50
+    )
+
+
+def _d(x: float) -> str:
+    """Exact double literal for DuckDB (plain decimals parse as DECIMAL,
+    which would change intermediate arithmetic vs Spark's doubles)."""
+    return f"cast('{x!r}' as double)"
+
+
+def _q38_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+with d as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+),
+base as (
+  select doc_id, len(toks) as dl,
+         list_filter(toks, t -> t in ({terms})) as hit
+  from d
+),
+stats as (select count(*) as n_docs, sum(dl) as sum_dl from base),
+tf as (
+  select doc_id, dl, term, count(*) as tf from (
+    select doc_id, dl, unnest(hit) as term from base where len(hit) > 0
+  ) group by doc_id, dl, term
+),
+dfreq as (select term, count(distinct doc_id) as df_t from tf group by term),
+s as (
+  select doc_id,
+    round(ln(1 + (n_docs - df_t + {_d(0.5)}) / (df_t + {_d(0.5)}))
+          * (tf * {_d(k1 + 1)})
+          / (tf + {_d(k1)} * ({_d(1 - b)} + {_d(b)} * dl
+             / (cast(sum_dl as double) / n_docs))), 6) as s_term
+  from tf join dfreq using (term) cross join stats
+)
+select doc_id, cast(count(*) as int) as n_terms_matched,
+       round(cast(sum(cast(s_term as decimal(38,10))) as double), 4) as score
+from s group by doc_id
+order by score desc, doc_id limit 50
+"""
+
+
 PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
@@ -633,4 +792,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q32_corpus_mix", _q32_spark, Q32_ORACLE, "deterministic stratified corpus mixing"),
     QuerySpec("q34_decontaminate", _q34_spark, Q34_ORACLE, "train/eval n-gram overlap check"),
     QuerySpec("q35_pii_stats", _q35_spark, Q35_ORACLE, "PII signal counts (emails/phones/SSNs/IPs)"),
+    QuerySpec("q36_quality_signals", _q36_spark, Q36_ORACLE, "Gopher-style repetition/quality filters"),
+    QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal"),
+    QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
 ]

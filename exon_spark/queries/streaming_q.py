@@ -138,6 +138,42 @@ select distinct md5(text) as h from documents
 """
 
 
+def _q39_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (funnel attribution): view events joined
+    to purchase events by the same user within 30 minutes — two unbounded
+    sources, watermark-bounded join state. Inner-join matches are emitted
+    as they arrive, so the availableNow run is batch-complete and gates
+    against the plain SQL interval self-join oracle."""
+    from exon_spark.streaming import read_events_stream, streaming_interval_join
+
+    tag = uuid.uuid4().hex[:8]
+    d = os.path.join(tempfile.gettempdir(), f"exon_stream_q39_{tag}")
+    table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    views = read_events_stream(spark, d).filter(F.col("event_type") == "view")
+    buys = read_events_stream(spark, d).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming_interval_join(
+        views, buys, key_col="user_id", within="30 minutes"
+    ).select(
+        F.col("user_id"),
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )
+    return _sized_state_run(spark, joined, f"q39_{tag}", output_mode="append")
+
+
+Q39_ORACLE = """
+select a.user_id, a.event_id as view_id, b.event_id as purchase_id,
+       epoch_us(b.ts) - epoch_us(a.ts) as lag_us
+from events a join events b
+  on a.user_id = b.user_id
+ and b.ts >= a.ts and b.ts <= a.ts + interval 30 minute
+where a.event_type = 'view' and b.event_type = 'purchase'
+"""
+
+
 STREAMING_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q29_streaming_tumbling",
@@ -156,5 +192,11 @@ STREAMING_QUERIES: list[QuerySpec] = [
         _q33_spark,
         Q33_ORACLE,
         "applyInPandasWithState first-seen dedup across micro-batches",
+    ),
+    QuerySpec(
+        "q39_streaming_interval_join",
+        _q39_spark,
+        Q39_ORACLE,
+        "stream-stream interval join (watermark-bounded state)",
     ),
 ]

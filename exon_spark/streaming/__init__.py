@@ -173,3 +173,48 @@ def streaming_dedup(
     return events.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
         first_only, out_schema, state_schema, "append", timeout
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream INNER join within an event-time interval: each left
+    row matches right rows with the same key whose timestamp falls in
+    [left.ts, left.ts + within] — funnel/attribution analytics (view →
+    purchase, impression → click) over two unbounded streams.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions, so Spark derives state-eviction watermarks for BOTH
+    buffers (state is O(events inside the watermark horizon), not O(stream)
+    — without the time bound the engine would buffer a side forever).
+    Matches emit as they arrive (inner join); the watermark only governs
+    state cleanup, so an availableNow run produces the complete batch-equal
+    result. Join state shuffles by key like a groupBy — skew-safe, scales
+    with executors.
+
+    Columns are prefixed (``l_``/``r_``) since both sides usually share a
+    schema; the key column keeps one unprefixed copy.
+    """
+    lcols = [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    lk, rk = f"{left_prefix}{key_col}", f"{right_prefix}{key_col}"
+    lts, rts = f"{left_prefix}{ts_col}", f"{right_prefix}{ts_col}"
+    l = left.select(*lcols).withWatermark(lts, watermark)
+    r = right.select(*rcols).withWatermark(rts, watermark)
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .withColumnRenamed(lk, key_col)
+        .drop(rk)
+    )

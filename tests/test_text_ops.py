@@ -1,0 +1,132 @@
+"""Unit tests for the r5 text-pipeline additions: Gopher-style quality
+signals, cross-doc duplicated-n-gram coverage, BM25 search, and the
+stream-stream interval join — edge cases the sf-level oracle gate can't
+isolate (single-token docs, overlapping window unions, hand-computed BM25,
+stream-vs-batch join parity)."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_quality_signals_repetition_metrics(spark):
+    from exon_spark.operators import quality_signals
+
+    rows = [
+        (1, "a a a a"),  # top unigram 4/4, bigram 'a a' 3/3, all tri dup
+        (2, "w x y z"),  # all unique
+        (3, "solo"),  # single token: bigram/trigram metrics guarded
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in quality_signals(_docs(spark, rows)).collect()
+    }
+    assert out[1]["frac_top_unigram"] == 1.0
+    assert out[1]["frac_top_bigram"] == 1.0
+    assert out[1]["frac_dup_trigram"] == 1.0
+    assert not out[1]["quality_pass"]
+    # all-unique doc: no gram repeats, so top-gram metrics are 0 (a gram
+    # seen once is not repetition)
+    assert out[2]["frac_top_unigram"] == 0.0
+    assert out[2]["frac_dup_trigram"] == 0.0
+    assert out[2]["frac_unique"] == 1.0
+    assert out[2]["quality_pass"]
+    assert out[3]["frac_top_bigram"] == 0.0  # empty bigram array, not [1,0]
+    assert out[3]["frac_unique"] == 1.0
+
+
+def test_dup_ngram_coverage_union_of_overlapping_windows(spark):
+    from exon_spark.operators import dup_ngram_coverage
+
+    # docs 1 and 2 share tokens 1..4 ("p q r s" + following "t"/"u" differ
+    # at position 5). With n=3: doc1 windows (p q r),(q r s),(r s t);
+    # shared = (p q r),(q r s) → covered union = positions 1..4 → 4 tokens.
+    rows = [
+        (1, "p q r s t"),
+        (2, "p q r s u"),
+        (3, "m n o v w"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dup_ngram_coverage(_docs(spark, rows), n=3).collect()
+    }
+    assert out[1]["n_dup_ngrams"] == 2
+    assert out[1]["covered_tokens"] == 4  # union, not 2*3
+    assert out[1]["covered_frac"] == 0.8
+    assert out[3]["n_dup_ngrams"] == 0
+    assert out[3]["covered_frac"] == 0.0
+
+
+def test_bm25_matches_hand_computation(spark):
+    from exon_spark.operators import bm25_search
+
+    rows = [
+        (1, "x x y"),
+        (2, "x z z"),
+        (3, "z z z"),
+    ]
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(_docs(spark, rows), ["x"], k1=1.2, b=0.75).collect()
+    }
+    # N=3, df=2, avgdl=3, dl=3 → tf_norm = tf*2.2/(tf+1.2)
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    exp1 = round(round(idf * 2 * 2.2 / (2 + 1.2), 6), 4)
+    exp2 = round(round(idf * 1 * 2.2 / (1 + 1.2), 6), 4)
+    assert out[1] == exp1
+    assert out[2] == exp2
+    assert 3 not in out  # no match, no row
+
+
+def test_bm25_topk_ordering_deterministic(spark):
+    from exon_spark.operators import bm25_search
+
+    rows = [(i, "x y") for i in range(10)]
+    got = bm25_search(_docs(spark, rows), ["x"], limit=4).collect()
+    # identical scores → doc_id ascending tie-break
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3]
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    from exon_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 1.0, ""),
+            (2, "2024-01-01 10:10:00", 7, "purchase", 5.0, ""),  # in window
+            (3, "2024-01-01 11:10:00", 7, "purchase", 5.0, ""),  # too late
+            (4, "2024-01-01 10:10:00", 8, "purchase", 5.0, ""),  # other user
+            (5, "2024-01-01 09:50:00", 7, "purchase", 5.0, ""),  # before view
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = os.path.join(
+        tempfile.gettempdir(), f"exon_t_ivj_{uuid.uuid4().hex[:8]}"
+    )
+    events.write.mode("overwrite").parquet(d)
+    views = read_events_stream(spark, d).filter(F.col("event_type") == "view")
+    buys = read_events_stream(spark, d).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = run_stream_to_memory(
+        streaming_interval_join(views, buys, within="30 minutes"),
+        f"ivj_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["l_event_id"] == 1 and out[0]["r_event_id"] == 2
+    assert out[0]["user_id"] == 7
