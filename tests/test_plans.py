@@ -159,3 +159,31 @@ def test_simhash_band_cardinality_is_16_bit(registered):
     plan = _plan(simhash_pairs(simhash(docs)))
     assert "65535" in plan
     assert "& 255" not in plan
+
+
+def test_bm25_broadcasts_stats_and_dfreq(registered):
+    """q38's corpus-stats (1 row) and doc-frequency (≤|terms| rows) joins
+    must broadcast — a shuffle join on either would serialize the corpus
+    through a single-key exchange at scale. Also: no Python workers."""
+    plan = _plan(_queries()["q38_bm25_search"].spark_fn(registered, SF))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_quality_signals_no_shuffle_no_python(registered):
+    """q36 is per-row arithmetic: the plan must contain no Exchange at all
+    (embarrassingly parallel at any scale) and no Python workers."""
+    plan = _plan(_queries()["q36_quality_signals"].spark_fn(registered, SF))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_dup_ngram_coverage_no_cartesian(registered):
+    """q37's inverted-index join must stay a hash join on the gram key —
+    never a cartesian/nested-loop."""
+    plan = _plan(_queries()["q37_dup_ngram_coverage"].spark_fn(registered, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
