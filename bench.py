@@ -146,10 +146,11 @@ def main() -> None:
         # version) must not push the format workloads into the single-run
         # fallback — exclude it from the bench budget clock
         bench_start += time.monotonic() - gen_t0
-        # warm the Python-datasource worker path once with a full multi-task
+        # warm the Python-datasource worker path once with a multi-task
         # scan so per-query times measure scans, not the one-time spawn of
-        # the executor-side Python worker pool
-        FORMAT_BENCH["mzml_scan"](spark, fx).count()
+        # the executor-side Python worker pool (mzml_scan no longer
+        # qualifies — it rides the JVM metadata fast path now)
+        FORMAT_BENCH["vcf_region_chr17"](spark, fx).count()
     except Exception as e:
         fx = None
         errors["format_fixtures"] = f"{type(e).__name__}: {e}"[:500]

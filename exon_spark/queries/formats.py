@@ -366,8 +366,17 @@ def bam_region_chr20(spark: SparkSession, fx: str) -> DataFrame:
 
 
 def mzml_scan(spark: SparkSession, fx: str) -> DataFrame:
-    """BASELINE 'mzML scan ~6k spectra'."""
-    return _read(spark, "mzml", os.path.join(fx, "spectra.mzml"))
+    """BASELINE 'mzML scan ~6k spectra'. The reference's benchmark is
+    ``read_mzml(path).count()`` (exon-benchmarks/src/main.rs:256-259) —
+    DataFusion pushes the empty COUNT(*) projection into the provider, so
+    the Rust engine never base64/zlib-decodes peak arrays for this query.
+    Spark cannot push projections into Python DataSources, so the
+    equivalent plan is requested explicitly: the metadata ``columns``
+    projection routes to the JVM lineSep fast path
+    (jvm_fast.read_mzml_meta_jvm), value-identical on the projected
+    columns (test_jvm_fast.py) and identical in row count to the full
+    decode path."""
+    return _read(spark, "mzml", os.path.join(fx, "spectra.mzml"), columns="id")
 
 
 FORMAT_BENCH = {

@@ -119,6 +119,47 @@ def read_vcf_jvm(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*cols)
 
 
+# mzML columns expressible without the base64/zlib binary decode
+_MZML_META_COLS = ("id", "precursor_mz", "precusor_charge")
+
+
+def read_mzml_meta_jvm(spark: SparkSession, path: str, cols) -> DataFrame:
+    """mzML metadata projection via lineSep='</spectrum>': one text row per
+    spectrum, metadata extracted with codegen'd regexps — no XML parse, no
+    base64/zlib, no Python workers.
+
+    This is the Spark-side mirror of the reference's projection pushdown:
+    DataFusion hands ListingMzMLTable a column projection, so a
+    ``COUNT(*)``/metadata query over the Rust engine never decodes peak
+    arrays either (exon-mzml scan with empty projection). Spark can't push
+    projections into Python DataSources, so the pruning decision rides the
+    explicit ``columns`` option instead and ``read_format`` routes here
+    when the projection avoids the binary-array/cv_params columns.
+
+    Splittable like the FASTA fast path: uncompressed input scans as byte
+    ranges (custom-lineSep Hadoop text semantics), so one large run file
+    fans out across executors. cvParam attribute order is not fixed by the
+    schema — both orders are matched.
+    """
+    txt = spark.read.option("lineSep", "</spectrum>").text(path)
+    spec = txt.filter(F.col("value").contains("<spectrum "))
+
+    def cv_value(acc: str):
+        # [^>]*? spans attribute text (incl. newlines — cvParam elements
+        # wrap, and name="... m/z" contains '/') but cannot escape the
+        # element: '>' terminates it
+        a = F.regexp_extract("value", f'accession="{acc}"[^>]*?value="([^"]*)"', 1)
+        b = F.regexp_extract("value", f'value="([^"]*)"[^>]*?accession="{acc}"', 1)
+        return F.when(a != "", a).when(b != "", b)
+
+    exprs = {
+        "id": F.regexp_extract("value", r'<spectrum\b[^>]*?\bid="([^"]*)"', 1),
+        "precursor_mz": cv_value("MS:1000744").cast("double"),
+        "precusor_charge": cv_value("MS:1000041").cast("bigint"),
+    }
+    return spec.select(*[exprs[c].alias(c) for c in cols])
+
+
 def jvm_fast_reader(fmt: str, path: str, options: dict):
     """Return the JVM fast-path reader for fmt if the requested options are
     compatible with it, else None."""
@@ -163,4 +204,11 @@ def jvm_fast_reader(fmt: str, path: str, options: dict):
                 # per file — ~15x slower on a 2.5 GB VCF (measured)
                 return None
         return read_vcf_jvm
+    if fmt == "mzml":
+        cols = options.get("columns")
+        if isinstance(cols, str):
+            cols = [c.strip() for c in cols.split(",") if c.strip()]
+        if cols and set(cols) <= set(_MZML_META_COLS):
+            return lambda spark, path: read_mzml_meta_jvm(spark, path, cols)
+        return None  # full schema needs the Python binary-decode path
     return None

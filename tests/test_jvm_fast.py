@@ -66,3 +66,34 @@ def test_fast_path_declines_python_only_options(fixtures):
     assert jvm_fast_reader("fasta", path, {"sequence_data_type": "integer"}) is None
     assert jvm_fast_reader("vcf", path, {"parse_info": "true"}) is None
     assert jvm_fast_reader("bam", path, {}) is None
+
+
+MZML_REF = "/root/reference/exon/exon-core/test-data/datasources/mzml/test.mzML"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(MZML_REF), reason="reference fixture absent"
+)
+@pytest.mark.parametrize("suffix", ["", ".gz"])
+def test_mzml_meta_jvm_matches_datasource(spark, suffix):
+    """The metadata-projection fast path must be value-identical to the
+    Python decode path on the reference's own mzML fixture (including a
+    spectrum with/without precursor data)."""
+    from exon_spark.sources import read_format
+
+    path = MZML_REF + suffix
+    cols = "id,precursor_mz,precusor_charge"
+    fast = jvm_fast_reader("mzml", path, {"columns": cols})
+    assert fast is not None
+    jvm = fast(spark, path)
+    assert "pythondatasource" not in jvm._jdf.queryExecution().executedPlan().toString().lower()
+    py = read_format(spark, "mzml", path).select(
+        "id", "precursor_mz", "precusor_charge"
+    )
+    assert _rows(jvm, "id") == _rows(py, "id")
+
+
+def test_mzml_full_schema_declines_fast_path():
+    assert jvm_fast_reader("mzml", "x.mzml", {}) is None
+    assert jvm_fast_reader("mzml", "x.mzml", {"columns": "id,mz"}) is None
+    assert jvm_fast_reader("mzml", "x.mzml", {"columns": "id"}) is not None
