@@ -66,6 +66,8 @@ HEADLINE = [
     "q37_dup_ngram_coverage",
     "q38_bm25_search",
     "q39_streaming_interval_join",
+    "q40_dedup_incremental",
+    "q41_token_budget_cap",
 ]
 
 

@@ -3,6 +3,7 @@ search, text analysis, multimodal plumbing, interval joins."""
 
 from exon_spark.operators.dedup import (
     decontaminate,
+    dedup_against,
     dup_clusters,
     dup_ngram_coverage,
     exact_dedup,
@@ -16,7 +17,7 @@ from exon_spark.operators.dedup import (
     simhash_pairs,
 )
 from exon_spark.operators.multimodal import decode_media, with_media_payload
-from exon_spark.operators.sampling import hash_sample, stratified_mix
+from exon_spark.operators.sampling import hash_sample, stratified_mix, token_budget_cap
 from exon_spark.operators.similarity import (
     cosine,
     cosine_topk,
@@ -36,6 +37,8 @@ from exon_spark.operators.text import (
 
 __all__ = [
     "bm25_search",
+    "dedup_against",
+    "token_budget_cap",
     "decontaminate",
     "dup_clusters",
     "dup_ngram_coverage",

@@ -239,11 +239,10 @@ def minhash_signatures(shingles: DataFrame, perms=MINHASH_PERMS) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def _band_rows(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing at least one full
-    band signature."""
+    """(doc_id, band_id, sig) rows from minhash signature columns."""
     band_cols = [
         F.concat_ws(
             ",", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -251,7 +250,7 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = sigs.select("doc_id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(
@@ -262,6 +261,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band_id", "bs.sig")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing at least one full
+    band signature."""
+    stacked = _band_rows(sigs, bands, rows_per_band)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -760,4 +767,69 @@ def dup_ngram_coverage(
                 6,
             ).alias("covered_frac"),
         )
+    )
+
+
+def dedup_against(
+    new: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental near-dedup: flag documents in an incoming batch that
+    near-duplicate a document ALREADY IN the accepted corpus — the
+    ingestion-time form of minhash_dedup. Only cross-corpus pairs are
+    generated (new-vs-new dedup is a separate, cheaper pass over the much
+    smaller batch); output is (doc_id, dup_of, jaccard) for every new doc
+    whose exact shingle Jaccard against an index doc reaches ``threshold``.
+
+    Scale: the index side's signatures/band rows are a pure function of the
+    index corpus — in a standing pipeline they are computed once and stored
+    (8-byte-per-perm parquet), so each incoming batch pays only its own
+    shingling plus one band-key equi-join against the index (shuffle keys
+    are band signatures, NOT text). The verify stage joins shingles by
+    xxhash64 like jaccard_verify. An incoming batch that is small relative
+    to the index broadcasts its band rows, making the candidate join
+    shuffle-free on the index side.
+    """
+    sh_new = shingle_rows(new, id_col, text_col, n)
+    sh_idx = shingle_rows(index, id_col, text_col, n)
+    bn = _band_rows(minhash_signatures(sh_new), bands, rows_per_band)
+    bi = _band_rows(minhash_signatures(sh_idx), bands, rows_per_band).withColumnRenamed(
+        "doc_id", "dup_of"
+    )
+    cand = bn.join(bi, ["band_id", "sig"]).select("doc_id", "dup_of").distinct()
+    kn = sh_new.select("doc_id", F.xxhash64("shingle").alias("hk"))
+    ki = sh_idx.select(
+        F.col("doc_id").alias("dup_of"), F.xxhash64("shingle").alias("hk")
+    )
+    common = (
+        cand.join(kn, "doc_id")
+        .join(ki, ["dup_of", "hk"])
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cn = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    ci = (
+        sh_idx.groupBy("doc_id")
+        .agg(F.count("*").alias("n_b"))
+        .withColumnRenamed("doc_id", "dup_of")
+    )
+    return (
+        common.join(cn, "doc_id")
+        .join(ci, "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -53,3 +53,58 @@ def stratified_mix(
     for value, r in rates.items():
         rate = F.when(F.col(stratum_col) == value, int(r * _BUCKETS)).otherwise(rate)
     return df.filter(sample_bucket(key_col, salt) < rate)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget_tokens: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Cap each group at a token budget: within every ``by`` group, order
+    documents by their content hash (the same reproducible order
+    ``hash_sample`` uses) and keep the prefix whose cumulative token count
+    stays within ``budget_tokens`` — "give me ~N tokens per source/language,
+    chosen deterministically" is the final assembly step of every training
+    mix, and unlike rate-based sampling it hits an absolute token target.
+
+    Output: (doc_id, <by>, n_tokens, cum_tokens) for the kept docs —
+    re-join on doc_id to recover full rows. Deterministic on any
+    partitioning or engine: the order key is (h32(id+salt), id), a total
+    order.
+
+    Scale: one shuffle by the group key + an in-group sort for the running
+    sum (Spark's window). Groups are source/lang strata — thousands at
+    most, so per-group data at 100 TB is large but the running sum is a
+    single streaming pass after the sort; skewed strata spill-sort rather
+    than OOM. If only an approximate cap is needed, a two-pass variant
+    (sample the hash-to-cumulative-tokens curve, pick a hash cutoff, then
+    map-side filter) avoids the sort entirely; this exact version is the
+    reference semantics.
+    """
+    from pyspark.sql import Window
+
+    ntok = (
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        if token_col is None
+        else F.col(token_col)
+    )
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(by),
+        ntok.alias("n_tokens"),
+        h32(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("_h"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .drop("_h")
+    )

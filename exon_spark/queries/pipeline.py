@@ -18,6 +18,7 @@ from exon_spark.operators import (
     cosine_topk,
     decode_media,
     decontaminate,
+    dedup_against,
     dup_ngram_coverage,
     embedding_cosine_dups,
     exact_dedup,
@@ -775,6 +776,75 @@ order by score desc, doc_id limit 50
 """
 
 
+def _q40_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs with doc_id % 3 == 0 arrive as the new batch,
+    the rest are the accepted corpus; the split crosses enough of the
+    corpus's natural near-dup pairs (q19 finds 25 at sf0.01) to give a
+    non-trivial cross-corpus dup set."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup_against(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        threshold=0.5,
+    )
+
+
+Q40_ORACLE = f"""
+with {_SHINGLES_DUCK},
+hh as (
+  select doc_id, shingle, ('0x' || substr(md5(shingle), 1, 8))::bigint as h from sh
+),
+sig as (select doc_id, {{min_cols}} from hh group by doc_id),
+bands as ({{band_selects}}),
+cand as (
+  select distinct a.doc_id as doc_id, b.doc_id as dup_of
+  from bands a join bands b on a.band_id = b.band_id and a.sig = b.sig
+  where a.doc_id % 3 = 0 and b.doc_id % 3 <> 0
+),
+cnt as (select doc_id, count(*) as n_sh from sh group by doc_id),
+common as (
+  select c.doc_id, c.dup_of, count(*) as n_common
+  from cand c
+  join sh x on x.doc_id = c.doc_id
+  join sh y on y.doc_id = c.dup_of and y.shingle = x.shingle
+  group by c.doc_id, c.dup_of
+)
+select m.doc_id, m.dup_of,
+       round(cast(n_common as double) / (a.n_sh + b.n_sh - n_common), 6) as jaccard
+from common m
+join cnt a on m.doc_id = a.doc_id
+join cnt b on m.dup_of = b.doc_id
+where round(cast(n_common as double) / (a.n_sh + b.n_sh - n_common), 6) >= 0.5
+""".format(min_cols=_MIN_COLS, band_selects=_BAND_SELECTS)
+
+
+def _q41_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import token_budget_cap
+
+    return token_budget_cap(
+        table(spark, sf_dir, "documents"), budget_tokens=800, by="source"
+    )
+
+
+Q41_ORACLE = """
+with d as (
+  select doc_id, source,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) as int) as n_tokens,
+         ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint as h
+  from documents
+),
+c as (
+  select doc_id, source, n_tokens,
+         sum(n_tokens) over (partition by source order by h, doc_id
+                             rows between unbounded preceding and current row)
+           as cum_tokens
+  from d
+)
+select doc_id, source, n_tokens, cast(cum_tokens as bigint) as cum_tokens
+from c where cum_tokens <= 800
+"""
+
+
 PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
@@ -795,4 +865,6 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q36_quality_signals", _q36_spark, Q36_ORACLE, "Gopher-style repetition/quality filters"),
     QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal"),
     QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
+    QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup"),
+    QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),
 ]
