@@ -144,9 +144,29 @@ def main() -> None:
     try:
         gen_t0 = time.monotonic()
         fx = ensure_format_fixtures(sf_dir)
-        # fixture generation (minutes at baseline scale, one-time per cache
-        # version) must not push the format workloads into the single-run
-        # fallback — exclude it from the bench budget clock
+        # Fresh session for the format workloads: the 41 headline queries
+        # leave ~150 s of accumulated JVM/python-worker state (heap
+        # garbage, streaming state stores, fragmented worker memory) that
+        # measurably inflates the multi-GB scan rows (bam_full_count
+        # measured 8.7 s at the tail of a long session vs 2.9 s in a fresh
+        # one). The baseline harness runs every workload as its own
+        # process (hyperfine/criterion), so a fresh context is the
+        # comparable methodology.
+        spark.stop()
+        spark = get_spark(app_name="exon-spark-bench-formats")
+        spark.sparkContext.setLogLevel("ERROR")
+        # Page-cache warm of the baseline-scale fixture files (2.6 GB VCF,
+        # 303 MB BAM): the baseline numbers are warmed criterion samples,
+        # so cold-disk I/O (~14 s on this VM's disk for the BAM alone)
+        # must not land inside the first timed run.
+        for root, _dirs, fns in os.walk(fx):
+            for fn in sorted(fns):
+                with open(os.path.join(root, fn), "rb", buffering=1 << 22) as fh:
+                    while fh.read(1 << 24):
+                        pass
+        # fixture generation + warm (minutes at baseline scale, one-time
+        # per cache version) must not push the format workloads into the
+        # single-run fallback — exclude it from the bench budget clock
         bench_start += time.monotonic() - gen_t0
         # warm the Python-datasource worker path once with a multi-task
         # scan so per-query times measure scans, not the one-time spawn of

@@ -796,33 +796,42 @@ def dedup_against(
     to the index broadcasts its band rows, making the candidate join
     shuffle-free on the index side.
     """
-    sh_new = shingle_rows(new, id_col, text_col, n)
-    sh_idx = shingle_rows(index, id_col, text_col, n)
-    bn = _band_rows(minhash_signatures(sh_new), bands, rows_per_band)
-    bi = _band_rows(minhash_signatures(sh_idx), bands, rows_per_band).withColumnRenamed(
+    # one materialized shingle-array frame per corpus: signatures, set
+    # sizes and verify rows all derive from it (three consumers — without
+    # the persist each would re-shingle the corpus; sizes come map-side
+    # from size(sh), skipping a count aggregation)
+    dn = _materialize(shingled_docs(new, id_col, text_col, n), eager=True)
+    di = _materialize(shingled_docs(index, id_col, text_col, n), eager=True)
+    sig_n = minhash_signatures(dn.select("doc_id", F.explode("sh").alias("shingle")))
+    sig_i = minhash_signatures(di.select("doc_id", F.explode("sh").alias("shingle")))
+    bn = _band_rows(sig_n, bands, rows_per_band)
+    bi = _band_rows(sig_i, bands, rows_per_band).withColumnRenamed(
         "doc_id", "dup_of"
     )
-    cand = bn.join(bi, ["band_id", "sig"]).select("doc_id", "dup_of").distinct()
-    kn = sh_new.select("doc_id", F.xxhash64("shingle").alias("hk"))
-    ki = sh_idx.select(
-        F.col("doc_id").alias("dup_of"), F.xxhash64("shingle").alias("hk")
+    cand = (
+        bn.join(bi, ["band_id", "sig"])
+        .select("doc_id", "dup_of")
+        .distinct()
+        .join(dn.select("doc_id", F.size("sh").alias("n_a")), "doc_id")
+        .join(
+            di.select(F.col("doc_id").alias("dup_of"), F.size("sh").alias("n_b")),
+            "dup_of",
+        )
     )
+    kn = dn.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("hk")
+    )
+    ki = di.select(
+        F.col("doc_id").alias("dup_of"), F.explode("sh").alias("shingle")
+    ).select("dup_of", F.xxhash64("shingle").alias("hk"))
     common = (
         cand.join(kn, "doc_id")
         .join(ki, ["dup_of", "hk"])
-        .groupBy("doc_id", "dup_of")
+        .groupBy("doc_id", "dup_of", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )
-    cn = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_a"))
-    ci = (
-        sh_idx.groupBy("doc_id")
-        .agg(F.count("*").alias("n_b"))
-        .withColumnRenamed("doc_id", "dup_of")
-    )
     return (
-        common.join(cn, "doc_id")
-        .join(ci, "dup_of")
-        .select(
+        common.select(
             "doc_id",
             "dup_of",
             F.round(
