@@ -2,15 +2,24 @@
 columns with typed metadata; decode / feature-extract via Arrow-batched
 ``mapInPandas``.
 
-The actual media codecs are NOT available in this environment, so the decode
-kernel is a clearly-marked deterministic STUB (``_fake_decode``) — but the
-Spark-side plumbing is real and tested: binary column handling, schema
-contract, partition-preserving mapInPandas with Arrow batches, and batch-size
-control. Swapping ``_fake_decode`` for PIL/ffmpeg is a one-function change.
+Decode kernels are REAL for the codec-free container formats — netpbm
+P5/P6 (PGM/PPM), uncompressed BI_RGB BMP, and PCM WAV — parsed with
+stdlib ``struct``/``wave`` plus numpy (header walk, pixel/sample arrays,
+nearest-neighbor resample, grid/energy features). Compressed formats
+(JPEG/PNG/MP4/...) need codec libraries that are NOT in this environment,
+so payloads that don't sniff as a supported container fall back to a
+clearly-marked deterministic STUB; the ``codec`` output column records
+which path decoded each row. Swapping the fallback for PIL/ffmpeg is a
+one-function change.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
 media bytes never hit the driver; `spark.sql.execution.arrow.maxRecordsPerBatch`
 bounds executor memory for large blobs.
+
+Worker-serialization note: the decode helpers are (re)defined inside each
+operator's batch function so cloudpickle ships them BY VALUE — executor
+Python workers do not share the driver's sys.path (see
+.claude/skills/verify gotchas).
 """
 
 from __future__ import annotations
@@ -42,8 +51,61 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("codec", StringType()),
     ]
 )
+
+
+# Shared source for the in-worker netpbm header/pixel helpers. Defined as a
+# factory so each operator's batch function instantiates the helpers
+# locally and cloudpickle ships them by value (see module docstring); the
+# factory itself runs on the DRIVER at plan time, so its closure results
+# (plain functions over stdlib+numpy) are what travel to workers.
+def _netpbm_helpers():
+    def pnm_header(buf):
+        """(channels, width, height, maxval, pixel_offset) for P5/P6, else
+        None. Handles whitespace/comment runs per the netpbm spec."""
+        if len(buf) < 4 or buf[:1] != b"P" or buf[1:2] not in b"56":
+            return None
+        ch = 3 if buf[1:2] == b"6" else 1
+        toks, i = [], 2
+        try:
+            while len(toks) < 3:
+                while i < len(buf) and buf[i : i + 1].isspace():
+                    i += 1
+                if buf[i : i + 1] == b"#":
+                    while i < len(buf) and buf[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < len(buf) and not buf[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(buf[i:j]))
+                i = j
+            i += 1  # exactly one whitespace byte after maxval
+        except (ValueError, IndexError):
+            return None
+        w, h, maxval = toks
+        if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+            return None
+        need = w * h * ch * (2 if maxval > 255 else 1)
+        if len(buf) - i < need:
+            return None
+        return ch, w, h, maxval, i
+
+    def pnm_pixels(buf):
+        """(array[h, w, ch] uint8/uint16, maxval) or None."""
+        import numpy as np
+
+        hd = pnm_header(buf)
+        if hd is None:
+            return None
+        ch, w, h, maxval, off = hd
+        dt = ">u2" if maxval > 255 else np.uint8
+        px = np.frombuffer(buf, dtype=dt, count=w * h * ch, offset=off)
+        return px.reshape(h, w, ch), maxval
+
+    return pnm_header, pnm_pixels
 
 
 def with_media_payload(
@@ -62,35 +124,72 @@ def with_media_payload(
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """Decode/feature-extract media payloads via mapInPandas (Arrow batches).
+    """Decode media payloads via mapInPandas (Arrow batches).
 
-    STUB decode: real deployments replace ``_fake_decode`` with PIL /
-    torchaudio / ffmpeg calls; everything else (schema, batching,
-    partitioning) is production-shaped.
+    REAL header decode for codec-free containers — netpbm P5/P6 (pgm/ppm),
+    uncompressed BI_RGB BMP (8/24/32 bpp), PCM WAV — yielding true
+    width/height (images) or sample count (audio). Anything else (JPEG,
+    PNG, MP4, ... — codec libs absent here) falls back to the
+    deterministic byte-length stub; ``codec`` records the path
+    ('ppm'/'pgm'/'bmp'/'wav'/'stub') so downstream filters can require
+    real decodes.
     """
+    pnm_header, _ = _netpbm_helpers()
 
     def decode_batches(batches):
+        import struct
+
+        def sniff(buf):
+            """(codec, width, height, n_frames) for supported containers."""
+            hd = pnm_header(buf)
+            if hd is not None:
+                ch, w, h, _maxval, _off = hd
+                return ("ppm" if ch == 3 else "pgm", w, h, 1)
+            if buf[:2] == b"BM" and len(buf) >= 54:
+                w, h = struct.unpack_from("<ii", buf, 18)
+                planes, bpp = struct.unpack_from("<HH", buf, 26)
+                (comp,) = struct.unpack_from("<I", buf, 30)
+                if comp == 0 and planes == 1 and bpp in (8, 24, 32) and w > 0:
+                    return ("bmp", w, abs(h), 1)
+                return None
+            if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                import io
+                import wave
+
+                try:
+                    with wave.open(io.BytesIO(bytes(buf))) as wf:
+                        return ("wav", 0, 0, wf.getnframes())
+                except Exception:
+                    return None
+            return None
+
+        def fake(row_bytes: int, kind: str):
+            # deterministic stand-in for absent codecs, derived from the
+            # byte length (mirrored by the q26 oracle)
+            if kind == "image":
+                return (row_bytes % 640 + 1, row_bytes % 480 + 1, 1)
+            if kind == "audio":
+                return (0, 0, row_bytes % 1000 + 1)
+            return (row_bytes % 1920 + 1, row_bytes % 1080 + 1, row_bytes % 240 + 1)
+
         for pdf in batches:
-            n_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b))
-
-            def _fake_decode(row_bytes: int, kind: str) -> tuple[int, int, int]:
-                # deterministic stand-in for a codec: derive fake dimensions
-                # from the byte length. Replace with a real decoder.
-                if kind == "image":
-                    return (row_bytes % 640 + 1, row_bytes % 480 + 1, 1)
-                if kind == "audio":
-                    return (0, 0, row_bytes % 1000 + 1)
-                return (row_bytes % 1920 + 1, row_bytes % 1080 + 1, row_bytes % 240 + 1)
-
-            dims = [
-                _fake_decode(nb, mt)
-                for nb, mt in zip(n_bytes, pdf["media_type"])
-            ]
+            n_bytes, dims, codecs = [], [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                buf = b"" if payload is None else bytes(payload)
+                n_bytes.append(len(buf))
+                real = sniff(buf) if buf else None
+                if real is not None:
+                    codecs.append(real[0])
+                    dims.append(real[1:])
+                else:
+                    codecs.append("stub")
+                    dims.append(fake(len(buf), mtype))
             out = pdf[["media_id", "media_type"]].copy()
-            out["n_bytes"] = n_bytes.astype("int32")
+            out["n_bytes"] = n_bytes
             out["width"] = [d[0] for d in dims]
             out["height"] = [d[1] for d in dims]
             out["n_frames"] = [d[2] for d in dims]
+            out["codec"] = codecs
             yield out
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
@@ -110,19 +209,53 @@ RESIZED_SCHEMA = StructType(
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize image payloads to a fixed (width, height) via mapInPandas.
 
-    STUB resize: the payload passes through unchanged and only the target
-    dimensions are attached (a real deployment decodes + resamples with
-    PIL/opencv inside the same batch loop). Non-image rows pass through
-    with their payload and null dimensions — the op is safe on mixed
-    media tables.
+    REAL resample for netpbm payloads: pixels decode to a numpy array,
+    nearest-neighbor index-resample to the target grid, and re-encode as
+    the same netpbm flavor — the output payload IS the resized image.
+    Non-netpbm payloads (absent codecs) pass through unchanged with null
+    dimensions, as do non-image rows — the op is safe on mixed media
+    tables.
     """
+    _, pnm_pixels = _netpbm_helpers()
 
     def resize_batches(batches):
+        import numpy as np
+
+        def resample(buf):
+            dec = pnm_pixels(buf)
+            if dec is None:
+                return None
+            px, maxval = dec
+            h, w, ch = px.shape
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            out = np.ascontiguousarray(px[rows][:, cols])
+            magic = b"P6" if ch == 3 else b"P5"
+            return (
+                magic
+                + b"\n%d %d\n%d\n" % (width, height, maxval)
+                + out.tobytes()
+            )
+
         for pdf in batches:
-            out = pdf[["media_id", "media_type", "payload"]].copy()
-            is_img = pdf["media_type"] == "image"
-            out["width"] = [width if i else None for i in is_img]
-            out["height"] = [height if i else None for i in is_img]
+            payloads, ws, hs = [], [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                buf = None if payload is None else bytes(payload)
+                resized = (
+                    resample(buf) if (mtype == "image" and buf) else None
+                )
+                if resized is not None:
+                    payloads.append(resized)
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    payloads.append(buf)
+                    ws.append(None)
+                    hs.append(None)
+            out = pdf[["media_id", "media_type"]].copy()
+            out["payload"] = payloads
+            out["width"] = ws
+            out["height"] = hs
             yield out
 
     return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
@@ -171,11 +304,14 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     """Media -> embedding feature extraction via mapInPandas: one
-    ``array<float>`` of length ``dim`` per row, derived deterministically
-    from the payload bytes (STUB for a real vision/audio encoder — the
-    output contract, Arrow batching and downstream ANN compatibility are
-    the real parts: the result feeds ``ivf_ann_topk``/``cosine_topk``
-    directly).
+    ``array<float>`` of length ``dim`` per row, ANN-ready (feeds
+    ``ivf_ann_topk``/``cosine_topk`` directly).
+
+    REAL features for decodable payloads: netpbm images produce a
+    grayscale ``sqrt(dim) x sqrt(dim)`` intensity grid (nearest-sampled,
+    scaled to [-1, 1)); PCM WAV audio produces ``dim`` windowed RMS
+    energies. Undecodable payloads fall back to the deterministic
+    md5-seeded pseudo-encoder so the column stays total.
     """
     from pyspark.sql.types import ArrayType, FloatType
 
@@ -186,12 +322,65 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
             StructField("embedding", ArrayType(FloatType())),
         ]
     )
+    _, pnm_pixels = _netpbm_helpers()
 
     def feature_batches(batches):
         import hashlib
+        import io
+        import wave
 
         import numpy as np
         import pandas as pd
+
+        side = max(int(dim**0.5), 1)
+
+        def image_grid(buf):
+            dec = pnm_pixels(buf)
+            if dec is None:
+                return None
+            px, maxval = dec
+            gray = px.astype(np.float64).mean(axis=2)
+            h, w = gray.shape
+            rows = (np.arange(side) * h) // side
+            cols = (np.arange(side) * w) // side
+            grid = gray[rows][:, cols] / maxval * 2.0 - 1.0  # [-1, 1)
+            v = np.zeros(dim)
+            v[: side * side] = grid.ravel()
+            return v.astype(np.float32).tolist()
+
+        def audio_energies(buf):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                return None
+            try:
+                with wave.open(io.BytesIO(buf)) as wf:
+                    sw = wf.getsampwidth()
+                    raw = wf.readframes(wf.getnframes())
+            except Exception:
+                return None
+            if sw == 2:
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 2**15
+            elif sw == 1:
+                x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128
+            else:
+                return None
+            if not len(x):
+                return None
+            # dim windowed RMS energies over the (channel-interleaved) signal
+            bounds = (np.arange(dim + 1) * len(x)) // dim
+            v = np.zeros(dim)
+            for i in range(dim):
+                seg = x[bounds[i] : bounds[i + 1]]
+                if len(seg):
+                    v[i] = np.sqrt(np.mean(seg * seg))
+            return v.astype(np.float32).tolist()
+
+        def pseudo(buf):
+            # deterministic pseudo-encoder: md5-seeded byte expansion,
+            # scaled to [-1, 1)
+            seed = hashlib.md5(buf).digest()
+            reps = (dim * 4) // len(seed) + 1
+            raw = np.frombuffer((seed * reps)[: dim * 4], dtype="<u4")
+            return ((raw / 2**31) - 1.0).astype(np.float32).tolist()
 
         for pdf in batches:
             embs = []
@@ -199,14 +388,13 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
                 if payload is None:
                     embs.append(None)
                     continue
-                # deterministic pseudo-encoder: md5-seeded byte expansion,
-                # scaled to [-1, 1)
-                seed = hashlib.md5(bytes(payload)).digest()
-                reps = (dim * 4) // len(seed) + 1
-                raw = np.frombuffer((seed * reps)[: dim * 4], dtype="<u4")
-                embs.append(
-                    ((raw / 2**31) - 1.0).astype(np.float32).tolist()
-                )
+                buf = bytes(payload)
+                emb = image_grid(buf)
+                if emb is None:
+                    emb = audio_energies(buf)
+                if emb is None:
+                    emb = pseudo(buf)
+                embs.append(emb)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -551,7 +551,8 @@ select media_id, media_type, n_bytes,
                        else n_bytes % 1080 + 1 end as int) as height,
   cast(case media_type when 'image' then 1
                        when 'audio' then n_bytes % 1000 + 1
-                       else n_bytes % 240 + 1 end as int) as n_frames
+                       else n_bytes % 240 + 1 end as int) as n_frames,
+  'stub' as codec
 from m
 """
 

@@ -1,5 +1,11 @@
 """Multimodal plumbing: binary columns through mapInPandas — decode,
-resize, frame-sample, feature-extract (stub kernels, real Spark shape)."""
+resize, frame-sample, feature-extract. Kernels are REAL for codec-free
+containers (netpbm/BMP/WAV, tested against hand-built payloads with known
+pixels/samples); other formats ride the deterministic stub fallback."""
+
+import io
+import struct
+import wave
 
 import pyspark.sql.functions as F
 
@@ -27,14 +33,14 @@ def test_decode_media_shapes(spark):
 
 
 def test_resize_images_passthrough(spark):
+    """Non-decodable payloads (text bytes aren't netpbm) pass through
+    unchanged with null dims — resize only claims dimensions it actually
+    produced."""
     from exon_spark.operators.multimodal import resize_images
 
     out = resize_images(_media(spark), 224, 224).collect()
     for r in out:
-        if r.media_type == "image":
-            assert (r.width, r.height) == (224, 224)
-        else:
-            assert r.width is None and r.height is None
+        assert r.width is None and r.height is None
         assert r.payload is not None
 
 
@@ -71,3 +77,90 @@ def test_extract_features_feed_ann(spark):
     # and they feed the ANN operators directly
     topk = cosine_topk(sample, sample.limit(2), k=3)
     assert topk.count() == 2 * 3
+
+
+def _ppm_4x2():
+    # P6 4x2: top row = red,green,blue,white; bottom = black,gray,black,gray
+    px = bytes(
+        [255,0,0, 0,255,0, 0,0,255, 255,255,255,
+         0,0,0, 128,128,128, 0,0,0, 128,128,128]
+    )
+    return b"P6\n# comment\n4 2\n255\n" + px
+
+
+def _wav_mono(samples):
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack("<%dh" % len(samples), *samples))
+    return bio.getvalue()
+
+
+def _bmp_header(w, h, bpp=24):
+    # minimal BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB, no pixel data
+    # needed for header decode
+    row = (w * bpp // 8 + 3) & ~3
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, row * h, 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + row * h, 0, 0, 54)
+    return head + info + b"\x00" * (row * h)
+
+
+def _payload_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id bigint, media_type string, payload binary"
+    )
+
+
+def test_decode_media_real_containers(spark):
+    from exon_spark.operators import decode_media
+
+    df = _payload_df(
+        spark,
+        [
+            (1, "image", _ppm_4x2()),
+            (2, "audio", _wav_mono([1000] * 16)),
+            (3, "image", _bmp_header(7, 5)),
+            (4, "image", b"not an image at all........."),
+        ],
+    )
+    out = {r.media_id: r for r in decode_media(df).collect()}
+    assert (out[1].codec, out[1].width, out[1].height, out[1].n_frames) == (
+        "ppm", 4, 2, 1,
+    )
+    assert (out[2].codec, out[2].width, out[2].n_frames) == ("wav", 0, 16)
+    assert (out[3].codec, out[3].width, out[3].height) == ("bmp", 7, 5)
+    assert out[4].codec == "stub"
+
+
+def test_resize_ppm_real_nearest_neighbor(spark):
+    from exon_spark.operators.multimodal import resize_images
+
+    df = _payload_df(spark, [(1, "image", _ppm_4x2())])
+    r = resize_images(df, width=2, height=1).collect()[0]
+    assert (r.width, r.height) == (2, 1)
+    # nearest-neighbor with floor mapping: row 0 of 1 -> src row 0;
+    # cols (0,1) of 2 -> src cols (0, 2) -> red, blue
+    assert bytes(r.payload) == b"P6\n2 1\n255\n" + bytes([255,0,0, 0,0,255])
+
+
+def test_extract_features_real_image_and_audio(spark):
+    from exon_spark.operators.multimodal import extract_features
+
+    df = _payload_df(
+        spark,
+        [(1, "image", _ppm_4x2()), (2, "audio", _wav_mono([16384] * 64))],
+    )
+    out = {r.media_id: r for r in extract_features(df, dim=64).collect()}
+    img = out[1].embedding
+    assert len(img) == 64
+    # 8x8 grid nearest-sampled from 4x2: first grid cell = red pixel
+    # grayscale (255/3)/255*2-1
+    assert abs(img[0] - ((255 / 3) / 255 * 2 - 1)) < 1e-6
+    # white pixel (top-right region) maps to +1-ish
+    assert abs(img[7] - 1.0) < 1e-5
+    aud = out[2].embedding
+    # constant-amplitude PCM: every RMS window = 16384/32768 = 0.5
+    assert len(aud) == 64
+    assert all(abs(v - 0.5) < 1e-6 for v in aud)
