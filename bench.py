@@ -68,6 +68,7 @@ HEADLINE = [
     "q39_streaming_interval_join",
     "q40_dedup_incremental",
     "q41_token_budget_cap",
+    "q42_unigram_logppl",
 ]
 
 

@@ -33,12 +33,14 @@ from exon_spark.operators.text import (
     pii_stats,
     quality_signals,
     text_stats,
+    unigram_logppl,
 )
 
 __all__ = [
     "bm25_search",
     "dedup_against",
     "token_budget_cap",
+    "unigram_logppl",
     "decontaminate",
     "dup_clusters",
     "dup_ngram_coverage",

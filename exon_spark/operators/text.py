@@ -288,3 +288,52 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(limit)
+
+
+def unigram_logppl(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram log-perplexity score per document (the
+    CCNet-style LM quality signal, reduced to its order-0 form): train a
+    unigram model on the corpus itself (token frequency / corpus size) and
+    score each doc by the mean negative log-probability of its tokens.
+    High scores = rare-token-heavy docs (gibberish, encoding noise);
+    unusually low scores = boilerplate. No smoothing is needed — every
+    scored token is in the training vocab by construction.
+
+    Output: (doc_id, n_tokens, logppl) with logppl = avg over tokens of
+    -ln(count(token)/corpus_tokens), rounded per-token to 6 dp and
+    exact-decimal averaged so engines agree bit-for-bit.
+
+    Scale: one explode + one groupBy(token) for the vocab (map-side
+    partial agg; vocabularies are Zipf-bounded, far smaller than the
+    corpus), one token-key join back, one groupBy(doc). The vocab join
+    broadcasts when the vocab fits (AQE decides); corpus_tokens is a
+    1-row broadcast.
+    """
+    toks = tokens(text_col, lowercase=True)
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    )
+    vocab = tok_rows.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    total = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
+    scored = (
+        tok_rows.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(F.col("tok_n") / F.col("corpus_tokens")), 6
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(
+            (
+                F.sum(F.col("nll").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ),
+            4,
+        ).alias("logppl"),
+    )

@@ -846,6 +846,30 @@ from c where cum_tokens <= 800
 """
 
 
+def _q42_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import unigram_logppl
+
+    return unigram_logppl(table(spark, sf_dir, "documents"))
+
+
+Q42_ORACLE = """
+with tok as (
+  select doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+  from documents
+),
+vocab as (select tok, count(*) as tok_n from tok group by tok),
+total as (select sum(tok_n) as corpus_tokens from vocab),
+scored as (
+  select doc_id, round(-ln(tok_n / corpus_tokens), 6) as nll
+  from tok join vocab using (tok) cross join total
+)
+select doc_id, cast(count(*) as int) as n_tokens,
+       round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
+         as logppl
+from scored group by doc_id
+"""
+
+
 PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
@@ -868,4 +892,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
     QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup"),
     QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),
+    QuerySpec("q42_unigram_logppl", _q42_spark, Q42_ORACLE, "corpus-trained unigram log-perplexity score"),
 ]

@@ -173,3 +173,23 @@ def test_token_budget_cap_prefix_and_partitioning_invariance(spark):
     # deterministic under different partitioning
     b = token_budget_cap(df.repartition(7, "doc_id"), 30, by="source")
     assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
+
+
+def test_unigram_logppl_hand_computed(spark):
+    import math
+
+    from exon_spark.operators import unigram_logppl
+
+    # corpus: 6 tokens total; p(a)=3/6, p(b)=2/6, p(c)=1/6
+    rows = [(1, "a a b"), (2, "a b c")]
+    out = {r["doc_id"]: r for r in unigram_logppl(_docs(spark, rows)).collect()}
+
+    def nll(p):
+        return round(-math.log(p), 6)
+
+    exp1 = round((nll(0.5) * 2 + nll(2 / 6)) / 3, 4)
+    exp2 = round((nll(0.5) + nll(2 / 6) + nll(1 / 6)) / 3, 4)
+    assert out[1]["logppl"] == exp1
+    assert out[2]["logppl"] == exp2
+    # the rare-token doc scores strictly higher
+    assert out[2]["logppl"] > out[1]["logppl"]
