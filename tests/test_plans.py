@@ -187,3 +187,23 @@ def test_dup_ngram_coverage_no_cartesian(registered):
     plan = _plan(_queries()["q37_dup_ngram_coverage"].spark_fn(registered, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_cap_single_exchange_chain(registered):
+    """q41 = one shuffle by the stratum key feeding the window sort; no
+    extra exchange, no Python."""
+    plan = _plan(_queries()["q41_token_budget_cap"].spark_fn(registered, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # window runs over the stratum partitioning: exactly one shuffle of the
+    # data (AQE may add AQEShuffleRead wrappers; count Exchange nodes)
+    assert plan.count("Exchange") <= 2, plan[:1500]
+
+
+def test_unigram_logppl_broadcasts_corpus_total(registered):
+    """q42's 1-row corpus-total join must broadcast; no cartesian beyond
+    the broadcast nested loop for the single-row cross join."""
+    plan = _plan(_queries()["q42_unigram_logppl"].spark_fn(registered, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
