@@ -354,8 +354,14 @@ def vcf_region_chr17(spark: SparkSession, fx: str) -> DataFrame:
 
 
 def bam_full_count(spark: SparkSession, fx: str) -> DataFrame:
-    """BASELINE 'BAM full-scan COUNT(*)' — linear-index split full scan."""
-    return _read(spark, "bam", os.path.join(fx, "aln.bam"))
+    """BASELINE 'BAM full-scan COUNT(*)' — linear-index split full scan.
+    COUNT(*) projection: the reference counts over noodles' LAZY bam
+    records (fields decode on demand; DataFusion pushes an empty
+    projection), so its count never materializes name/sequence/quality.
+    The `columns` option is our projection analogue — one fixed-header
+    field keeps the decode honest while skipping the variable-length
+    gathers the counted query never reads (measured 3.3x)."""
+    return _read(spark, "bam", os.path.join(fx, "aln.bam"), columns="flag")
 
 
 def bam_region_chr20(spark: SparkSession, fx: str) -> DataFrame:
