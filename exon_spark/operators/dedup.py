@@ -726,6 +726,8 @@ def dup_ngram_coverage(
     (8-byte shuffle, collisions only add a 2^-64 false-dup) and cap hot
     grams the same way ngram_jaccard_pairs' max_shingle_df does.
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(text_col)
     d = df.select(
         F.col(id_col).alias("doc_id"),

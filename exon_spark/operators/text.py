@@ -242,7 +242,9 @@ def bm25_search(
     distributed TakeOrdered for the top-k — no global sort, no driver
     collect. Document-frequency and corpus stats join back via broadcast.
     """
-    terms = sorted(set(t.lower() for t in query_terms))
+    terms = sorted({t.lower().strip() for t in query_terms} - {""})
+    if not terms:
+        raise ValueError("bm25_search needs at least one non-empty term")
     term_arr = F.array(*[F.lit(t) for t in terms])
     toks = tokens(text_col, lowercase=True)
 
