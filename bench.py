@@ -69,6 +69,7 @@ HEADLINE = [
     "q40_dedup_incremental",
     "q41_token_budget_cap",
     "q42_unigram_logppl",
+    "q43_zorder_key",
 ]
 
 

@@ -870,6 +870,46 @@ from scored group by doc_id
 """
 
 
+def _q43_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators.layout import zorder_key
+
+    li = table(spark, sf_dir, "lineitem")
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8).select(
+        "l_orderkey", "l_linenumber", "zkey"
+    )
+
+
+def _q43_oracle(bits: int = 8) -> str:
+    def cell(col, mn, mx):
+        num = f"(({col} - {mn}) * {1 << bits})"
+        span = f"({mx} - {mn} + 1)"
+        return f"cast(({num} - ({num} % {span})) / {span} as bigint)"
+
+    cells = [
+        cell("l_partkey", "min_pk", "max_pk"),
+        cell("l_suppkey", "min_sk", "max_sk"),
+    ]
+    terms = []
+    for b in range(bits):
+        for j, c in enumerate(["ca", "cb"]):
+            terms.append(f"((({c} >> {b}) & 1) << {b * 2 + j})")
+    return f"""
+with stats as (
+  select min(l_partkey) as min_pk, max(l_partkey) as max_pk,
+         min(l_suppkey) as min_sk, max(l_suppkey) as max_sk
+  from lineitem
+),
+cells as (
+  select l_orderkey, l_linenumber,
+         {cells[0]} as ca, {cells[1]} as cb
+  from lineitem cross join stats
+)
+select l_orderkey, l_linenumber,
+       cast({' + '.join(terms)} as bigint) as zkey
+from cells
+"""
+
+
 PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
@@ -893,4 +933,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup"),
     QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),
     QuerySpec("q42_unigram_logppl", _q42_spark, Q42_ORACLE, "corpus-trained unigram log-perplexity score"),
+    QuerySpec("q43_zorder_key", _q43_spark, _q43_oracle(), "Morton/Z-order clustering key (OPTIMIZE ZORDER analogue)"),
 ]

@@ -193,3 +193,30 @@ def test_unigram_logppl_hand_computed(spark):
     assert out[2]["logppl"] == exp2
     # the rare-token doc scores strictly higher
     assert out[2]["logppl"] > out[1]["logppl"]
+
+
+def test_zorder_key_interleave_known_values(spark):
+    from exon_spark.operators.layout import zorder_key, zorder_repartition
+
+    # dims span exactly [0, 3] with bits=2 → cell == value; Morton
+    # interleave of (x, y): bit j of x at position 2b, y at 2b+1
+    rows = [(i, x, y) for i, (x, y) in enumerate(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (1, 2), (2, 1)]
+    )]
+    df = spark.createDataFrame(rows, "rid bigint, x bigint, y bigint")
+    got = {r["rid"]: r["zkey"] for r in zorder_key(df, ["x", "y"], bits=2).collect()}
+
+    def morton(x, y):
+        z = 0
+        for b in range(2):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    expect = {i: morton(x, y) for i, (x, y) in enumerate(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (1, 2), (2, 1)]
+    )}
+    assert got == expect
+    # repartition path: z-sorted within partitions, all rows kept
+    rp = zorder_repartition(df, ["x", "y"], n_partitions=2, bits=2)
+    assert rp.count() == len(rows)
