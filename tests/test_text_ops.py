@@ -220,3 +220,39 @@ def test_zorder_key_interleave_known_values(spark):
     # repartition path: z-sorted within partitions, all rows kept
     rp = zorder_repartition(df, ["x", "y"], n_partitions=2, bits=2)
     assert rp.count() == len(rows)
+
+
+def test_zorder_layout_tightens_parquet_stats(spark, tmp_path):
+    """The point of the z-order pass is data-skipping: after
+    zorder_repartition, each parquet file's (x, y) min/max spans must be
+    far tighter than a hash-shuffled layout's (which cover ~the full
+    domain), so multi-dimension predicates prune files/row-groups."""
+    import pyarrow.parquet as pq
+
+    from exon_spark.operators.layout import zorder_repartition
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id as rid", "cast(id % 64 as bigint) as x",
+        "cast((id * 37) % 64 as bigint) as y",
+    )
+
+    def spans(path):
+        tot, cnt = 0, 0
+        for f in __import__("pathlib").Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                for c in ("x", "y"):
+                    st = md.row_group(rg).column(names[c]).statistics
+                    tot += st.max - st.min
+                    cnt += 1
+        return tot / cnt
+
+    d1, d2 = str(tmp_path / "zord"), str(tmp_path / "rand")
+    zorder_repartition(df, ["x", "y"], n_partitions=8, bits=6).write.parquet(d1)
+    df.repartition(8).write.parquet(d2)
+    z_span, r_span = spans(d1), spans(d2)
+    # hash layout spans ~the full 0..63 domain; z-order must be much tighter
+    assert r_span > 50
+    assert z_span < r_span / 2, (z_span, r_span)
