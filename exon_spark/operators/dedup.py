@@ -481,19 +481,19 @@ def simhash(
     per-band candidate join stays near-linear on 100 TB corpora where 256
     byte-buckets would degenerate toward O(n²/256).
 
-    Implementation: explode each feature hash into its 64 bit positions
-    and aggregate TWO-LEVEL — sum per (doc_id, bit), then fold the 64
-    per-bit majorities into the fingerprint with
-    ``sum(shiftleft(1L, b))``. Uniform tiny expressions keep Catalyst
-    planning at ~0.15s where a 64-wide aggregate costs ~1.2s per plan and
-    3-4s of codegen compile on first run (measured; fingerprints
-    checksum-identical across all formulations). The bit explode is a
-    64x row blowup, but map-side partial aggregation collapses it to 64
-    small rows per doc per partition before either shuffle — ~3x the
-    shuffle bytes of the wide-aggregate form, paid for a ~10x cheaper
-    plan. Both groupBys are codegen'd hash aggregates (higher-order
-    function formulations evaluate interpreted and measured 2-5x
-    slower)."""
+    Implementation: one WIDE codegen'd hash aggregate — 64 ``sum(case
+    shiftright & 1 ... 1 else -1)`` expressions per (doc) over the
+    (doc, hlo, hhi) feature rows, then fold the sign bits into the
+    fingerprint map-side. History: r4 used a two-level bit-explode
+    formulation (explode each feature into 64 bit rows, sum per
+    (doc, bit)) because the wide plan costs ~1.2s of Catalyst planning +
+    3-4s one-time codegen vs ~0.15s — a win at benchmark scale. A 500k-doc
+    probe (r5) showed the 64x row blowup dominates as the corpus grows:
+    385.8s two-level vs 136.0s wide at 500k docs, fingerprints
+    checksum-identical; at 100x scale the fixed plan cost is noise, so
+    wide is the production formulation. (Higher-order-function
+    formulations evaluate interpreted and measured 2-5x slower than
+    either.)"""
     if bits != 64:
         raise ValueError("simhash is fixed at 64 bits (16-bit LSH bands)")
     docs = shingled_docs(df, id_col, text_col, n)
@@ -509,30 +509,29 @@ def simhash(
         .cast("bigint")
         .alias("hhi"),
     )
-    bitrows = hh.select(
-        "doc_id",
-        "hlo",
-        "hhi",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    )
-    # s = sum(±1) for bit b over the doc's features, via 2*cnt - n
-    s = bitrows.groupBy("doc_id", "b").agg(
-        (
-            2 * F.sum(F.expr("shiftright(if(b < 32, hlo, hhi), b % 32) & 1"))
-            - F.count("*")
-        ).alias("s")
-    )
-    # sum of distinct powers of two == bitwise OR; bit 63 is
-    # shiftleft(1L, 63) = Long.MIN_VALUE, and no partial-sum order can
-    # leave [-2^63, 2^63-1] (positive terms total 2^63-1), so the sum is
-    # ANSI-overflow-safe
-    return s.groupBy("doc_id").agg(
+    # s_b = sum(±1) of bit b over the doc's features
+    aggs = [
         F.sum(
             F.when(
-                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+                F.shiftright("hlo" if b < 32 else "hhi", b % 32).bitwiseAND(1)
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = hh.groupBy("doc_id").agg(*aggs)
+    # bit 63's weight is Long.MIN_VALUE (two's complement); the sum of
+    # distinct powers of two == bitwise OR and cannot leave the bigint
+    # range, so the fold is ANSI-overflow-safe
+    fp = None
+    for b in range(bits):
+        weight = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint")
+        term = F.when(F.col(f"s{b}") > 0, weight).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -728,11 +727,18 @@ def dup_ngram_coverage(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = tokens(text_col)
-    d = df.select(
+    # token array pinned behind the explode(array()) Generate barrier:
+    # word_ngrams does n element_at calls per window, and with the split()
+    # inlined each one re-tokenizes the document (measured 131s vs 1.5s at
+    # sf0.1, identical output — same trap shingled_docs documents)
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_toks"),
-        word_ngrams(toks, n).alias("grams"),
+        F.explode(F.array(tokens(text_col))).alias("toks"),
+    )
+    d = toked.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        word_ngrams(F.col("toks"), n).alias("grams"),
     )
     g = d.select("doc_id", F.posexplode("grams").alias("pos", "gram"))
     dup_grams = (

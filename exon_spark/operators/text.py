@@ -168,41 +168,60 @@ def quality_signals(
     codegen. The per-doc frequency scans are O(n·distinct) inside one row;
     documents are bounded (tens of KB), so this stays cache-local per task
     and parallelizes embarrassingly at 100 TB.
-    """
-    toks = tokens(text_col, lowercase=True)
-    n = F.size(toks)
 
-    def top_count(grams: Column) -> Column:
+    The token/bigram/trigram arrays are pinned behind ``explode(array())``
+    Generate barriers (the shingled_docs idiom): without them Catalyst
+    inlines the ``split()``/``concat`` chains into every lambda-compare
+    consumer, and the O(n·distinct) scans re-derive the arrays per element
+    — measured 0.2 s PER DOCUMENT (100 s for 500 docs) inlined vs
+    milliseconds materialized, identical output.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens(text_col, lowercase=True))).alias("toks"),
+    )
+    toks = F.col("toks")
+    grams = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.array(word_ngrams(toks, 2))).alias("bi"),
+    ).select(
+        "doc_id",
+        "toks",
+        "bi",
+        F.explode(F.array(word_ngrams(toks, 3))).alias("tri"),
+    )
+
+    def top_count(grams_col: Column) -> Column:
         # max occurrence count over distinct grams, counting only grams
         # that actually REPEAT (count ≥ 2) — a gram seen once is not
         # repetition, and without the floor every short all-unique doc
         # would score 1/n and trip the thresholds
         counts = F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            F.array_distinct(grams_col),
+            lambda g: F.size(F.filter(grams_col, lambda x: x == g)),
         )
         return F.coalesce(
             F.array_max(F.filter(counts, lambda c: c >= 2)), F.lit(0)
         )
 
-    bigrams = word_ngrams(toks, 2)
-    trigrams = word_ngrams(toks, 3)
+    n = F.size(toks)
+    tri = F.col("tri")
     dup_tri = F.size(
         F.filter(
-            trigrams,
-            lambda g: F.size(F.filter(trigrams, lambda x: x == g)) > 1,
+            tri, lambda g: F.size(F.filter(tri, lambda x: x == g)) > 1
         )
     )
     one = F.lit(1)
     frac_top_uni = F.round(top_count(toks) / n.cast("double"), 6)
     frac_top_bi = F.round(
-        top_count(bigrams) / F.greatest(n - 1, one).cast("double"), 6
+        top_count(F.col("bi")) / F.greatest(n - 1, one).cast("double"), 6
     )
     frac_dup_tri = F.round(
         dup_tri / F.greatest(n - 2, one).cast("double"), 6
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return grams.select(
+        "doc_id",
         frac_top_uni.alias("frac_top_unigram"),
         frac_top_bi.alias("frac_top_bigram"),
         frac_dup_tri.alias("frac_dup_trigram"),
