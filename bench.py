@@ -70,6 +70,9 @@ HEADLINE = [
     "q41_token_budget_cap",
     "q42_unigram_logppl",
     "q43_zorder_key",
+    "q44_pack_sequences",
+    "q45_top_ngrams",
+    "q46_epoch_mix",
 ]
 
 

@@ -108,3 +108,139 @@ def token_budget_cap(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .drop("_h")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    bucket_rows: int = 65536,
+) -> DataFrame:
+    """Concatenate-and-chop sequence packing: lay every ``by`` group's
+    documents end to end in ``id_col`` order and chop the token stream into
+    fixed ``seq_len`` windows — the standard assembly step that turns a
+    curated corpus into equal-length training examples. Emits, per doc:
+    ``pack_id`` (which window its first token lands in), ``pack_offset``
+    (token position inside that window) and ``n_packs`` (how many windows
+    the doc spans), from which a writer can materialize examples without
+    ever re-ordering the corpus.
+
+    Scale: the naive plan is ``SUM(tokens) OVER (PARTITION BY source ORDER
+    BY doc_id)`` — one task per source, a scale-killer when a source holds
+    billions of docs. This implements the classic two-level distributed
+    prefix sum instead: (1) docs land in ``bucket_rows``-sized id-range
+    buckets and a map-side partial agg produces per-(group, bucket) token
+    sums — a table with one row per bucket, ~10^4 smaller than the corpus;
+    (2) a window over *that* table (per group, ordered by bucket) yields
+    each bucket's absolute start offset; (3) the offsets broadcast-join
+    back and the in-bucket running sum runs in a (group, bucket) window —
+    thousands of parallel window tasks of ``bucket_rows`` rows each, never
+    one task per group. Identical output to the naive global window (bucket
+    boundaries respect id order), which is exactly what the DuckDB oracle
+    computes. If the bucket-sum table itself outgrows broadcast (~10^13
+    rows of corpus), add a third level or fall back to a shuffle join —
+    the construction telescopes.
+    """
+    from pyspark.sql import Window
+
+    ntok = (
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        if token_col is None
+        else F.col(token_col)
+    ).cast("int")
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(by),
+        ntok.alias("n_tokens"),
+        F.floor(F.col(id_col) / F.lit(bucket_rows)).alias("_b"),
+    )
+    bucket_sums = d.groupBy(by, "_b").agg(F.sum("n_tokens").alias("_bsum"))
+    w_buckets = (
+        Window.partitionBy(by)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = bucket_sums.withColumn(
+        "_off", F.sum("_bsum").over(w_buckets) - F.col("_bsum")
+    ).select(by, "_b", "_off")
+    w_local = (
+        Window.partitionBy(by, "_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("_off") + F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    end = start + F.col("n_tokens") - 1  # n_tokens >= 1: split() never returns []
+    return (
+        d.join(F.broadcast(offsets), [by, "_b"])
+        .withColumn("pack_id", F.floor(start / seq_len).cast("bigint"))
+        .withColumn("pack_offset", (start % seq_len).cast("int"))
+        .withColumn(
+            "n_packs",
+            (F.floor(end / seq_len) - F.floor(start / seq_len) + 1).cast("int"),
+        )
+        .select("doc_id", by, "n_tokens", "pack_id", "pack_offset", "n_packs")
+    )
+
+
+def epoch_mix(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    total_tokens: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Mix sources to a target token distribution with *repeats*: given
+    target share ``w_s`` per source and an overall token budget, each
+    source's repeat factor is ``f_s = total_tokens * w_s / tokens_s`` —
+    >1 means the source is upsampled (multiple epochs, the DoReMi /
+    Pile-style recipe), <1 downsampled. Every doc is emitted
+    ``floor(f_s)`` times plus one more for a deterministic hash-chosen
+    ``frac(f_s)`` fraction of docs, so realized tokens hit the target in
+    expectation with zero RNG: re-running on any partitioning, engine or
+    day yields the identical multiset. Output one row per (doc, copy_n).
+
+    Scale: per-source token totals are one map-side-combined agg producing
+    |sources| rows, broadcast back as a literal-free join (no driver
+    collect); the copy fan-out is a map-side ``explode(sequence(...))``
+    whose width is the repeat factor — bounded by the mix recipe, not the
+    corpus. No shuffle touches full-width rows.
+    """
+    ntok = (
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        if token_col is None
+        else F.col(token_col)
+    ).cast("int")
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(by),
+        ntok.alias("n_tokens"),
+        (
+            h32(F.concat(F.col(id_col).cast("string"), F.lit(salt))) % _BUCKETS
+        ).alias("_h"),
+    )
+    weight: Column = F.lit(0.0)
+    for value, w in target_weights.items():
+        weight = F.when(F.col(by) == value, F.lit(float(w))).otherwise(weight)
+    src_tokens = d.groupBy(by).agg(F.sum("n_tokens").alias("_src_tokens"))
+    f = (F.lit(float(total_tokens)) * weight) / F.col("_src_tokens")
+    n_copies = (
+        F.floor(f)
+        + (F.col("_h") < F.floor((f - F.floor(f)) * _BUCKETS)).cast("bigint")
+    ).cast("int")
+    return (
+        d.join(F.broadcast(src_tokens), by)
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") >= 1)
+        .select(
+            "doc_id",
+            by,
+            "n_tokens",
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_n"),
+        )
+    )

@@ -358,3 +358,43 @@ def unigram_logppl(
             4,
         ).alias("logppl"),
     )
+
+
+def corpus_top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram heavy hitters: the k most frequent word n-grams
+    with occurrence and document counts. This is the profiling pass that
+    feeds curation knobs downstream — the top grams ARE the boilerplate
+    list (``max_shingle_df`` stop-shingles for ``ngram_jaccard_pairs``,
+    template detection, contamination review), so the operator closes the
+    loop between corpus statistics and dedup configuration.
+
+    Output: (gram, n_occurrences, n_docs), ordered by count desc with the
+    gram text as a deterministic tie-break.
+
+    Scale: explode + groupBy(gram) rides Spark's two-phase hash agg —
+    map-side partial counts absorb hot grams before the shuffle, so a
+    corpus-dominating gram costs one row per task, not one per occurrence.
+    n_docs is exact count(distinct doc_id), a second partial-agg pass; at
+    extreme scale swap in approx_count_distinct. Top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    never a global sort — pinned in test_plans.py.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(tokens(text_col, lowercase=True), n)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )

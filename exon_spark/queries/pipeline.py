@@ -910,6 +910,98 @@ from cells
 """
 
 
+def _q44_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import pack_sequences
+
+    # bucket_rows=64 forces the two-level prefix sum to exercise many
+    # buckets even at sf0.01 (500 docs) — same output as any bucket size.
+    return pack_sequences(
+        table(spark, sf_dir, "documents"), seq_len=2048, by="source", bucket_rows=64
+    )
+
+
+Q44_ORACLE = """
+with d as (
+  select doc_id, source,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) as int)
+           as n_tokens
+  from documents
+),
+c as (
+  select doc_id, source, n_tokens,
+         sum(n_tokens) over (partition by source order by doc_id) as cum
+  from d
+)
+select doc_id, source, n_tokens,
+       cast(floor((cum - n_tokens) / 2048) as bigint) as pack_id,
+       cast((cum - n_tokens) % 2048 as int) as pack_offset,
+       cast(floor((cum - 1) / 2048) - floor((cum - n_tokens) / 2048) + 1 as int)
+         as n_packs
+from c
+"""
+
+
+def _q45_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import corpus_top_ngrams
+
+    return corpus_top_ngrams(table(spark, sf_dir, "documents"), n=2, k=25)
+
+
+Q45_ORACLE = """
+with tok as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+),
+g as (
+  select doc_id, toks[i] || ' ' || toks[i + 1] as gram
+  from tok, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) as t(i)
+)
+select gram, count(*) as n_occurrences, count(distinct doc_id) as n_docs
+from g group by gram
+order by n_occurrences desc, gram
+limit 25
+"""
+
+
+def _q46_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import epoch_mix
+
+    return epoch_mix(
+        table(spark, sf_dir, "documents"),
+        target_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_tokens=120_000,
+    )
+
+
+Q46_ORACLE = """
+with d as (
+  select doc_id, source,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) as int)
+           as n_tokens,
+         ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000000 as h
+  from documents
+),
+s as (select source, sum(n_tokens) as src_tokens from d group by source),
+f as (
+  select source, src_tokens,
+         (120000.0 * case source when 'src0' then 0.5
+                                 when 'src1' then 0.3
+                                 when 'src2' then 0.2 else 0.0 end)
+           / src_tokens as fac
+  from s
+),
+c as (
+  select d.doc_id, d.source, d.n_tokens,
+         cast(floor(fac) + (case when d.h < floor((fac - floor(fac)) * 1000000)
+                                 then 1 else 0 end) as int) as n_copies
+  from d join f using (source)
+)
+select doc_id, source, n_tokens, cast(t.i as int) as copy_n
+from c, unnest(range(1, n_copies + 1)) as t(i)
+where n_copies >= 1
+"""
+
+
 PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
@@ -934,4 +1026,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),
     QuerySpec("q42_unigram_logppl", _q42_spark, Q42_ORACLE, "corpus-trained unigram log-perplexity score"),
     QuerySpec("q43_zorder_key", _q43_spark, _q43_oracle(), "Morton/Z-order clustering key (OPTIMIZE ZORDER analogue)"),
+    QuerySpec("q44_pack_sequences", _q44_spark, Q44_ORACLE, "concatenate-and-chop packing via distributed prefix sum"),
+    QuerySpec("q45_top_ngrams", _q45_spark, Q45_ORACLE, "corpus n-gram heavy hitters (stop-shingle profiling)"),
+    QuerySpec("q46_epoch_mix", _q46_spark, Q46_ORACLE, "target-weight epoch mixing with deterministic repeats"),
 ]

@@ -207,3 +207,36 @@ def test_unigram_logppl_broadcasts_corpus_total(registered):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_pack_sequences_no_per_group_global_window(registered):
+    """q44's windows run per (group, bucket) — the plan must sort/window on
+    both keys, not a single source-wide partition, and the bucket-offset
+    join must broadcast."""
+    df = _queries()["q44_pack_sequences"].spark_fn(registered, SF)
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the in-bucket running-sum window is keyed by [source, _b]
+    import re
+
+    assert re.search(r"Window \[.*windowspecdefinition\(source#\d+, _b#\d+", plan), (
+        plan[:3000]
+    )
+
+
+def test_top_ngrams_uses_takeordered(registered):
+    """q45 top-k must be TakeOrderedAndProject (partition heaps), never a
+    global Sort + CollectLimit over the full gram table."""
+    plan = _plan(_queries()["q45_top_ngrams"].spark_fn(registered, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_epoch_mix_broadcasts_source_totals(registered):
+    """q46's per-source token totals (|sources| rows) broadcast back; the
+    copy fan-out is a map-side explode — no shuffle of exploded rows."""
+    plan = _plan(_queries()["q46_epoch_mix"].spark_fn(registered, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

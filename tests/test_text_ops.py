@@ -256,3 +256,82 @@ def test_zorder_layout_tightens_parquet_stats(spark, tmp_path):
     # hash layout spans ~the full 0..63 domain; z-order must be much tighter
     assert r_span > 50
     assert z_span < r_span / 2, (z_span, r_span)
+
+
+def test_pack_sequences_matches_naive_global_window(spark):
+    from pyspark.sql import Window
+
+    from exon_spark.operators import pack_sequences
+
+    rows = [
+        (i, "w " * (i * 7 % 11 + 1), "s%d" % (i % 3)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    # tiny buckets → many buckets per group, exercising both window levels
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, seq_len=16, bucket_rows=4).collect()
+    }
+    # naive single-window reference
+    d = df.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ref = d.withColumn("cum", F.sum("n").over(w)).collect()
+    assert len(got) == 60
+    for r in ref:
+        start = r["cum"] - r["n"]
+        g = got[r["doc_id"]]
+        assert g["pack_id"] == start // 16
+        assert g["pack_offset"] == start % 16
+        assert g["n_packs"] == (r["cum"] - 1) // 16 - start // 16 + 1
+    # partitioning invariance
+    again = pack_sequences(df.repartition(13), seq_len=16, bucket_rows=4)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        tuple(v) for v in got.values()
+    )
+
+
+def test_corpus_top_ngrams_counts_and_tiebreak(spark):
+    from exon_spark.operators import corpus_top_ngrams
+
+    rows = [(1, "to be or not to be"), (2, "to be is to do"), (3, "x")]
+    out = corpus_top_ngrams(_docs(spark, rows), n=2, k=3).collect()
+    # 'to be' occurs 3x in 2 docs; the rest occur once → gram-text tiebreak
+    assert (out[0]["gram"], out[0]["n_occurrences"], out[0]["n_docs"]) == (
+        "to be",
+        3,
+        2,
+    )
+    assert [r["gram"] for r in out[1:]] == ["be is", "be or"]
+
+
+def test_epoch_mix_hits_target_tokens(spark):
+    from exon_spark.operators import epoch_mix
+
+    rows = [
+        (i, "w " * 20, ["a", "b"][i % 2]) for i in range(200)
+    ]  # 2000 tokens per source
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = epoch_mix(
+        df, {"a": 0.75, "b": 0.25}, total_tokens=8000, by="source"
+    ).toPandas()
+    tok = out.groupby("source")["n_tokens"].sum()
+    # a: factor 3.0 exactly → every doc 3 copies = 6000 tokens
+    assert tok["a"] == 6000
+    # b: factor 1.0 → 2000 tokens
+    assert tok["b"] == 2000
+    # copies enumerate 1..n
+    a_copies = out[out.source == "a"].groupby("doc_id")["copy_n"].apply(list)
+    assert all(sorted(v) == [1, 2, 3] for v in a_copies)
+    # fractional factor keeps a deterministic hash-chosen extra subset
+    out2 = epoch_mix(df, {"a": 0.5, "b": 0.5}, total_tokens=5000, by="source")
+    out3 = epoch_mix(
+        df.repartition(17), {"a": 0.5, "b": 0.5}, total_tokens=5000, by="source"
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out3.collect()))
+    n = out2.toPandas().groupby("source")["n_tokens"].sum()
+    # 1.25x factor → expect ~2500 per source, hash jitter bounded
+    assert 2200 <= n["a"] <= 2800 and 2200 <= n["b"] <= 2800
