@@ -155,7 +155,9 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         F.col(by),
         ntok.alias("n_tokens"),
-        F.floor(F.col(id_col) / F.lit(bucket_rows)).alias("_b"),
+        # integer div, not floor(x / N): double division is only exact
+        # below 2^53 and ids at corpus scale can be arbitrary 64-bit keys
+        F.expr(f"CAST({id_col} AS BIGINT) div {bucket_rows}").alias("_b"),
     )
     bucket_sums = d.groupBy(by, "_b").agg(F.sum("n_tokens").alias("_bsum"))
     w_buckets = (
