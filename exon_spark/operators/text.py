@@ -377,23 +377,33 @@ def corpus_top_ngrams(
     Output: (gram, n_occurrences, n_docs), ordered by count desc with the
     gram text as a deterministic tie-break.
 
-    Scale: explode + groupBy(gram) rides Spark's two-phase hash agg —
-    map-side partial counts absorb hot grams before the shuffle, so a
+    Scale: explode + groupBy rides Spark's two-phase hash agg — map-side
+    partial counts absorb hot grams before any shuffle, so a
     corpus-dominating gram costs one row per task, not one per occurrence.
-    n_docs is exact count(distinct doc_id), a second partial-agg pass; at
-    extreme scale swap in approx_count_distinct. Top-k is
-    TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
-    never a global sort — pinned in test_plans.py.
+    n_docs comes from a (gram, doc_id) pre-aggregation folded into a
+    second tiny agg rather than count(distinct): the distinct-agg Expand
+    doubles the exploded rows before the partial agg (measured +20% at
+    sf0.1), while the pre-agg's first shuffle carries only distinct
+    (gram, doc) pairs. Top-k is TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a global sort — pinned in
+    test_plans.py. The token array is pinned behind an
+    ``explode(array(...))`` Generate barrier (the shingled_docs idiom):
+    inlined, Catalyst re-runs the regex split inside every ``element_at``
+    of the n-gram lambda — O(tokens²) per doc, measured 8x end-to-end.
     """
-    grams = df.select(
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(tokens(text_col, lowercase=True), n)).alias("gram"),
+        F.explode(F.array(tokens(text_col, lowercase=True))).alias("_toks"),
     )
+    grams = toked.select(
+        "doc_id", F.explode(word_ngrams(F.col("_toks"), n)).alias("gram")
+    )
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count("*").alias("_c"))
     return (
-        grams.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(
-            F.count("*").alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("_c").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
