@@ -89,7 +89,15 @@ def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
 ) -> DataFrame:
     """Document fingerprints: md5 of the normalized text plus the minimum
-    rolling window hash (winnowing-style robust fingerprint)."""
+    rolling window hash (winnowing-style robust fingerprint).
+
+    ``norm`` is pinned behind an ``explode(array(...))`` Generate barrier
+    (the shingled_docs idiom): projected plainly, Catalyst inlines the
+    regexp_replace chain into every per-window ``substring`` lambda
+    element — O(len²) regex work per doc. (Dominant remaining cost is the
+    per-window md5 of ``h32`` — the portable-hash contract with the
+    DuckDB oracle; a Rabin-Karp rolling hash would be ~10x cheaper but
+    engine-specific.)"""
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
@@ -97,7 +105,9 @@ def fingerprint(
             " ",
         )
     )
-    d = df.select(F.col(id_col).alias("doc_id"), norm.alias("norm"))
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(norm)).alias("norm")
+    )
     wins = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.length("norm") - (window - 1), F.lit(1))
