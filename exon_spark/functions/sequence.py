@@ -175,7 +175,9 @@ def _alignment_score_udf():
                 return 0
             prev = np.zeros(m + 1, dtype=np.int32)
             cur = np.zeros(m + 1, dtype=np.int32)
-            yb = np.frombuffer(y.encode("latin-1"), dtype=np.uint8)
+            # ord-based (not latin-1 bytes): this row kernel is also the
+            # fallback for sequences the batched kernel can't byte-encode
+            yb = np.array([ord(c) for c in y], dtype=np.int64)
             best = 0
             for i in range(1, n + 1):
                 xi = ord(x[i - 1])
@@ -191,10 +193,51 @@ def _alignment_score_udf():
                 prev, cur = cur, prev
             return best
 
-        return pd.Series(
-            [None if (x is None or y is None) else sw(x, y) for x, y in zip(a, b)],
-            dtype="Int64",
-        ).astype("Int32")
+        def sw_group(xs: list, ys: list) -> list:
+            # Same recurrence, vectorized across a group of pairs with
+            # identical (len_x, len_y): the n*m DP loop runs ONCE per
+            # group over (B,)-shaped numpy arrays instead of once per
+            # row (50k fixed-length rows: 12.8M Python iterations -> a
+            # few hundred; q12 measured 6.7s -> sub-second). Sequences
+            # must be latin-1-encodable for the byte matrix — caller
+            # falls back to the row kernel otherwise.
+            n, m = len(xs[0]), len(ys[0])
+            B = len(xs)
+            X = np.frombuffer("".join(xs).encode("latin-1"), np.uint8).reshape(B, n)
+            Y = np.frombuffer("".join(ys).encode("latin-1"), np.uint8).reshape(B, m)
+            prev = np.zeros((B, m + 1), np.int32)
+            cur = np.zeros((B, m + 1), np.int32)
+            best = np.zeros(B, np.int32)
+            for i in range(1, n + 1):
+                sub = np.where(Y == X[:, i - 1 : i], 1, -1).astype(np.int32)
+                cand = np.maximum(prev[:, :-1] + sub, prev[:, 1:] - 1)
+                np.maximum(cand, 0, out=cand)
+                for j in range(1, m + 1):
+                    # cand >= 0, so the max is >= 0 without a third term
+                    np.maximum(cand[:, j - 1], cur[:, j - 1] - 1, out=cur[:, j])
+                np.maximum(best, cur[:, 1:].max(axis=1), out=best)
+                prev, cur = cur, prev
+            return [int(v) for v in best]
+
+        out: list = [None] * len(a)
+        groups: dict = {}
+        for idx, (x, y) in enumerate(zip(a, b)):
+            if x is None or y is None:
+                continue
+            if len(x) == 0 or len(y) == 0:
+                out[idx] = 0
+                continue
+            groups.setdefault((len(x), len(y)), []).append(idx)
+        for _key, idxs in groups.items():
+            xs = [a.iloc[i] for i in idxs]
+            ys = [b.iloc[i] for i in idxs]
+            try:
+                scores = sw_group(xs, ys)
+            except UnicodeEncodeError:
+                scores = [sw(x, y) for x, y in zip(xs, ys)]
+            for i, s in zip(idxs, scores):
+                out[i] = s
+        return pd.Series(out, dtype="Int64").astype("Int32")
 
     _udf_cache["alignment_score"] = F.pandas_udf(alignment_score_impl, IntegerType())
     return _udf_cache["alignment_score"]

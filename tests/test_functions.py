@@ -214,3 +214,36 @@ def test_whole_stage_codegen_for_expressions(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_alignment_score_batched_groups_match_row_kernel(spark):
+    """The length-grouped batched DP must agree with the row kernel across
+    mixed lengths, nulls, empties and non-latin1 text (fallback path)."""
+    rows = [
+        ("ATCG", "ATCG"),      # group (4,4)
+        ("GGGG", "ATCG"),      # same group, different answer
+        ("ATCGATCG", "TCGA"),  # group (8,4)
+        ("", "ATCG"),          # empty -> 0
+        (None, "ATCG"),        # null -> null
+        ("ACGT", None),
+        ("ATéG", "éG"),  # latin-1-encodable accents
+        ("AT世G", "世G"),  # non-latin1 -> ord fallback
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = [r[0] for r in df.select(xf.alignment_score("a", "b")).collect()]
+
+    def sw_ref(x, y):
+        n, m = len(x), len(y)
+        H = [[0] * (m + 1) for _ in range(n + 1)]
+        best = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                s = 1 if x[i - 1] == y[j - 1] else -1
+                H[i][j] = max(0, H[i - 1][j - 1] + s, H[i - 1][j] - 1, H[i][j - 1] - 1)
+                best = max(best, H[i][j])
+        return best
+
+    exp = [
+        None if (x is None or y is None) else sw_ref(x, y) for x, y in rows
+    ]
+    assert got == exp
