@@ -73,6 +73,7 @@ HEADLINE = [
     "q44_pack_sequences",
     "q45_top_ngrams",
     "q46_epoch_mix",
+    "q47_semantic_dedup",
 ]
 
 

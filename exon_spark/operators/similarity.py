@@ -400,3 +400,86 @@ def embedding_cosine_dups(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-blocked embedding dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): assign every embedding to its nearest of
+    ``n_clusters`` centroids, then compare pairs only WITHIN a cluster —
+    semantic blocking that catches paraphrase-level duplicates a
+    hyperplane-LSH bucket (``embedding_cosine_dups``) can split across
+    buckets, because cluster boundaries follow the data's own density
+    rather than random projections.
+
+    Centroids are the ``n_clusters`` rows with the smallest
+    ``(h32(id), id)`` — a deterministic hash sample (no k-means RNG), so
+    the operator is reproducible across engines and the DuckDB oracle can
+    regenerate the exact clustering. Assignment is argmax rounded-cosine
+    with the centroid id as tie-break.
+
+    Output: (cluster_id, id_a, id_b, score) for within-cluster pairs with
+    cosine ≥ threshold.
+
+    Scale: centroids are a 16..100k-row broadcast; assignment is one
+    map-side broadcast cross join + a single struct-min agg (no window,
+    no second shuffle); the pair stage shuffles by cluster id and is
+    O(Σ cluster_size²) — ``n_clusters`` is the knob, scaled with the
+    corpus exactly as the paper does (~√n clusters keeps the quadratic
+    bounded). At that scale swap the expression-based assignment for the
+    closure-UDF argmax ``ivf_ann_topk`` uses (zero-shuffle, numpy) — the
+    expression form here keeps bit-exact parity with the oracle.
+    """
+    d = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    from exon_spark.operators.dedup import h32
+
+    cents = (
+        d.select(
+            "vec_id",
+            "embedding",
+            h32(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n_clusters)
+        .select(F.col("vec_id").alias("cidx"), F.col("embedding").alias("cemb"))
+    )
+    scored = d.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cidx",
+        cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+    )
+    # min struct((-cos, cidx)) == argmax cosine, ties to the smallest
+    # centroid id; embedding is constant within the group so first() is
+    # deterministic in value
+    assign = scored.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("cos")).alias("nc"), F.col("cidx").alias("cidx"))).alias("_m"),
+        F.first("embedding").alias("embedding"),
+    ).select("vec_id", F.col("_m.cidx").alias("cluster_id"), "embedding")
+    a = assign.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = assign.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster_id",
+            "id_a",
+            "id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

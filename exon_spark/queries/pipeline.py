@@ -1002,6 +1002,52 @@ where n_copies >= 1
 """
 
 
+def _q47_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import semantic_dedup
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = em.filter((F.col("vec_id") % 10) == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(em.unionAll(planted), n_clusters=16, threshold=0.95)
+
+
+def _q47_oracle() -> str:
+    cos_assign = _COS64.format(a="d.embedding", b="c.cemb")
+    cos_pair = _COS64.format(a="x.embedding", b="y.embedding")
+    return f"""
+with d as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 10000 as vec_id, embedding from embeddings where vec_id % 10 = 0
+),
+h as (
+  select vec_id, embedding,
+         ('0x' || substr(md5(vec_id::varchar), 1, 8))::bigint as hh
+  from d
+),
+cents as (
+  select vec_id as cidx, embedding as cemb
+  from h order by hh, vec_id limit 16
+),
+scored as (
+  select d.vec_id, d.embedding, c.cidx, round({cos_assign}, 6) as cos
+  from d cross join cents c
+),
+assign as (
+  select vec_id, embedding, cidx as cluster_id from (
+    select *, row_number() over (partition by vec_id order by -cos, cidx) as rn
+    from scored
+  ) where rn = 1
+)
+select x.cluster_id, x.vec_id as id_a, y.vec_id as id_b,
+       round({cos_pair}, 6) as score
+from assign x join assign y
+  on x.cluster_id = y.cluster_id and x.vec_id < y.vec_id
+where round({cos_pair}, 6) >= 0.95
+"""
+
+
 PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q17_dedup_exact", _q17_spark, Q17_ORACLE, "exact dedup (hash groupBy)"),
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
@@ -1029,4 +1075,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q44_pack_sequences", _q44_spark, Q44_ORACLE, "concatenate-and-chop packing via distributed prefix sum"),
     QuerySpec("q45_top_ngrams", _q45_spark, Q45_ORACLE, "corpus n-gram heavy hitters (stop-shingle profiling)"),
     QuerySpec("q46_epoch_mix", _q46_spark, Q46_ORACLE, "target-weight epoch mixing with deterministic repeats"),
+    QuerySpec("q47_semantic_dedup", _q47_spark, _q47_oracle(), "SemDeDup cluster-blocked embedding dedup"),
 ]

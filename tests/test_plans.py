@@ -240,3 +240,13 @@ def test_epoch_mix_broadcasts_source_totals(registered):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids(registered):
+    """q47's assignment is a broadcast cross join against the centroid
+    rows (no shuffled cartesian), one struct-min agg, and a hash join on
+    cluster_id for the pair stage — all JVM-side."""
+    plan = _plan(_queries()["q47_semantic_dedup"].spark_fn(registered, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "EvalPython" not in plan

@@ -246,3 +246,22 @@ def test_stratified_mix_rates(spark):
     assert counts.get("s2", 0) == 0  # default rate 0 drops the stratum
     assert 0.35 < counts["s0"] / 1000 < 0.65
     assert 0.03 < counts["s1"] / 1000 < 0.2
+
+
+def test_semantic_dedup_finds_planted_dup_within_cluster(spark):
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators import semantic_dedup
+
+    # 40 spread-out vectors + one exact duplicate of vec 7
+    rows = [(i, [float((i * 13 + j * 7) % 11 - 5) for j in range(8)]) for i in range(40)]
+    rows.append((100, rows[7][1]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = semantic_dedup(df, n_clusters=4, threshold=0.999).collect()
+    assert any(r.id_a == 7 and r.id_b == 100 and r.score >= 0.999 for r in out)
+    # every reported pair shares its cluster by construction; scores honor
+    # the threshold
+    assert all(r.score >= 0.999 for r in out)
+    # deterministic under repartitioning
+    out2 = semantic_dedup(df.repartition(5), n_clusters=4, threshold=0.999).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
