@@ -74,6 +74,7 @@ HEADLINE = [
     "q45_top_ngrams",
     "q46_epoch_mix",
     "q47_semantic_dedup",
+    "q48_containment_pairs",
 ]
 
 

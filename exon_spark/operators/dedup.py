@@ -850,3 +850,75 @@ def dedup_against(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Shingle *containment* pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+    Containment is the asymmetric cousin of Jaccard — it flags a short
+    document wholly quoted inside a long one (license headers, lyrics,
+    wholesale article quotes), which Jaccard misses because the union in
+    its denominator is dominated by the longer doc. The standard metric
+    for quote/partial-copy detection (Broder 1997's "containment").
+
+    Output: (doc_a, doc_b, n_common, containment_a, containment_b) for
+    unordered pairs where EITHER direction clears ``threshold`` —
+    containment_a = shared/|sh(doc_a)| is how much of A lies inside B.
+
+    Scale: classic inverted-index join — one shuffle of distinct
+    (doc, shingle) rows by shingle, one pair-key agg. Per-shingle join
+    fan-out is O(df²); ``hashed=True`` shrinks shuffle keys to 8 bytes
+    (xxhash64, fine for set intersection), ``max_shingle_df`` drops
+    corpus-boilerplate shingles from pair GENERATION — with the caveat
+    that unlike ngram_jaccard_pairs (which re-verifies on full sets),
+    containment here is computed from the joined counts, so the cap makes
+    scores approximate (undercount by at most the capped shingles'
+    share); feed it from ``corpus_top_ngrams`` profiling and size it to
+    boilerplate, not content.
+    """
+    sh = shingle_rows(df, id_col, text_col, n, hashed=hashed)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    gen = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        gen = sh.join(hot, "shingle", "left_anti")
+    a = gen.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = gen.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    )

@@ -1002,6 +1002,25 @@ where n_copies >= 1
 """
 
 
+def _q48_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+Q48_ORACLE = f"""
+with {_SHINGLES_DUCK}, {_JACCARD_TAIL}
+select doc_a, doc_b, n_common,
+       round(cast(n_common as double) / x.n_sh, 6) as containment_a,
+       round(cast(n_common as double) / y.n_sh, 6) as containment_b
+from common join cnt x on doc_a = x.doc_id join cnt y on doc_b = y.doc_id
+where greatest(round(cast(n_common as double) / x.n_sh, 6),
+               round(cast(n_common as double) / y.n_sh, 6)) >= 0.6
+"""
+
+
 def _q47_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_spark.operators import semantic_dedup
 
@@ -1076,4 +1095,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q45_top_ngrams", _q45_spark, Q45_ORACLE, "corpus n-gram heavy hitters (stop-shingle profiling)"),
     QuerySpec("q46_epoch_mix", _q46_spark, Q46_ORACLE, "target-weight epoch mixing with deterministic repeats"),
     QuerySpec("q47_semantic_dedup", _q47_spark, _q47_oracle(), "SemDeDup cluster-blocked embedding dedup"),
+    QuerySpec("q48_containment_pairs", _q48_spark, Q48_ORACLE, "shingle containment (quote/partial-copy detection)"),
 ]

@@ -265,3 +265,28 @@ def test_semantic_dedup_finds_planted_dup_within_cluster(spark):
     # deterministic under repartitioning
     out2 = semantic_dedup(df.repartition(5), n_clusters=4, threshold=0.999).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ngram_containment_quote_detection(spark):
+    """A short doc fully quoted inside a long one must score
+    containment_a = 1.0 even though Jaccard is low; hashed=True and the
+    hot-shingle cap keep/drop the right pairs."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, quote),  # 2 shingles (6 tokens, n=5)
+        (2, "start filler words here " + quote + " trailing content tokens x y z"),
+        (3, "completely different text with many unrelated words in this row"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from exon_spark.operators import ngram_containment_pairs, ngram_jaccard_pairs
+
+    out = {(r.doc_a, r.doc_b): r for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in out and out[(1, 2)].containment_a == 1.0
+    assert out[(1, 2)].containment_b < 0.5  # asymmetry: B is much bigger
+    assert (1, 3) not in out and (2, 3) not in out
+    # Jaccard misses the same pair at the same bar
+    jac = ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert not any(r.doc_a == 1 and r.doc_b == 2 for r in jac)
+    # hashed keys give the identical pair set
+    hashed = {(r.doc_a, r.doc_b): r for r in ngram_containment_pairs(df, threshold=0.9, hashed=True).collect()}
+    assert set(hashed) == set(out)
