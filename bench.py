@@ -75,6 +75,7 @@ HEADLINE = [
     "q46_epoch_mix",
     "q47_semantic_dedup",
     "q48_containment_pairs",
+    "q49_tfidf_keywords",
 ]
 
 

@@ -456,3 +456,55 @@ def corpus_top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the k terms that best
+    characterize each document against the corpus (score = tf · ln(N/df)),
+    the metadata-enrichment pass behind faceted corpus browsing, cluster
+    labeling and topic-drift monitoring. Deterministic tie-break:
+    (score desc, term asc).
+
+    Output: (doc_id, term, tf, score, rank), rank 1..k.
+
+    Scale: (doc, term) tf counts and the term document-frequency table are
+    two map-side-combined aggs (vocab is Zipf-bounded, far smaller than
+    the corpus); N is a 1-row broadcast; the final top-k is a window over
+    doc_id — millions of small doc-keyed groups, embarrassingly parallel,
+    never a global sort. Same join geometry as unigram_logppl/bm25, AQE
+    broadcasts the vocab side when it fits.
+    """
+    from pyspark.sql import Window
+
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col, lowercase=True)).alias("term"),
+    )
+    tf = tok_rows.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("_n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", F.col("rank").cast("int").alias("rank"))
+    )

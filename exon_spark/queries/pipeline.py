@@ -1021,6 +1021,36 @@ where greatest(round(cast(n_common as double) / x.n_sh, 6),
 """
 
 
+def _q49_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import tfidf_keywords
+
+    return tfidf_keywords(table(spark, sf_dir, "documents"), k=3)
+
+
+Q49_ORACLE = """
+with tok as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+),
+tr as (select doc_id, t as term from tok, unnest(toks) as u(t)),
+tf as (select doc_id, term, count(*) as tf from tr group by doc_id, term),
+dfreq as (select term, count(*) as dfx from tf group by term),
+n as (select count(distinct doc_id) as nd from documents),
+scored as (
+  select tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(nd * 1.0 / dfx), 6) as score
+  from tf join dfreq using (term) cross join n
+),
+r as (
+  select *, row_number() over (partition by doc_id
+                               order by score desc, term) as rank
+  from scored
+)
+select doc_id, term, tf, score, cast(rank as int) as rank
+from r where rank <= 3
+"""
+
+
 def _q47_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_spark.operators import semantic_dedup
 
@@ -1096,4 +1126,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q46_epoch_mix", _q46_spark, Q46_ORACLE, "target-weight epoch mixing with deterministic repeats"),
     QuerySpec("q47_semantic_dedup", _q47_spark, _q47_oracle(), "SemDeDup cluster-blocked embedding dedup"),
     QuerySpec("q48_containment_pairs", _q48_spark, Q48_ORACLE, "shingle containment (quote/partial-copy detection)"),
+    QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),
 ]

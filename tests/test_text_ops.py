@@ -335,3 +335,28 @@ def test_epoch_mix_hits_target_tokens(spark):
     n = out2.toPandas().groupby("source")["n_tokens"].sum()
     # 1.25x factor → expect ~2500 per source, hash jitter bounded
     assert 2200 <= n["a"] <= 2800 and 2200 <= n["b"] <= 2800
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from exon_spark.operators import tfidf_keywords
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "cherry shared shared"),
+        (3, "durian shared"),
+    ]
+    out = tfidf_keywords(_docs(spark, rows), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 'apple' tf=2 df=1 -> 2*ln(3); 'banana' tf=1 df=1 -> ln(3);
+    # 'shared' df=3 -> idf 0, never ranks above them
+    d1 = by_doc[1]
+    assert (d1[0].term, d1[0].rank) == ("apple", 1)
+    assert d1[0].score == round(2 * math.log(3), 6)
+    assert d1[1].term == "banana"
+    # doc 3: only 'durian' scores > 0; 'shared' fills rank 2 with score 0
+    assert by_doc[3][0].term == "durian"
+    assert by_doc[3][1].score == 0.0
