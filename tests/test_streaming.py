@@ -163,3 +163,45 @@ def test_streaming_dedup_ttl_state_bound(spark, tmp_path):
         output_mode="append",
     )
     assert {r.k for r in out.collect()} == {"x", "y"}
+
+
+def test_stateless_curation_operators_run_on_streams(spark, tmp_path):
+    """The per-row curation operators (quality_signals, pii_stats,
+    text_stats, lang_id, tfidf-free stages) are pure Column projections,
+    so the SAME operator functions must work unchanged on a readStream
+    DataFrame and produce batch-identical rows — the property that lets
+    one curation codebase serve both backfill and ingest."""
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators import lang_id, pii_stats, quality_signals, text_stats
+
+    rows = [
+        (1, "the cat and the dog and the cat sat", "en"),
+        (2, "contact me at a@b.co or 555-123-4567 the end", "en"),
+        (3, "el la de que y el la de que y", "es"),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    d = tmp_path / "stream_in"
+    batch_df.coalesce(1).write.parquet(str(d / "b0"))
+
+    stream = spark.readStream.schema("doc_id bigint, text string, lang string").parquet(
+        str(d / "*")
+    )
+    for name, op in [
+        ("quality", quality_signals),
+        ("pii", pii_stats),
+        ("stats", text_stats),
+        ("lang", lang_id),
+    ]:
+        out = op(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"cur_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = sorted(map(tuple, spark.sql(f"select * from cur_{name}").collect()))
+        exp = sorted(map(tuple, op(batch_df).collect()))
+        assert got == exp, name
