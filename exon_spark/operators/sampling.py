@@ -63,6 +63,7 @@ def token_budget_cap(
     text_col: str = "text",
     token_col: str | None = None,
     salt: str = "",
+    approximate: bool = False,
 ) -> DataFrame:
     """Cap each group at a token budget: within every ``by`` group, order
     documents by their content hash (the same reproducible order
@@ -80,10 +81,18 @@ def token_budget_cap(
     sum (Spark's window). Groups are source/lang strata — thousands at
     most, so per-group data at 100 TB is large but the running sum is a
     single streaming pass after the sort; skewed strata spill-sort rather
-    than OOM. If only an approximate cap is needed, a two-pass variant
-    (sample the hash-to-cumulative-tokens curve, pick a hash cutoff, then
-    map-side filter) avoids the sort entirely; this exact version is the
-    reference semantics.
+    than OOM.
+
+    ``approximate=True`` is the sort-free variant for when the cap needn't
+    be exact: the hash is uniform and independent of token counts by
+    construction, so keeping ``h < budget/T_g × buckets`` (one
+    |groups|-row agg for the totals T_g, broadcast back, then a map-side
+    filter — NO shuffle of full rows, NO sort) lands within sampling
+    noise of the budget (±O(√) over kept docs). Same keep-order contract
+    (smallest hashes first), so the exact mode's kept set is a superset
+    cut at the true prefix; ``cum_tokens`` is null in this mode (there is
+    no order to accumulate along). Groups already under budget keep every
+    row.
     """
     from pyspark.sql import Window
 
@@ -98,6 +107,23 @@ def token_budget_cap(
         ntok.alias("n_tokens"),
         h32(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("_h"),
     )
+    if approximate:
+        span = 1 << 32  # h32 is uniform in [0, 2^32) — same key the exact
+        # mode sorts by, so the kept set nests inside the exact prefix
+        totals = d.groupBy(by).agg(F.sum("n_tokens").alias("_tot"))
+        cutoff = F.when(F.col("_tot") <= budget_tokens, F.lit(span)).otherwise(
+            F.floor(F.lit(float(budget_tokens) * span) / F.col("_tot"))
+        )
+        return (
+            d.join(F.broadcast(totals.withColumn("_cut", cutoff)), by)
+            .filter(F.col("_h") < F.col("_cut"))
+            .select(
+                "doc_id",
+                by,
+                "n_tokens",
+                F.lit(None).cast("bigint").alias("cum_tokens"),
+            )
+        )
     w = (
         Window.partitionBy(by)
         .orderBy("_h", "doc_id")

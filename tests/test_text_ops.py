@@ -360,3 +360,23 @@ def test_tfidf_keywords_hand_computed(spark):
     # doc 3: only 'durian' scores > 0; 'shared' fills rank 2 with score 0
     assert by_doc[3][0].term == "durian"
     assert by_doc[3][1].score == 0.0
+
+
+def test_token_budget_cap_approximate_mode(spark):
+    from exon_spark.operators import token_budget_cap
+
+    rows = [(i, "w " * 20, "a") for i in range(2000)]  # 40k tokens, one group
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = token_budget_cap(df, 10_000, by="source", approximate=True).toPandas()
+    # within sampling noise of the budget (uniform hash, fixed 20-token docs)
+    assert 8_000 <= out.n_tokens.sum() <= 12_000
+    # cum_tokens is null in this mode
+    assert out.cum_tokens.isna().all()
+    # nests inside the exact prefix's keep ORDER: every approximate keep
+    # has a hash below the cutoff, so the exact mode run at a LARGER
+    # budget must contain it
+    exact = token_budget_cap(df, 15_000, by="source").toPandas()
+    assert set(out.doc_id) <= set(exact.doc_id)
+    # under-budget group keeps everything
+    small = token_budget_cap(df, 100_000, by="source", approximate=True)
+    assert small.count() == 2000
