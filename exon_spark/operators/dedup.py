@@ -740,7 +740,14 @@ def dup_ngram_coverage(
         F.size("toks").alias("n_toks"),
         word_ngrams(F.col("toks"), n).alias("grams"),
     )
-    g = d.select("doc_id", F.posexplode("grams").alias("pos", "gram"))
+    # g feeds two concurrently-planned consumers (the dup-gram frequency
+    # agg and the join back); left lazy each recomputes the tokenize +
+    # explode chain from the scan (measured 4.2s -> 2.3s at sf0.1
+    # materialized)
+    g = _materialize(
+        d.select("doc_id", F.posexplode("grams").alias("pos", "gram")),
+        eager=True,
+    )
     dup_grams = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
