@@ -76,6 +76,7 @@ HEADLINE = [
     "q47_semantic_dedup",
     "q48_containment_pairs",
     "q49_tfidf_keywords",
+    "q50_chunk_documents",
 ]
 
 

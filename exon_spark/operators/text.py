@@ -508,3 +508,58 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    chunking pass that precedes embedding/indexing in retrieval pipelines
+    and long-document processing (each chunk becomes an embedding row;
+    ``overlap`` preserves context across boundaries).
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the last chunk
+    is short rather than padded. Docs at or under ``chunk_tokens`` yield
+    exactly one chunk. Output: (doc_id, chunk_id, start_tok,
+    n_chunk_tokens, chunk_text).
+
+    Scale: pure map-side — token array pinned behind the
+    ``explode(array())`` Generate barrier (shingled_docs idiom), chunk
+    fan-out via posexplode of an integer sequence, chunk text a
+    ``slice``+``array_join`` over the materialized array. No shuffle; the
+    row blowup is corpus_tokens/step, the intended output size.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens(text_col, lowercase=False))).alias("_toks"),
+    )
+    n = F.size("_toks")
+    # integer arithmetic: ceil((n - chunk)/step) + 1 without float division
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.expr(
+            f"(size(_toks) - {chunk_tokens} + {step} - 1) div {step} + 1"
+        ).cast("int")
+    )
+    chunked = toked.select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * step
+    piece = F.slice(F.col("_toks"), start + 1, chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_tok"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -1021,6 +1021,37 @@ where greatest(round(cast(n_common as double) / x.n_sh, 6),
 """
 
 
+def _q50_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+Q50_ORACLE = """
+with tok as (
+  select doc_id, regexp_split_to_array(trim(text), '\\s+') as toks
+  from documents
+),
+n as (
+  select doc_id, toks, len(toks) as nt,
+         case when len(toks) <= 64 then 1
+              else cast(floor((len(toks) - 64 + 48 - 1) / 48.0) as int) + 1
+         end as n_chunks
+  from tok
+)
+select doc_id,
+       cast(t.i as int) as chunk_id,
+       cast(t.i * 48 as int) as start_tok,
+       cast(len(toks[t.i * 48 + 1 : least(t.i * 48 + 64, nt)]) as int)
+         as n_chunk_tokens,
+       array_to_string(toks[t.i * 48 + 1 : least(t.i * 48 + 64, nt)], ' ')
+         as chunk_text
+from n, unnest(range(0, n_chunks)) as t(i)
+"""
+
+
 def _q49_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_spark.operators import tfidf_keywords
 
@@ -1127,4 +1158,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q47_semantic_dedup", _q47_spark, _q47_oracle(), "SemDeDup cluster-blocked embedding dedup"),
     QuerySpec("q48_containment_pairs", _q48_spark, Q48_ORACLE, "shingle containment (quote/partial-copy detection)"),
     QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),
+    QuerySpec("q50_chunk_documents", _q50_spark, Q50_ORACLE, "overlapping token-window chunking (RAG/embedding prep)"),
 ]

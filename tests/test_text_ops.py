@@ -380,3 +380,28 @@ def test_token_budget_cap_approximate_mode(spark):
     # under-budget group keeps everything
     small = token_budget_cap(df, 100_000, by="source", approximate=True)
     assert small.count() == 2000
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    import pytest as _pytest
+
+    from exon_spark.operators import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(12))),  # 12 toks: chunks at 0,4,8
+        (2, "a b c"),  # under chunk size -> one chunk
+        (3, "Case KEPT"),  # case preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=6, overlap=2).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(out[1], key=lambda r: r.chunk_id)
+    assert [(r.start_tok, r.n_chunk_tokens) for r in d1] == [(0, 6), (4, 6), (8, 4)]
+    assert d1[1].chunk_text == "t4 t5 t6 t7 t8 t9"
+    # consecutive chunks overlap by exactly `overlap`
+    assert d1[0].chunk_text.split()[-2:] == d1[1].chunk_text.split()[:2]
+    assert len(out[2]) == 1 and out[2][0].chunk_text == "a b c"
+    assert out[3][0].chunk_text == "Case KEPT"
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
