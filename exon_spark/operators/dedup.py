@@ -890,7 +890,12 @@ def ngram_containment_pairs(
     share); feed it from ``corpus_top_ngrams`` profiling and size it to
     boilerplate, not content.
     """
-    sh = shingle_rows(df, id_col, text_col, n, hashed=hashed)
+    # sh feeds four consumers (both join sides, the counts agg, the
+    # optional hot-shingle df agg); left lazy each replans the full
+    # tokenize -> shingle-explode -> distinct pipeline from the scan
+    sh = _materialize(
+        shingle_rows(df, id_col, text_col, n, hashed=hashed), eager=True
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     gen = sh
     if max_shingle_df is not None:

@@ -154,6 +154,11 @@ def pack_sequences(
     the doc spans), from which a writer can materialize examples without
     ever re-ordering the corpus.
 
+    ``id_col`` must be an integral column (the bucket boundaries are id
+    ranges); a non-integral id raises here rather than failing obscurely
+    (or silently, pre-ANSI) inside the bigint cast. Null ids land in a
+    sentinel first bucket rather than being dropped by the bucket join.
+
     Scale: the naive plan is ``SUM(tokens) OVER (PARTITION BY source ORDER
     BY doc_id)`` — one task per source, a scale-killer when a source holds
     billions of docs. This implements the classic two-level distributed
@@ -177,13 +182,24 @@ def pack_sequences(
         if token_col is None
         else F.col(token_col)
     ).cast("int")
+    id_dtype = dict(df.dtypes).get(id_col)
+    if id_dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_sequences requires an integral id_col; {id_col!r} is "
+            f"{id_dtype!r}"
+        )
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(by),
         ntok.alias("n_tokens"),
         # integer div, not floor(x / N): double division is only exact
-        # below 2^53 and ids at corpus scale can be arbitrary 64-bit keys
-        F.expr(f"CAST({id_col} AS BIGINT) div {bucket_rows}").alias("_b"),
+        # below 2^53 and ids at corpus scale can be arbitrary 64-bit keys.
+        # coalesce: a null id must survive the bucket equi-join (sentinel
+        # first bucket), not vanish from the output
+        F.coalesce(
+            F.expr(f"CAST({id_col} AS BIGINT) div {bucket_rows}"),
+            F.lit(-(1 << 62)),
+        ).alias("_b"),
     )
     bucket_sums = d.groupBy(by, "_b").agg(F.sum("n_tokens").alias("_bsum"))
     w_buckets = (

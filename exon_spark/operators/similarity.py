@@ -458,10 +458,21 @@ def semantic_dedup(
     # min struct((-cos, cidx)) == argmax cosine, ties to the smallest
     # centroid id; embedding is constant within the group so first() is
     # deterministic in value
-    assign = scored.groupBy("vec_id").agg(
-        F.min(F.struct((-F.col("cos")).alias("nc"), F.col("cidx").alias("cidx"))).alias("_m"),
-        F.first("embedding").alias("embedding"),
-    ).select("vec_id", F.col("_m.cidx").alias("cluster_id"), "embedding")
+    from exon_spark.operators.dedup import _materialize
+
+    # assign feeds both sides of the pair self-join; unmaterialized, the
+    # dominant O(n·k·dim) broadcast argmax runs twice per invocation
+    assign = _materialize(
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cos")).alias("nc"), F.col("cidx").alias("cidx"))
+            ).alias("_m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", F.col("_m.cidx").alias("cluster_id"), "embedding"),
+        eager=True,
+    )
     a = assign.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),

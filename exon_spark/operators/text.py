@@ -533,9 +533,10 @@ def chunk_documents(
     ``slice``+``array_join`` over the materialized array. No shuffle; the
     row blowup is corpus_tokens/step, the intended output size.
     """
-    if overlap >= chunk_tokens:
+    if not 0 <= overlap < chunk_tokens:
         raise ValueError(
-            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+            f"overlap ({overlap}) must be in [0, chunk_tokens={chunk_tokens})"
+            " — a negative overlap would silently skip tokens between chunks"
         )
     step = chunk_tokens - overlap
     toked = df.select(

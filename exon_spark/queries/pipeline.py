@@ -265,10 +265,11 @@ select q_id, vec_id, cell, score, rnk from ranked where rnk <= 5
 def _q28_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # plant deterministic duplicates (every 10th vector re-appears under
-    # id+10000) — random embeddings have no natural near-dups, and a dedup
+    # id+1e9, collision-proof at any realistic sf) — random embeddings have
+    # no natural near-dups, and a dedup
     # query that returns nothing verifies nothing
     planted = em.filter((F.col("vec_id") % 10) == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
     )
     return embedding_cosine_dups(em.unionAll(planted), threshold=0.95)
 
@@ -306,7 +307,7 @@ def _q28_oracle() -> str:
 with base as (
   select vec_id, embedding from embeddings
   union all
-  select vec_id + 10000 as vec_id, embedding from embeddings where vec_id % 10 = 0
+  select vec_id + 1000000000 as vec_id, embedding from embeddings where vec_id % 10 = 0
 ),
 bk as (select vec_id, embedding,
   {band_cols}
@@ -1087,7 +1088,7 @@ def _q47_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = em.filter((F.col("vec_id") % 10) == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
     )
     return semantic_dedup(em.unionAll(planted), n_clusters=16, threshold=0.95)
 
@@ -1099,7 +1100,7 @@ def _q47_oracle() -> str:
 with d as (
   select vec_id, embedding from embeddings
   union all
-  select vec_id + 10000 as vec_id, embedding from embeddings where vec_id % 10 = 0
+  select vec_id + 1000000000 as vec_id, embedding from embeddings where vec_id % 10 = 0
 ),
 h as (
   select vec_id, embedding,

@@ -201,7 +201,7 @@ def test_stateless_curation_operators_run_on_streams(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(120), f"{name}: stream did not finish"
         got = sorted(map(tuple, spark.sql(f"select * from cur_{name}").collect()))
         exp = sorted(map(tuple, op(batch_df).collect()))
         assert got == exp, name
