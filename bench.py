@@ -77,6 +77,7 @@ HEADLINE = [
     "q48_containment_pairs",
     "q49_tfidf_keywords",
     "q50_chunk_documents",
+    "q51_redact_pii",
 ]
 
 

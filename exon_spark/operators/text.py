@@ -564,3 +564,39 @@ def chunk_documents(
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+PII_REDACTION_TAGS = {
+    "n_emails": "<EMAIL>",
+    "n_phones": "<PHONE>",
+    "n_ssns": "<SSN>",
+    "n_ips": "<IP>",
+}
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction: replace every email / phone / SSN-shaped / IPv4
+    match with a typed placeholder tag — the release-time counterpart of
+    ``pii_stats`` (counting finds the documents; redaction makes them
+    shippable). Patterns are applied in ``PII_PATTERNS`` order, so an
+    SSN-shaped string inside a longer phone-like match is consumed by the
+    earlier pattern, deterministically.
+
+    Output: (doc_id, text, n_redactions). Scale: a chain of
+    ``regexp_replace`` Column expressions plus one ``regexp_count`` sum —
+    zero shuffle, whole-stage codegen, embarrassingly parallel. The
+    regexes are the RE2/Java-compatible subset shared with the DuckDB
+    oracle (no backrefs, no lookaround).
+    """
+    out = F.col(text_col)
+    n = F.lit(0)
+    for name, pattern in PII_PATTERNS.items():
+        n = n + F.regexp_count(out, F.lit(pattern))
+        out = F.regexp_replace(out, pattern, PII_REDACTION_TAGS[name])
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        out.alias("text"),
+        n.cast("int").alias("n_redactions"),
+    )

@@ -1022,6 +1022,61 @@ where greatest(round(cast(n_common as double) / x.n_sh, 6),
 """
 
 
+def _q51_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import redact_pii
+
+    # plant deterministic PII so the redaction actually fires (mirrors
+    # q35's planted-signal convention)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(
+                F.col("text"), F.lit(" contact bob@example.com or 555-123-4567")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 7,
+            F.concat(F.col("text"), F.lit(" from 10.0.0.1 ssn 123-45-6789")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(d)
+
+
+def _q51_oracle() -> str:
+    from exon_spark.operators.text import PII_PATTERNS, PII_REDACTION_TAGS
+
+    text_expr = "text"
+    n_terms = []
+    for name, pat in PII_PATTERNS.items():
+        # DuckDB single-quoted literals take backslashes verbatim — the
+        # raw Java-regex pattern IS the DuckDB RE2 pattern (shared subset)
+        sql_pat = pat.replace("'", "''")
+        n_terms.append(
+            f"len(regexp_extract_all({text_expr}, '{sql_pat}'))"
+        )
+        text_expr = (
+            f"regexp_replace({text_expr}, '{sql_pat}', "
+            f"'{PII_REDACTION_TAGS[name]}', 'g')"
+        )
+    return f"""
+with planted as (
+  select doc_id,
+         case when doc_id % 11 = 3
+                then text || ' contact bob@example.com or 555-123-4567'
+              when doc_id % 11 = 7
+                then text || ' from 10.0.0.1 ssn 123-45-6789'
+              else text end as text
+  from documents
+)
+select doc_id, {text_expr} as text,
+       cast({' + '.join(n_terms)} as int) as n_redactions
+from planted
+"""
+
+
 def _q50_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_spark.operators import chunk_documents
 
@@ -1160,4 +1215,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q48_containment_pairs", _q48_spark, Q48_ORACLE, "shingle containment (quote/partial-copy detection)"),
     QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),
     QuerySpec("q50_chunk_documents", _q50_spark, Q50_ORACLE, "overlapping token-window chunking (RAG/embedding prep)"),
+    QuerySpec("q51_redact_pii", _q51_spark, _q51_oracle(), "typed-placeholder PII redaction"),
 ]

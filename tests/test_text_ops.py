@@ -405,3 +405,19 @@ def test_chunk_documents_windows_and_edges(spark):
     assert out[3][0].chunk_text == "Case KEPT"
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from exon_spark.operators import redact_pii
+
+    rows = [
+        (1, "mail a@b.co and c@d.io, call 555-123-4567"),
+        (2, "ssn 123-45-6789 at 10.0.0.1"),
+        (3, "clean text"),
+    ]
+    out = {r.doc_id: r for r in redact_pii(_docs(spark, rows)).collect()}
+    assert out[1].text == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    assert out[1].n_redactions == 3
+    assert out[2].text == "ssn <SSN> at <IP>"
+    assert out[2].n_redactions == 2
+    assert out[3].text == "clean text" and out[3].n_redactions == 0
