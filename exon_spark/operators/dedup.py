@@ -70,21 +70,6 @@ def tokens(text: Column | str, lowercase: bool = True) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def word_shingles(text: Column | str, n: int = 5) -> Column:
-    """Distinct word n-gram shingles as an array column. Docs shorter than
-    n tokens yield an empty array (guard: Spark's sequence(1, 0) counts
-    DOWN, unlike DuckDB's empty range)."""
-    toks = tokens(text)
-    return F.when(F.size(toks) >= n, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )).otherwise(F.array().cast("array<string>"))
-
-
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via 128-bit digest groupBy: one row per distinct text with
     the surviving (minimum) id and the duplicate count."""
@@ -687,8 +672,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 def word_ngrams(toks: Column, n: int) -> Column:
     """Positional (non-distinct) word n-grams from a token array —
     repetition/coverage metrics need every occurrence with its position,
-    unlike ``word_shingles``. Docs shorter than n tokens yield an empty
-    array (same Spark sequence(1, 0) counts-DOWN guard as word_shingles)."""
+    unlike the distinct sets of ``shingled_docs``. Docs shorter than n
+    tokens yield an empty array (Spark's sequence(1, 0) counts DOWN,
+    unlike DuckDB's empty range — hence the size guard)."""
     if n == 1:
         return toks
     return F.when(

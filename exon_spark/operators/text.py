@@ -34,9 +34,18 @@ def text_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document quality stats: token counts (whitespace + BPE-ish),
-    average token length, punctuation ratio, stopword ratio."""
-    t = F.col(text_col)
-    toks = tokens(text_col, lowercase=True)
+    average token length, punctuation ratio, stopword ratio.
+
+    The token array is pinned behind the ``explode(array())`` Generate
+    barrier: five consumers (three size denominators, the length fold,
+    the stopword filter) would otherwise each inline the regex split."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(F.array(tokens(text_col, lowercase=True))).alias("_toks"),
+    )
+    t = F.col("_t")
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     tok_len_sum = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
@@ -46,8 +55,8 @@ def text_stats(
     bpe_tokens = F.size(
         F.regexp_extract_all(t, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0)
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_tok.cast("int").alias("n_tokens"),
         bpe_tokens.cast("int").alias("n_bpe_tokens"),
         F.round(tok_len_sum.cast("double") / n_tok, 6).alias("avg_token_len"),
@@ -62,10 +71,28 @@ def text_stats(
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language ID: per-language marker counts, argmax with the
-    fixed precedence en > es > de > fr > zh."""
-    toks = tokens(text_col, lowercase=True)
-    scores = {lang: _count_in(toks, LANG_MARKERS[lang]) for lang in _LANG_ORDER}
-    guess = None
+    fixed precedence en > es > de > fr > zh.
+
+    Two projection levels: the marker counts are computed once over the
+    barrier-pinned token array, and the argmax reads the count COLUMNS —
+    inlined, each of the ~20 argmax comparisons re-ran its filter over a
+    re-split token array (measured 0.61s -> 0.51s at sf0.1 — the scan
+    dominates at bench scale; the arithmetic win grows with marker-set
+    and language count)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens(text_col, lowercase=True))).alias("_toks"),
+    )
+    scored = base.select(
+        "doc_id",
+        *[
+            _count_in(F.col("_toks"), LANG_MARKERS[lang])
+            .cast("int")
+            .alias(f"s_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    scores = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
     # argmax with precedence: lang wins iff its score >= every later lang's
     # score and > every earlier lang's score (strictly handled by ordering)
     expr = F.lit(_LANG_ORDER[-1])
@@ -77,11 +104,10 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    guess = expr
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        *[scores[lang].cast("int").alias(f"s_{lang}") for lang in _LANG_ORDER],
-        guess.alias("lang_guess"),
+    return scored.select(
+        "doc_id",
+        *[F.col(f"s_{lang}") for lang in _LANG_ORDER],
+        expr.alias("lang_guess"),
     )
 
 
