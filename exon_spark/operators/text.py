@@ -600,9 +600,7 @@ PII_REDACTION_TAGS = {
 }
 
 
-def redact_pii(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction: replace every email / phone / SSN-shaped / IPv4
     match with a typed placeholder tag — the release-time counterpart of
     ``pii_stats`` (counting finds the documents; redaction makes them
@@ -610,7 +608,9 @@ def redact_pii(
     SSN-shaped string inside a longer phone-like match is consumed by the
     earlier pattern, deterministically.
 
-    Output: (doc_id, text, n_redactions). Scale: a chain of
+    Output: the input columns with ``text_col`` replaced by its redacted
+    form, plus ``n_redactions`` — pass-through so the operator drops into
+    a pipeline without re-joining metadata columns. Scale: a chain of
     ``regexp_replace`` Column expressions plus one ``regexp_count`` sum —
     zero shuffle, whole-stage codegen, embarrassingly parallel. The
     regexes are the RE2/Java-compatible subset shared with the DuckDB
@@ -621,8 +621,7 @@ def redact_pii(
     for name, pattern in PII_PATTERNS.items():
         n = n + F.regexp_count(out, F.lit(pattern))
         out = F.regexp_replace(out, pattern, PII_REDACTION_TAGS[name])
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        out.alias("text"),
-        n.cast("int").alias("n_redactions"),
-    )
+    cols = [
+        out.alias(text_col) if c == text_col else F.col(c) for c in df.columns
+    ]
+    return df.select(*cols, n.cast("int").alias("n_redactions"))
