@@ -78,6 +78,7 @@ HEADLINE = [
     "q49_tfidf_keywords",
     "q50_chunk_documents",
     "q51_redact_pii",
+    "q52_ppl_buckets",
 ]
 
 

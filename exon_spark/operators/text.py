@@ -625,3 +625,44 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         out.alias(text_col) if c == text_col else F.col(c) for c in df.columns
     ]
     return df.select(*cols, n.cast("int").alias("n_redactions"))
+
+
+def ppl_buckets(
+    df: DataFrame,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    document by its LM quality score WITHIN its language (or any stratum)
+    and label head / middle / tail tertiles. CCNet trains on head+middle
+    and drops the tail; ranking per-stratum is what makes the signal
+    comparable across languages with different base perplexities. The LM
+    here is the corpus-trained unigram model of ``unigram_logppl`` —
+    swap ``token_col``-style inputs for a real LM score at will, the
+    bucketing is score-agnostic.
+
+    Output: (doc_id, <by>, n_tokens, logppl, ppl_bucket) with bucket
+    boundaries at percent_rank 1/3 and 2/3, ties broken by doc_id so
+    the labels are deterministic on any engine.
+
+    Scale: unigram_logppl's joins (vocab is Zipf-bounded) plus one
+    ranking window per stratum — same per-group sort caveat as
+    token_budget_cap: strata are languages (dozens), each group's rank is
+    a single sort-and-stream pass, spill-safe; for a stratum too large to
+    sort, sample the logppl CDF and assign buckets by broadcast
+    thresholds (the approximate variant CCNet itself uses).
+    """
+    from pyspark.sql import Window
+
+    ppl = unigram_logppl(df, id_col=id_col, text_col=text_col)
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(by)).join(ppl, "doc_id")
+    pr = F.percent_rank().over(
+        Window.partitionBy(by).orderBy("logppl", "doc_id")
+    )
+    bucket = (
+        F.when(pr < 1.0 / 3, "head")
+        .when(pr < 2.0 / 3, "middle")
+        .otherwise("tail")
+    )
+    return d.select("doc_id", by, "n_tokens", "logppl", bucket.alias("ppl_bucket"))

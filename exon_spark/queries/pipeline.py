@@ -1022,6 +1022,43 @@ where greatest(round(cast(n_common as double) / x.n_sh, 6),
 """
 
 
+def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exon_spark.operators import ppl_buckets
+
+    return ppl_buckets(table(spark, sf_dir, "documents"), by="lang")
+
+
+Q52_ORACLE = """
+with tok as (
+  select doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+  from documents
+),
+vocab as (select tok, count(*) as tok_n from tok group by tok),
+total as (select sum(tok_n) as corpus_tokens from vocab),
+scored as (
+  select doc_id, round(-ln(tok_n / corpus_tokens), 6) as nll
+  from tok join vocab using (tok) cross join total
+),
+ppl as (
+  select doc_id, cast(count(*) as int) as n_tokens,
+         round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
+           as logppl
+  from scored group by doc_id
+),
+ranked as (
+  select d.doc_id, d.lang, p.n_tokens, p.logppl,
+         percent_rank() over (partition by d.lang
+                              order by p.logppl, d.doc_id) as pr
+  from documents d join ppl p using (doc_id)
+)
+select doc_id, lang, n_tokens, logppl,
+       case when pr < 1.0/3 then 'head'
+            when pr < 2.0/3 then 'middle'
+            else 'tail' end as ppl_bucket
+from ranked
+"""
+
+
 def _q51_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_spark.operators import redact_pii
 
@@ -1216,4 +1253,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),
     QuerySpec("q50_chunk_documents", _q50_spark, Q50_ORACLE, "overlapping token-window chunking (RAG/embedding prep)"),
     QuerySpec("q51_redact_pii", _q51_spark, _q51_oracle(), "typed-placeholder PII redaction"),
+    QuerySpec("q52_ppl_buckets", _q52_spark, Q52_ORACLE, "CCNet-style per-language perplexity tertiles"),
 ]

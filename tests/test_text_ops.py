@@ -421,3 +421,30 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[2].text == "ssn <SSN> at <IP>"
     assert out[2].n_redactions == 2
     assert out[3].text == "clean text" and out[3].n_redactions == 0
+
+
+def test_ppl_buckets_tertiles_per_stratum(spark):
+    from exon_spark.operators import ppl_buckets
+
+    # 6 docs per lang with increasing rarity (unique tokens raise logppl);
+    # 'common' appears everywhere so all docs share some probability mass
+    rows = []
+    for li, lang in enumerate(("en", "de")):
+        for i in range(6):
+            uniq = " ".join(f"{lang}rare{i}x{j}" for j in range(i))
+            rows.append((li * 10 + i, ("common " * 3 + uniq).strip(), lang))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = ppl_buckets(df, by="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert len(rs) == 6
+        # tertiles: 2 head, 2 middle, 2 tail per 6-doc stratum
+        from collections import Counter
+
+        c = Counter(r.ppl_bucket for r in rs)
+        assert c == {"head": 2, "middle": 2, "tail": 2}, (lang, c)
+        # head docs have the lowest logppl within the stratum
+        srt = sorted(rs, key=lambda r: (r.logppl, r.doc_id))
+        assert [r.ppl_bucket for r in srt] == ["head"] * 2 + ["middle"] * 2 + ["tail"] * 2
