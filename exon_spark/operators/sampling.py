@@ -182,6 +182,8 @@ def pack_sequences(
         if token_col is None
         else F.col(token_col)
     ).cast("int")
+    if bucket_rows < 1:
+        raise ValueError(f"bucket_rows must be >= 1, got {bucket_rows}")
     id_dtype = dict(df.dtypes).get(id_col)
     if id_dtype not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
@@ -249,12 +251,20 @@ def epoch_mix(
     expectation with zero RNG: re-running on any partitioning, engine or
     day yields the identical multiset. Output one row per (doc, copy_n).
 
+    Semantics to know: a source absent from ``target_weights`` gets
+    weight 0 and is dropped entirely; a weights key matching NO source
+    leaves that share of the budget unspent (the realized total comes in
+    low) — validate the recipe against ``df.select(by).distinct()``
+    upstream if either case should be an error.
+
     Scale: per-source token totals are one map-side-combined agg producing
     |sources| rows, broadcast back as a literal-free join (no driver
     collect); the copy fan-out is a map-side ``explode(sequence(...))``
     whose width is the repeat factor — bounded by the mix recipe, not the
     corpus. No shuffle touches full-width rows.
     """
+    if total_tokens < 1:
+        raise ValueError(f"total_tokens must be >= 1, got {total_tokens}")
     ntok = (
         F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         if token_col is None
