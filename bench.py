@@ -49,9 +49,7 @@ HEADLINE = [
     "q20_dedup_simhash",
     "q21_similarity_cosine_topk",
     "q22_similarity_ann_lsh",
-    "q23_text_stats",
-    "q24_text_langid",
-    "q25_text_fingerprint",
+    "q23_text_profile",
     "q26_multimodal_decode",
     "q27_similarity_ann_ivf",
     "q28_dedup_embedding_cosine",
@@ -135,7 +133,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 # noop sink, NOT .count(): Catalyst prunes computed
                 # columns a count never reads, so .count() on the pure
-                # per-row-projection queries (q23-q25, q35, q36, ...)
+                # per-row-projection queries (q23, q35, q36, ...)
                 # times a bare parquet scan instead of the operator
                 # (measured: quality_signals "0.5s" at 500k docs via
                 # count vs real work via noop). The noop write executes

@@ -18,8 +18,8 @@ bounds executor memory for large blobs.
 
 Worker-serialization note: the decode helpers are (re)defined inside each
 operator's batch function so cloudpickle ships them BY VALUE — executor
-Python workers do not share the driver's sys.path (see
-.claude/skills/verify gotchas).
+Python workers do not share the driver's sys.path, so module-level helper
+references would fail to unpickle on a real cluster.
 """
 
 from __future__ import annotations

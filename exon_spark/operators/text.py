@@ -30,6 +30,57 @@ def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def _stats_cols(t: Column, toks: Column) -> list[Column]:
+    """The five text_stats output columns over a barrier-pinned token
+    array (shared by text_stats and the fused text_profile)."""
+    n_tok = F.size(toks)
+    tok_len_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    n_chars = F.length(t)
+    n_nonpunct = F.length(F.regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    bpe_tokens = F.size(
+        F.regexp_extract_all(t, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0)
+    )
+    return [
+        n_tok.cast("int").alias("n_tokens"),
+        bpe_tokens.cast("int").alias("n_bpe_tokens"),
+        F.round(tok_len_sum.cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round((n_chars - n_nonpunct).cast("double") / n_chars, 6).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            _count_in(toks, STOPWORDS_EN).cast("double") / n_tok, 6
+        ).alias("stopword_ratio"),
+    ]
+
+
+def _lang_score_cols(toks: Column) -> list[Column]:
+    return [
+        _count_in(toks, LANG_MARKERS[lang]).cast("int").alias(f"s_{lang}")
+        for lang in _LANG_ORDER
+    ]
+
+
+def _lang_guess_expr() -> Column:
+    """Precedence argmax over the s_<lang> COLUMNS of a prior projection
+    level — inlined, each of the ~20 comparisons re-ran its marker filter
+    over a re-split token array (measured 0.61s -> 0.51s at sf0.1)."""
+    scores = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
+    # argmax with precedence: lang wins iff its score >= every later lang's
+    # score and > every earlier lang's score (strictly handled by ordering)
+    expr = F.lit(_LANG_ORDER[-1])
+    for lang in reversed(_LANG_ORDER[:-1]):
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr.alias("lang_guess")
+
+
 def text_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -44,29 +95,7 @@ def text_stats(
         F.col(text_col).alias("_t"),
         F.explode(F.array(tokens(text_col, lowercase=True))).alias("_toks"),
     )
-    t = F.col("_t")
-    toks = F.col("_toks")
-    n_tok = F.size(toks)
-    tok_len_sum = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
-    )
-    n_chars = F.length(t)
-    n_nonpunct = F.length(F.regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
-    bpe_tokens = F.size(
-        F.regexp_extract_all(t, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0)
-    )
-    return base.select(
-        "doc_id",
-        n_tok.cast("int").alias("n_tokens"),
-        bpe_tokens.cast("int").alias("n_bpe_tokens"),
-        F.round(tok_len_sum.cast("double") / n_tok, 6).alias("avg_token_len"),
-        F.round((n_chars - n_nonpunct).cast("double") / n_chars, 6).alias(
-            "punct_ratio"
-        ),
-        F.round(
-            _count_in(toks, STOPWORDS_EN).cast("double") / n_tok, 6
-        ).alias("stopword_ratio"),
-    )
+    return base.select("doc_id", *_stats_cols(F.col("_t"), F.col("_toks")))
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -74,40 +103,17 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     fixed precedence en > es > de > fr > zh.
 
     Two projection levels: the marker counts are computed once over the
-    barrier-pinned token array, and the argmax reads the count COLUMNS —
-    inlined, each of the ~20 argmax comparisons re-ran its filter over a
-    re-split token array (measured 0.61s -> 0.51s at sf0.1 — the scan
-    dominates at bench scale; the arithmetic win grows with marker-set
-    and language count)."""
+    barrier-pinned token array, and the argmax reads the count COLUMNS
+    (see _lang_guess_expr)."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(tokens(text_col, lowercase=True))).alias("_toks"),
     )
-    scored = base.select(
-        "doc_id",
-        *[
-            _count_in(F.col("_toks"), LANG_MARKERS[lang])
-            .cast("int")
-            .alias(f"s_{lang}")
-            for lang in _LANG_ORDER
-        ],
-    )
-    scores = {lang: F.col(f"s_{lang}") for lang in _LANG_ORDER}
-    # argmax with precedence: lang wins iff its score >= every later lang's
-    # score and > every earlier lang's score (strictly handled by ordering)
-    expr = F.lit(_LANG_ORDER[-1])
-    for lang in reversed(_LANG_ORDER[:-1]):
-        cond = None
-        for other in _LANG_ORDER:
-            if other == lang:
-                continue
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else (cond & c)
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    scored = base.select("doc_id", *_lang_score_cols(F.col("_toks")))
     return scored.select(
         "doc_id",
         *[F.col(f"s_{lang}") for lang in _LANG_ORDER],
-        expr.alias("lang_guess"),
+        _lang_guess_expr(),
     )
 
 
@@ -124,26 +130,81 @@ def fingerprint(
     per-window md5 of ``h32`` — the portable-hash contract with the
     DuckDB oracle; a Rabin-Karp rolling hash would be ~10x cheaper but
     engine-specific.)"""
-    norm = F.trim(
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(_norm_expr(text_col))).alias("norm"),
+    )
+    return d.select("doc_id", *_fp_cols(F.col("norm"), window))
+
+
+def _norm_expr(text_col: str) -> Column:
+    return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
             " +",
             " ",
         )
     )
-    d = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array(norm)).alias("norm")
-    )
+
+
+def _fp_cols(norm: Column, window: int) -> list[Column]:
     wins = F.transform(
         F.sequence(
-            F.lit(1), F.greatest(F.length("norm") - (window - 1), F.lit(1))
+            F.lit(1), F.greatest(F.length(norm) - (window - 1), F.lit(1))
         ),
-        lambda i: F.substring(F.col("norm"), i, window),
+        lambda i: F.substring(norm, i, window),
     )
-    return d.select(
-        "doc_id",
-        F.md5("norm").alias("fingerprint"),
+    return [
+        F.md5(norm).alias("fingerprint"),
         F.array_min(F.transform(wins, lambda w: h32(w))).alias("min_window_hash"),
+    ]
+
+
+def text_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Fused text_stats + lang_id + fingerprint: all 13 profile columns in
+    ONE scan of the corpus — zero shuffle, a single Generate barrier
+    pinning both derived strings (token array + normalized text) inside
+    one struct, and the same two-level projection lang_id uses so the
+    argmax reads score columns instead of re-inlining marker filters.
+
+    This is the shape a 100 TB profiling pass wants: the three standalone
+    operators each re-scan the table; chained per-document maps should
+    share the scan. Output = text_stats ∥ lang_id ∥ fingerprint columns,
+    joined-on-doc_id-equivalent but with no join."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.array(
+                F.struct(
+                    tokens(text_col, lowercase=True).alias("toks"),
+                    _norm_expr(text_col).alias("norm"),
+                )
+            )
+        ).alias("_p"),
+    )
+    level1 = base.select(
+        "doc_id",
+        *_stats_cols(F.col("_t"), F.col("_p.toks")),
+        *_lang_score_cols(F.col("_p.toks")),
+        *_fp_cols(F.col("_p.norm"), window),
+    )
+    return level1.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        *[f"s_{lang}" for lang in _LANG_ORDER],
+        _lang_guess_expr(),
+        "fingerprint",
+        "min_window_hash",
     )
 
 

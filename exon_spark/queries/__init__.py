@@ -18,16 +18,21 @@ def _collect() -> dict[str, QuerySpec]:
         specs += DOMAIN_QUERIES
     except ImportError:
         pass
-    try:
-        from exon_spark.queries.pipeline import PIPELINE_QUERIES
-
-        specs += PIPELINE_QUERIES
-    except ImportError:
-        pass
+    # Streaming specs register BEFORE the long pipeline tail: the driver's
+    # correctness artifact windows the FIRST 50 registry entries, and in r5
+    # the streaming queries (then appended last) silently fell out of the
+    # gate when the registry grew past 50. Registry size is also pinned at
+    # <= 50 by tests/test_queries.py so every operator stays gated.
     try:
         from exon_spark.queries.streaming_q import STREAMING_QUERIES
 
         specs += STREAMING_QUERIES
+    except ImportError:
+        pass
+    try:
+        from exon_spark.queries.pipeline import PIPELINE_QUERIES
+
+        specs += PIPELINE_QUERIES
     except ImportError:
         pass
     out: dict[str, QuerySpec] = {}

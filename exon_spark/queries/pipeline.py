@@ -32,6 +32,7 @@ from exon_spark.operators import (
     quality_signals,
     simhash,
     simhash_pairs,
+    text_profile,
     text_stats,
     with_media_payload,
 )
@@ -423,7 +424,7 @@ from planted
 # ---------------------------------------------------------------- text layer
 
 def _q23_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_stats(table(spark, sf_dir, "documents"))
+    return text_profile(table(spark, sf_dir, "documents"))
 
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -442,10 +443,6 @@ select doc_id,
        round(cast(len(list_filter(toks, t -> t in ({_SW}))) as double) / len(toks), 6) as stopword_ratio
 from d
 """
-
-
-def _q24_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(table(spark, sf_dir, "documents"))
 
 
 def _lang_oracle() -> str:
@@ -472,10 +469,6 @@ select doc_id, s_en, s_es, s_de, s_fr, s_zh, {guess} as lang_guess from s
 """
 
 
-def _q25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprint(table(spark, sf_dir, "documents"))
-
-
 Q25_ORACLE = """
 with d as (
   select doc_id,
@@ -487,6 +480,21 @@ select doc_id, md5(norm) as fingerprint,
        list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
                 i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::bigint)) as min_window_hash
 from d
+"""
+
+
+def _q23_profile_oracle() -> str:
+    """q23 fuses text_stats + lang_id + fingerprint into one scan; the
+    oracle composes the three per-operator oracles with 1:1 doc_id joins
+    (DuckDB side only — the Spark plan has no join)."""
+    return f"""
+with stats as ({Q23_ORACLE}),
+     lang as ({_lang_oracle()}),
+     fp as ({Q25_ORACLE})
+select stats.doc_id, n_tokens, n_bpe_tokens, avg_token_len, punct_ratio,
+       stopword_ratio, s_en, s_es, s_de, s_fr, s_zh, lang_guess,
+       fingerprint, min_window_hash
+from stats join lang using (doc_id) join fp using (doc_id)
 """
 
 
@@ -1228,9 +1236,15 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q20_dedup_simhash", _q20_spark, Q20_ORACLE, "SimHash banding near-dup"),
     QuerySpec("q21_similarity_cosine_topk", _q21_spark, Q21_ORACLE, "brute-force cosine top-k"),
     QuerySpec("q22_similarity_ann_lsh", _q22_spark, _q22_oracle(), "LSH-bucketed ANN similarity join"),
-    QuerySpec("q23_text_stats", _q23_spark, Q23_ORACLE, "token/quality statistics"),
-    QuerySpec("q24_text_langid", _q24_spark, _lang_oracle(), "marker-word language ID"),
-    QuerySpec("q25_text_fingerprint", _q25_spark, Q25_ORACLE, "md5 + winnowing fingerprints"),
+    # q23 gates three operators in one fused scan (text_stats, lang_id,
+    # fingerprint) — merged in r6 so the 52-op registry fits the driver's
+    # 50-entry correctness window with every operator still oracle-gated.
+    QuerySpec(
+        "q23_text_profile",
+        _q23_spark,
+        _q23_profile_oracle(),
+        "fused token/quality stats + language ID + fingerprints (one scan)",
+    ),
     QuerySpec("q26_multimodal_decode", _q26_spark, Q26_ORACLE, "binary payload + mapInPandas decode stub"),
     QuerySpec("q27_similarity_ann_ivf", _q27_spark, _q27_oracle(), "IVF-cell ANN top-k"),
     QuerySpec("q28_dedup_embedding_cosine", _q28_spark, _q28_oracle(), "embedding-cosine near-dup"),
