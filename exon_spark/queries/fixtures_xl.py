@@ -225,7 +225,8 @@ def gen_vcf_xl(
     workers: int | None = None,
     seed: int = 42,
 ) -> str:
-    """Generate variants.vcf.gz (+.tbi) of ~target_bytes compressed."""
+    """Generate variants.vcf.bgz (+.tbi) of ~target_bytes compressed
+    (.bgz so the splittable JVM BGZF codec claims it — exon_spark.jvm)."""
     import numpy as np
 
     names = [c for c, _ in CHROMS]
@@ -267,7 +268,7 @@ def gen_vcf_xl(
     ).encode()
     hdr_stream, _ = _compress_blocks(header)
 
-    out_path = os.path.join(root, "variants.vcf.gz")
+    out_path = os.path.join(root, "variants.vcf.bgz")
     with open(out_path, "wb") as out:
         out.write(hdr_stream)
         for i in range(workers):

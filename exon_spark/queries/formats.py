@@ -159,7 +159,7 @@ def _gen_vcf(root: str, n: int, rng: random.Random) -> str:
                 f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t{rng.randint(10, 99)}\tPASS"
                 f"\tDP={rng.randint(1, 200)}\n"
             )
-    gz = plain + ".gz"
+    gz = plain + ".bgz"
     bgzip_file(plain, gz)
     os.remove(plain)
     build_tabix_vcf(gz)
@@ -244,6 +244,18 @@ _VCF_TARGET_BYTES = 2_700_000_000
 _BAM_TARGET_BYTES = 307_500_000
 
 
+def _migrate_vcf_suffix(root: str) -> None:
+    """r6 renamed the bgzf VCF fixture .gz -> .bgz (so the splittable JVM
+    BGZF codec claims it by suffix); rename a pre-r6 cache in place instead
+    of regenerating the multi-GB fixture."""
+    old = os.path.join(root, "variants.vcf.gz")
+    new = os.path.join(root, "variants.vcf.bgz")
+    if os.path.exists(old) and not os.path.exists(new):
+        os.rename(old, new)
+        if os.path.exists(old + ".tbi"):
+            os.rename(old + ".tbi", new + ".tbi")
+
+
 def ensure_format_fixtures(sf_dir: str) -> str:
     """Generate (once per fixture version) and return the fixture directory
     for this sf."""
@@ -254,6 +266,7 @@ def ensure_format_fixtures(sf_dir: str) -> str:
     if os.path.exists(done):
         with open(done) as fh:
             if fh.read().strip() == _FIXTURE_VERSION:
+                _migrate_vcf_suffix(root)
                 return root
         import shutil
 
@@ -339,7 +352,7 @@ def vcf_region_chr1(spark: SparkSession, fx: str) -> DataFrame:
     (`SELECT chrom, pos, ... id ...`, exon-benchmarks/src/main.rs:153);
     the `columns` option is our FileScanConfig-projection analogue."""
     return _read(
-        spark, "vcf", os.path.join(fx, "variants.vcf.gz"), regions="chr1",
+        spark, "vcf", os.path.join(fx, "variants.vcf.bgz"), regions="chr1",
         columns="chrom,pos,id",
     )
 
@@ -348,7 +361,7 @@ def vcf_region_chr17(spark: SparkSession, fx: str) -> DataFrame:
     """BASELINE 'VCF region query chr17' — small region, index effectiveness.
     Same (chrom, pos, id) projection as the reference's query."""
     return _read(
-        spark, "vcf", os.path.join(fx, "variants.vcf.gz"),
+        spark, "vcf", os.path.join(fx, "variants.vcf.bgz"),
         regions="chr17:1-2000000", columns="chrom,pos,id",
     )
 

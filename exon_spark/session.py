@@ -175,6 +175,26 @@ def get_spark(
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Splittable BGZF codec (.bgz): lets the JVM text/csv readers byte-range
+    # split bgzipped files — the fast path for whole-chromosome VCF region
+    # scans (jvm_fast.read_vcf_region_jvm). extraClassPath must be set
+    # before the JVM launches; spark.jars covers real-cluster executors.
+    from exon_spark.jvm import (
+        BGZF_CODEC_CLASS,
+        EXONCAT_FS_CLASS,
+        ensure_bgzf_jar,
+    )
+
+    codec_jar = ensure_bgzf_jar()
+    if codec_jar:
+        b = (
+            b.config("spark.jars", codec_jar)
+            .config("spark.driver.extraClassPath", codec_jar)
+            .config("spark.executor.extraClassPath", codec_jar)
+            .config("spark.hadoop.io.compression.codecs", BGZF_CODEC_CLASS)
+            # virtual concatenated-range views (index-pruned region scans)
+            .config("spark.hadoop.fs.exoncat.impl", EXONCAT_FS_CLASS)
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

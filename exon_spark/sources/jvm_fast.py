@@ -119,6 +119,191 @@ def read_vcf_jvm(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*cols)
 
 
+_VCF_BASE_COLS = (
+    "chrom", "pos", "id", "ref", "alt", "qual", "filter", "info", "formats",
+)
+
+
+def read_vcf_region_jvm(
+    spark: SparkSession, path: str, regions: str, columns=None
+) -> DataFrame:
+    """Region scan of a bgzipped VCF entirely JVM-side: the splittable BGZF
+    codec (exon_spark.jvm, suffix .bgz) byte-range-splits the compressed
+    file across executors, a codegen'd ``startswith('<chrom>\\t')`` prefix
+    filter rejects non-region lines before any field split, and only the
+    fields the projection needs are split out (split-with-limit). No Python
+    worker touches the data path — this clears the ~1.8 us/row Arrow→row
+    ingest floor of the Python DataSource route (SCALE.md "Measured
+    floors"), which is the entire gap to the reference on whole-chromosome
+    scans (BASELINE vcf_region_chr1).
+
+    Used when index pruning would keep a large fraction of the file anyway
+    (routing in jvm_fast_reader); small regions stay on the tabix-pruned
+    Python path where pruning, not parse speed, dominates.
+
+    Row semantics match the Python DataSource exactly: same dot-null
+    handling, same region_match filter (1-based inclusive,
+    udfs/vcf/mod.rs:107-121)."""
+    from exon_spark.functions.region import (
+        expand_regions,
+        parse_region,
+        region_match,
+    )
+
+    region_list = expand_regions(regions)
+    names = sorted({parse_region(r)[0] for r in region_list})
+    if isinstance(columns, str):
+        want = [c.strip() for c in columns.split(",") if c.strip()]
+    else:
+        want = list(columns) if columns else list(_VCF_BASE_COLS)
+    idx = {c: i for i, c in enumerate(_VCF_BASE_COLS)}
+    needed = set(want) | {"chrom", "pos"}
+    max_i = max(idx[c] for c in needed)
+
+    # Index pruning: scan an exoncat:// view holding only the regions'
+    # BGZF blocks (driver-planned from the tabix index, boundary blocks
+    # re-cut at record offsets — bgzf_view.build_region_view). The filters
+    # below still run — chunk ranges are block-granular supersets.
+    scan_path = path
+    import os as _os
+
+    if _os.path.exists(path + ".tbi"):
+        try:
+            from exon_spark.sources.bgzf_view import build_region_view
+            from exon_spark.sources.indexes import read_tabix, tabix_chunks
+
+            index = read_tabix(path + ".tbi")
+            chunks: list[tuple[int, int]] = []
+            for region in region_list:
+                chunks.extend(tabix_chunks(index, region))
+            if chunks:
+                scan_path = build_region_view(path, chunks)
+        except Exception:
+            scan_path = path  # full-file codec scan; filters keep it exact
+
+    txt = spark.read.text(scan_path)
+    parts = _partition_cols(txt)
+    pre = None
+    for n in names:
+        c = F.col("value").startswith(n + "\t")
+        pre = c if pre is None else (pre | c)
+    rec = txt.filter(pre)
+
+    def dot_null(c):
+        return F.when(c.isin(".", ""), None).otherwise(c)
+
+    # Field extraction strategy (measured at 28M rows / 2.6 GB, floor =
+    # decompress+lines+prefix-filter 1.47 s): a split('\t')-array pinned
+    # behind a Generate barrier costs +1.7 s (array + line-remainder
+    # materialization); a locate()-chain with expression offsets costs
+    # +2.8 s (character-position scans are UTF-8-aware and re-run per
+    # consumer). Cheapest measured: double substring_index per field
+    # (+0.57 s for pos) — it scans only the leading bytes and stays inside
+    # whole-stage codegen. The barrier idiom is for *expensive* producers;
+    # these are not. Fall back to the barrier-pinned full split only when
+    # trailing fields (formats) are requested.
+    if "formats" not in needed and max_i <= 6:
+        def g(i: int):
+            # field i = last field of the first (i+1) fields
+            return F.substring_index(
+                F.substring_index(F.col("value"), "\t", i + 1), "\t", -1
+            )
+
+        # after the single-name prefix filter, chrom is a constant
+        chrom_expr = F.lit(names[0]) if len(names) == 1 else g(0)
+    else:
+        rec = rec.select(
+            F.explode(F.array(F.split(F.col("value"), "\t", -1))).alias("f"),
+            *parts,
+        )
+
+        def g(i: int):
+            return F.element_at(F.col("f"), i + 1)
+
+        chrom_expr = g(0)
+
+    arr = "array<string>"
+
+    def split_null(i: int, sep: str):
+        # '.'/'' -> null checked BEFORE the split, so the field expression
+        # is evaluated once on the hot path (codegen subexpression
+        # elimination does not reach into CASE branches — a
+        # when(split(dot_null(x))) spelling re-evaluates x per branch,
+        # measured +1 s on 28M rows)
+        return F.when(g(i).isin(".", ""), None).otherwise(
+            F.split(g(i), sep)
+        ).cast(arr)
+
+    builders = {
+        "chrom": lambda: chrom_expr,
+        "pos": lambda: g(1).try_cast("bigint"),
+        "id": lambda: split_null(2, ";"),
+        "ref": lambda: g(3),
+        "alt": lambda: split_null(4, ","),
+        "qual": lambda: dot_null(g(5)).try_cast("float"),
+        "filter": lambda: split_null(6, ";"),
+        "info": lambda: dot_null(g(7)),
+        "formats": lambda: F.nullif(
+            F.array_join(F.slice(F.col("f"), 10, 2147483647), "\t"), F.lit("")
+        ),
+    }
+    exprs = {c: builders[c]() for c in needed}
+    # the chrom prefix filter already holds; add pos bounds only for
+    # regions that actually have them (a whole-chromosome region scan
+    # never parses pos for its filter)
+    bounded = [r for r in region_list if parse_region(r)[1:] != (1, 2**63 - 1)]
+    if bounded or len(names) > 1:
+        pred = None
+        for r in region_list:
+            m = region_match(exprs["chrom"], exprs["pos"], r)
+            pred = m if pred is None else (pred | m)
+        rec = rec.filter(pred)
+    return rec.select(
+        *[exprs[c].alias(c) for c in want],
+        *[F.col(c).cast("string").alias(c) for c in parts],
+    )
+
+
+def _vcf_region_jvm_route(path: str, options: dict):
+    """Route a VCF region scan to the JVM codec path when (a) the file is a
+    local .bgz with a tabix index, (b) no Python-only parse option is set,
+    and (c) the region's index chunks cover a large fraction of the file —
+    where chunk pruning saves little and JVM parse throughput dominates."""
+    regions = options.get("regions") or options.get("region")
+    if not regions or not str(path).lower().endswith(".bgz"):
+        return None
+    for k in ("parse_info", "parse_formats", "sequence_data_type"):
+        if str(options.get(k, "")).strip() not in ("", "false"):
+            return None
+    from exon_spark.sources.fs import scheme_of
+
+    if scheme_of(path) is not None:
+        return None
+    import os
+
+    tbi = path + ".tbi"
+    if not os.path.exists(tbi):
+        return None
+    try:
+        from exon_spark.functions.region import expand_regions
+        from exon_spark.sources.indexes import read_tabix, tabix_chunks
+
+        index = read_tabix(tbi)
+        span = 0
+        for region in expand_regions(str(regions)):
+            for cb, ce in tabix_chunks(index, region):
+                span += (ce >> 16) - (cb >> 16)
+        size = os.path.getsize(path)
+    except Exception:
+        return None
+    if size <= 0 or span < 0.15 * size:
+        return None
+    cols = options.get("columns")
+    return lambda spark, p: read_vcf_region_jvm(
+        spark, p, regions=str(regions), columns=cols
+    )
+
+
 # mzML columns expressible without the base64/zlib binary decode
 _MZML_META_COLS = ("id", "precursor_mz", "precusor_charge")
 
@@ -163,6 +348,10 @@ def read_mzml_meta_jvm(spark: SparkSession, path: str, cols) -> DataFrame:
 def jvm_fast_reader(fmt: str, path: str, options: dict):
     """Return the JVM fast-path reader for fmt if the requested options are
     compatible with it, else None."""
+    if fmt == "vcf":
+        region_reader = _vcf_region_jvm_route(path, options)
+        if region_reader is not None:
+            return region_reader
     python_only = {"regions", "region", "sequence_data_type", "parse_info",
                    "parse_formats", "indexed", "file_extension"}
     if any(str(options.get(k, "")).strip() not in ("", "false")

@@ -32,7 +32,7 @@ def test_vcf_xl_tbi_matches_rebuilt_index(xl_dir):
         tabix_chunks,
     )
 
-    gz = os.path.join(xl_dir, "variants.vcf.gz")
+    gz = os.path.join(xl_dir, "variants.vcf.bgz")
     gz2 = os.path.join(xl_dir, "rebuilt.vcf.gz")
     shutil.copy(gz, gz2)
     build_tabix_vcf(gz2)
@@ -54,7 +54,7 @@ def test_vcf_xl_indexed_scan_counts(spark, xl_dir):
     from exon_spark.sources import read_format
 
     stats = json.load(open(os.path.join(xl_dir, "vcf_stats.json")))
-    gz = os.path.join(xl_dir, "variants.vcf.gz")
+    gz = os.path.join(xl_dir, "variants.vcf.bgz")
     assert read_format(spark, "vcf", gz).count() == stats["rows"]
     assert (
         read_format(spark, "vcf", gz, regions="chr1").count()

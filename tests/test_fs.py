@@ -167,7 +167,7 @@ def test_remote_vcf_region_scan(spark):
     from exon_spark.sources import read_format
 
     fx = ensure_format_fixtures("/root/testdata/sf0.01")
-    vcf = os.path.join(fx, "variants.vcf.gz")
+    vcf = os.path.join(fx, "variants.vcf.bgz")
     local = read_format(spark, "vcf", vcf, regions="chr17:1-2000000")
     remote = read_format(spark, "vcf", _mock(vcf), regions="chr17:1-2000000")
     assert remote.count() == local.count() > 0
