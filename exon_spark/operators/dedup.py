@@ -689,7 +689,12 @@ def word_ngrams(toks: Column, n: int) -> Column:
 
 
 def dup_ngram_coverage(
-    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Cross-document exact-substring duplication signal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for each
@@ -706,13 +711,23 @@ def dup_ngram_coverage(
     Scale: the inverted index shuffles (doc, pos, gram) by gram — one
     codegen'd agg for the distinct-doc count, one shuffle join back, and a
     distinct on (doc, pos) that only materializes DUPLICATED windows (8×
-    the dup-window rows, not the corpus). Grams are grouped by their text
-    for oracle-exactness; at 100 TB swap the join key to xxhash64(gram)
-    (8-byte shuffle, collisions only add a 2^-64 false-dup) and cap hot
-    grams the same way ngram_jaccard_pairs' max_shingle_df does.
+    the dup-window rows, not the corpus). Two 100 TB knobs, both default
+    off so the oracle-gated result stays exact:
+
+    - ``hashed=True`` shuffles/joins on ``xxhash64(gram)`` instead of the
+      gram text — an 8-byte fixed-width key instead of ~50 bytes of
+      string; a collision can only mark one extra window duplicated
+      (P ≈ 2^-64 per gram pair), it cannot drop coverage.
+    - ``max_gram_df`` drops grams whose document frequency exceeds the cap
+      (corpus-level stop-grams) before the join back, mirroring
+      ngram_jaccard_pairs' ``max_shingle_df``: one viral boilerplate gram
+      otherwise pins a single join task with df² rows. Capped grams no
+      longer count toward coverage — an explicit, bounded recall trade.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if max_gram_df is not None and max_gram_df < 2:
+        raise ValueError(f"max_gram_df must be >= 2, got {max_gram_df}")
     # token array pinned behind the explode(array()) Generate barrier:
     # word_ngrams does n element_at calls per window, and with the split()
     # inlined each one re-tokenizes the document (measured 131s vs 1.5s at
@@ -730,17 +745,23 @@ def dup_ngram_coverage(
     # agg and the join back); left lazy each recomputes the tokenize +
     # explode chain from the scan (measured 4.2s -> 2.3s at sf0.1
     # materialized)
+    gram_key = (
+        F.xxhash64("gram").alias("gram_k") if hashed else F.col("gram").alias("gram_k")
+    )
     g = _materialize(
-        d.select("doc_id", F.posexplode("grams").alias("pos", "gram")),
+        d.select("doc_id", F.posexplode("grams").alias("pos", "gram")).select(
+            "doc_id", "pos", gram_key
+        ),
         eager=True,
     )
     dup_grams = (
-        g.groupBy("gram")
+        g.groupBy("gram_k")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
     )
-    dup = g.join(dup_grams, "gram")
+    if max_gram_df is not None:
+        dup_grams = dup_grams.filter(F.col("nd") <= int(max_gram_df))
+    dup = g.join(dup_grams.select("gram_k"), "gram_k")
     cov = (
         dup.select(
             "doc_id",

@@ -109,10 +109,16 @@ def token_budget_cap(
     )
     if approximate:
         span = 1 << 32  # h32 is uniform in [0, 2^32) — same key the exact
-        # mode sorts by, so the kept set nests inside the exact prefix
+        # mode sorts by, so the kept set nests inside the exact prefix.
+        # integral arithmetic: budget * span overflows the double mantissa
+        # past ~2M tokens (and int64 past ~2^31 tokens) and would silently
+        # round the cutoff; decimal(38) holds the product exactly and
+        # `div` floors it back to bigint
         totals = d.groupBy(by).agg(F.sum("n_tokens").alias("_tot"))
         cutoff = F.when(F.col("_tot") <= budget_tokens, F.lit(span)).otherwise(
-            F.floor(F.lit(float(budget_tokens) * span) / F.col("_tot"))
+            F.expr(
+                f"CAST({int(budget_tokens)} AS DECIMAL(38,0)) * {span} div _tot"
+            )
         )
         return (
             d.join(F.broadcast(totals.withColumn("_cut", cutoff)), by)
@@ -199,7 +205,7 @@ def pack_sequences(
         # coalesce: a null id must survive the bucket equi-join (sentinel
         # first bucket), not vanish from the output
         F.coalesce(
-            F.expr(f"CAST({id_col} AS BIGINT) div {bucket_rows}"),
+            F.expr(f"CAST(`{id_col}` AS BIGINT) div {bucket_rows}"),
             F.lit(-(1 << 62)),
         ).alias("_b"),
     )
@@ -221,12 +227,18 @@ def pack_sequences(
     end = start + F.col("n_tokens") - 1  # n_tokens >= 1: split() never returns []
     return (
         d.join(F.broadcast(offsets), [by, "_b"])
-        .withColumn("pack_id", F.floor(start / seq_len).cast("bigint"))
-        .withColumn("pack_offset", (start % seq_len).cast("int"))
+        # integral div on the bigint offsets (same rationale as the id
+        # bucketing above: floor(x / N) loses exactness past 2^53, and
+        # cumulative token offsets at 100 TB are genuine 64-bit values)
+        .withColumn("_start", start.cast("bigint"))
+        .withColumn("_end", end.cast("bigint"))
+        .withColumn("pack_id", F.expr(f"_start div {seq_len}"))
+        .withColumn("pack_offset", (F.col("_start") % seq_len).cast("int"))
         .withColumn(
             "n_packs",
-            (F.floor(end / seq_len) - F.floor(start / seq_len) + 1).cast("int"),
+            F.expr(f"_end div {seq_len} - _start div {seq_len} + 1").cast("int"),
         )
+        .drop("_start", "_end")
         .select("doc_id", by, "n_tokens", "pack_id", "pack_offset", "n_packs")
     )
 

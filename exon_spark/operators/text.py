@@ -677,6 +677,12 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     regexes are the RE2/Java-compatible subset shared with the DuckDB
     oracle (no backrefs, no lookaround).
     """
+    if "n_redactions" in df.columns:
+        raise ValueError(
+            "redact_pii appends an 'n_redactions' column but the input "
+            "already has one — rename or drop it first (duplicate column "
+            "names break downstream select/toPandas)"
+        )
     out = F.col(text_col)
     n = F.lit(0)
     for name, pattern in PII_PATTERNS.items():

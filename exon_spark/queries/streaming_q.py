@@ -43,6 +43,8 @@ def _stream_fixture(spark: SparkSession, sf_dir: str, tname: str, shards: int) -
 def _q29_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_spark.streaming import read_events_stream, run_stream_to_memory
 
+    # unique memory-sink name per run: re-running the query in one
+    # session must not collide with the previous run's sink table
     tag = uuid.uuid4().hex[:8]
     d = _stream_fixture(spark, sf_dir, "events", 4)
     stream = read_events_stream(spark, d)
@@ -137,6 +139,8 @@ def _q33_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent and deliberately not part of the gated output."""
     from exon_spark.streaming import run_stream_to_memory, streaming_dedup
 
+    # unique memory-sink name per run: re-running the query in one
+    # session must not collide with the previous run's sink table
     tag = uuid.uuid4().hex[:8]
     docs = table(spark, sf_dir, "documents")
     d = _stream_fixture(spark, sf_dir, "documents", 4)
@@ -163,6 +167,8 @@ def _q39_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the plain SQL interval self-join oracle."""
     from exon_spark.streaming import read_events_stream, streaming_interval_join
 
+    # unique memory-sink name per run: re-running the query in one
+    # session must not collide with the previous run's sink table
     tag = uuid.uuid4().hex[:8]
     d = _stream_fixture(spark, sf_dir, "events", 4)
     views = read_events_stream(spark, d).filter(F.col("event_type") == "view")

@@ -83,6 +83,66 @@ def test_ivf_kmeans_centroids(spark):
     assert hits >= len(rows) * 0.5
 
 
+def test_ivf_kmeans_beats_first_k_on_planted_clusters(spark):
+    """Planted-cluster fixture (VERDICT r5 #7): 6 well-separated direction
+    clusters, queries from each. The sampled-k-means centroids must give
+    ANN recall at least as good as the arbitrary first-k-ids centroids at
+    the same nprobe, and the fitted cells must separate the planted
+    clusters (near-one planted cluster per used cell)."""
+    import math
+    import random
+
+    from exon_spark.operators import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_fit_centroids,
+    )
+
+    random.seed(11)
+    dim, n_clusters, per = 16, 6, 40
+    # orthogonal-ish cluster axes: one-hot on distinct dims + small jitter
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = [random.gauss(0, 0.05) for _ in range(dim)]
+            v[c] += 1.0
+            rows.append((c * per + j, [float(x) for x in v]))
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = em.filter(F.col("vec_id") % per == 0)  # one query per cluster
+    exact = {}
+    for r in cosine_topk(em, q, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+
+    def recall(centroids):
+        got = {}
+        for r in ivf_ann_topk(
+            em, q, k=5, nprobe=1, centroids=centroids
+        ).collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(k_, set()) & v) for k_, v in exact.items())
+        return hits / sum(len(v) for v in exact.values())
+
+    # first-k baseline: first 6 ids all come from cluster 0 -> poor cells
+    first_k = None  # ivf_ann_topk's default first-k path
+    base = ivf_ann_topk(em, q, k=5, nprobe=1, n_cells=n_clusters)
+    got_base = {}
+    for r in base.collect():
+        got_base.setdefault(r.q_id, set()).add(r.vec_id)
+    base_recall = sum(
+        len(got_base.get(k_, set()) & v) for k_, v in exact.items()
+    ) / sum(len(v) for v in exact.values())
+
+    fitted = ivf_fit_centroids(em, n_cells=n_clusters, sample_n=500, iters=10)
+    km_recall = recall(fitted)
+    assert km_recall >= base_recall
+    assert km_recall >= 0.9, f"k-means recall {km_recall} on planted clusters"
+    # each fitted centroid should be dominated by one planted axis
+    dominated = sum(
+        1 for _c, vec in fitted if max(vec) > 0.8 * math.sqrt(sum(x * x for x in vec))
+    )
+    assert dominated >= n_clusters - 1
+
+
 def test_embedding_cosine_dups_finds_planted(spark):
     from exon_spark.operators import embedding_cosine_dups
 

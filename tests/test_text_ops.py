@@ -66,6 +66,46 @@ def test_dup_ngram_coverage_union_of_overlapping_windows(spark):
     assert out[3]["covered_frac"] == 0.0
 
 
+def test_dup_ngram_coverage_scale_knobs(spark):
+    """hashed=True must be value-identical (8-byte xxhash64 shuffle key in
+    the plan); max_gram_df drops corpus-level stop-grams from coverage."""
+    from exon_spark.operators import dup_ngram_coverage
+
+    rows = [
+        (1, "p q r s t"),
+        (2, "p q r s u"),
+        (3, "m n o v w"),
+        (4, "p q r x y"),   # (p q r) now in 3 docs
+    ]
+    base = dup_ngram_coverage(_docs(spark, rows), n=3)
+    hashed = dup_ngram_coverage(_docs(spark, rows), n=3, hashed=True)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, hashed.collect())
+    )
+    # the xxhash64 runs inside the eagerly-materialized gram stage, so the
+    # final plan sees only the key column — pin that the shuffle/join key
+    # is the 8-byte hash (bigint, '#nL'), not the gram text
+    import re
+
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"gram_k#\d+L", plan), (
+        "hashed mode must shuffle 8-byte bigint gram keys"
+    )
+    # cap at df<=2: the df=3 gram (p q r) stops counting toward coverage
+    capped = {
+        r["doc_id"]: r
+        for r in dup_ngram_coverage(
+            _docs(spark, rows), n=3, max_gram_df=2
+        ).collect()
+    }
+    assert capped[4]["n_dup_ngrams"] == 0  # only shared gram was capped
+    uncapped = {
+        r["doc_id"]: r
+        for r in dup_ngram_coverage(_docs(spark, rows), n=3).collect()
+    }
+    assert uncapped[4]["n_dup_ngrams"] == 1
+
+
 def test_bm25_matches_hand_computation(spark):
     from exon_spark.operators import bm25_search
 
