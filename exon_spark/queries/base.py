@@ -13,8 +13,10 @@ Each query is a ``QuerySpec``:
 Engine-stability rules used throughout (so value-hashes match DuckDB):
 
 * money/double sums go through ``SUM_D`` — round each term to 6 dp, sum
-  exactly as DECIMAL(38,10), cast back to double, round to 4 dp. Exact
-  arithmetic ⇒ no partial-aggregation order sensitivity.
+  exactly as integral micro-units (bigint in Spark, hugeint-promoted in
+  DuckDB), cast back to double, round to 4 dp. Exact arithmetic ⇒ no
+  partial-aggregation order sensitivity. See SUM_D for the overflow bound
+  and the decimal spelling kept for beyond-sf1 scales.
 * double→int conversions always ``cast(floor(x) as bigint)`` — Spark
   truncates, DuckDB *rounds*, floor() agrees everywhere.
 * every computed column is aliased identically in Spark and oracle SQL
@@ -113,17 +115,50 @@ def sql_query(name: str, sql: str, oracle: str | None = None, doc: str = "", tab
 
 # --- engine-stable aggregate fragments (valid in BOTH Spark SQL and DuckDB) --
 
+def _MICRO_SUM(expr: str) -> str:
+    """Exact sum of round(expr, 6) as integral micro-units.
+
+    Why not decimal: Spark's SUM over decimal(38,*) runs on the BigDecimal
+    slow path — measured 0.42 s/aggregate over 6M rows vs 0.19 s for a
+    bigint sum (q01 1.5 s -> 0.66 s, the r5->r6 fix for the q01 bench
+    regression; numbers in SCALE.md). The micro-unit spelling is exact in
+    both engines: each term round(x,6)*1e6 is an integer below 2^53 (so
+    the double product is exact), the outer round() pins the same integer
+    under Spark's HALF_UP and DuckDB's half-away (the value is within
+    1e-7 of an integer, so they agree), and the sum is integral — bigint
+    in Spark, hugeint-promoted in DuckDB.
+
+    Overflow bound (Spark side): |group sum| < 2^63 micro-units =
+    9.2e12 currency units — 30x headroom at bench scale (sf0.1 group sums
+    ~3e11) and safe through TPC-H sf1. Past that, either sum partition-
+    partial bigints and merge the ~num_partitions partials as decimal
+    (partition row counts are bounded by maxPartitionBytes, so partials
+    cannot overflow by construction), or use SUM_D_DEC below — the exact
+    decimal spelling this replaced, kept for beyond-sf1 workloads.
+    """
+    return f"sum(cast(round(round({expr}, 6) * 1000000) as bigint))"
+
+
 def SUM_D(expr: str, alias: str) -> str:
-    """Exact decimal sum of a double expression, surfaced as rounded double."""
+    """Exact micro-unit sum of a double expression, surfaced as rounded
+    double (see _MICRO_SUM for exactness + overflow analysis)."""
     return (
-        f"round(cast(sum(cast(round({expr}, 6) as decimal(38,10))) as double), 4)"
-        f" as {alias}"
+        f"round(cast({_MICRO_SUM(expr)} as double) / 1000000, 4) as {alias}"
     )
 
 
 def AVG_D(expr: str, alias: str) -> str:
-    """Exact-sum-based average (sum as decimal / count), rounded double."""
+    """Exact-sum-based average (micro-unit sum / count), rounded double."""
     return (
-        f"round(cast(sum(cast(round({expr}, 6) as decimal(38,10))) as double)"
+        f"round(cast({_MICRO_SUM(expr)} as double) / 1000000"
         f" / count(*), 4) as {alias}"
+    )
+
+
+def SUM_D_DEC(expr: str, alias: str) -> str:
+    """Exact decimal(38,10) sum — the unbounded-scale spelling (slower:
+    BigDecimal aggregation path; see _MICRO_SUM)."""
+    return (
+        f"round(cast(sum(cast(round({expr}, 6) as decimal(38,10))) as double), 4)"
+        f" as {alias}"
     )
