@@ -53,6 +53,21 @@ def cosine(a: Column | str, b: Column | str, digits: int = 6) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), digits)
 
 
+def cosine_pre(
+    a: Column, b: Column, nrm_a: Column, nrm_b: Column, digits: int = 6
+) -> Column:
+    """``cosine()`` with pre-computed per-row norms. Bit-identical result
+    (identical expression tree and op order — the sqrt is merely hoisted
+    from per-pair to per-row, and sqrt of the same input is the same
+    double), at one third the interpreted higher-order-function passes:
+    Catalyst evaluates zip_with/aggregate lambdas OUTSIDE whole-stage
+    codegen at ~5 us per 64-dim pass (measured), so the three-pass inline
+    cosine costs ~16 us per pair — the dominant cost of every pairwise
+    similarity operator here. Norm columns ride the (broadcast) joins as
+    one extra double."""
+    return F.round(_dot(a, b) / (nrm_a * nrm_b), digits)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,13 +80,25 @@ def cosine_topk(
     Output: (q_id, vec_id, score, rnk). Deterministic tie-break on vec_id.
     """
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cosine("vec", "q_vec").alias("score"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_pre(
+                F.col("vec"), F.col("q_vec"), F.col("_cn"), F.col("_qn")
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -131,6 +158,7 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("_cn"),
         lsh_bucket(vec_col, planes).alias("bucket"),
     )
     qb = lsh_bucket(vec_col, planes)
@@ -141,12 +169,20 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         qb.alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "bucket", cosine("vec", "q_vec").alias("score"))
+        .select(
+            "q_id",
+            "vec_id",
+            "bucket",
+            cosine_pre(
+                F.col("vec"), F.col("q_vec"), F.col("_cn"), F.col("_qn")
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -263,17 +299,26 @@ def ivf_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("_cn"),
         F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_udf(F.col(vec_col))).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "cell", cosine("vec", "q_vec").alias("score"))
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            cosine_pre(
+                F.col("vec"), F.col("q_vec"), F.col("_cn"), F.col("_qn")
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -358,6 +403,7 @@ def embedding_cosine_dups(
         df.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("_n"),
             keys_udf(F.col(vec_col)).alias("bands"),
         ),
         eager=True,
@@ -388,15 +434,25 @@ def embedding_cosine_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    va = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("_n").alias("_na"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("_n").alias("_nb"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+            cosine_pre(
+                F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb")
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -436,24 +492,36 @@ def semantic_dedup(
     closure-UDF argmax ``ivf_ann_topk`` uses (zero-shuffle, numpy) — the
     expression form here keeps bit-exact parity with the oracle.
     """
-    d = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    d = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+        _norm(F.col(emb_col)).alias("_nrm"),
+    )
     from exon_spark.operators.dedup import h32
 
     cents = (
         d.select(
             "vec_id",
             "embedding",
+            "_nrm",
             h32(F.col("vec_id").cast("string")).alias("_h"),
         )
         .orderBy("_h", "vec_id")
         .limit(n_clusters)
-        .select(F.col("vec_id").alias("cidx"), F.col("embedding").alias("cemb"))
+        .select(
+            F.col("vec_id").alias("cidx"),
+            F.col("embedding").alias("cemb"),
+            F.col("_nrm").alias("_cnrm"),
+        )
     )
     scored = d.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
+        "_nrm",
         "cidx",
-        cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+        cosine_pre(
+            F.col("embedding"), F.col("cemb"), F.col("_nrm"), F.col("_cnrm")
+        ).alias("cos"),
     )
     # min struct((-cos, cidx)) == argmax cosine, ties to the smallest
     # centroid id; embedding is constant within the group so first() is
@@ -469,19 +537,24 @@ def semantic_dedup(
                 F.struct((-F.col("cos")).alias("nc"), F.col("cidx").alias("cidx"))
             ).alias("_m"),
             F.first("embedding").alias("embedding"),
+            F.first("_nrm").alias("_nrm"),
         )
-        .select("vec_id", F.col("_m.cidx").alias("cluster_id"), "embedding"),
+        .select(
+            "vec_id", F.col("_m.cidx").alias("cluster_id"), "embedding", "_nrm"
+        ),
         eager=True,
     )
     a = assign.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("vec_a"),
+        F.col("_nrm").alias("_na"),
     )
     b = assign.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vec_b"),
+        F.col("_nrm").alias("_nb"),
     )
     return (
         a.join(b, "cluster_id")
@@ -490,7 +563,9 @@ def semantic_dedup(
             "cluster_id",
             "id_a",
             "id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+            cosine_pre(
+                F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb")
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
