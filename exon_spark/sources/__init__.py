@@ -104,7 +104,7 @@ def read_format(spark: SparkSession, fmt: str, path: str, **options) -> DataFram
     # header-driven schemas) use the Python DataSources
     from exon_spark.sources.jvm_fast import jvm_fast_reader
 
-    fast = jvm_fast_reader(fmt, path, options)
+    fast = jvm_fast_reader(fmt, path, options, spark=spark)
     if fast is not None:
         return fast(spark, path)
     register_sources(spark)

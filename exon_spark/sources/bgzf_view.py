@@ -30,6 +30,57 @@ import tempfile
 from exon_spark.sources.bgzf import BGZF_EOF, BGZFReader, bgzf_block
 
 
+def codec_active(spark) -> bool:
+    """True when the session was built with the splittable BGZF codec on
+    io.compression.codecs (get_spark does this when the jar is present)."""
+    try:
+        from exon_spark.jvm import BGZF_CODEC_CLASS
+
+        return BGZF_CODEC_CLASS in (
+            spark.conf.get("spark.hadoop.io.compression.codecs", "") or ""
+        )
+    except Exception:
+        return False
+
+
+def full_view(path: str) -> str:
+    """A ``.bgz``-named symlink to ``path`` — lets the splittable codec's
+    suffix dispatch claim a bgzf file that carries a plain ``.gz`` name
+    (the common bgzip convention), so full-file JVM text/csv scans
+    byte-range split it with zero copies and zero Python."""
+    st = os.stat(path)
+    key = hashlib.sha1(
+        repr((os.path.abspath(path), st.st_mtime_ns, st.st_size, "full")).encode()
+    ).hexdigest()[:20]
+    vdir = os.path.join(tempfile.gettempdir(), "exon_spark_views")
+    os.makedirs(vdir, exist_ok=True)
+    link = os.path.join(vdir, f"{key}.bgz")
+    if not os.path.exists(link):
+        tmp = link + f".tmp{os.getpid()}"
+        try:
+            os.symlink(os.path.abspath(path), tmp)
+            os.replace(tmp, link)
+        except OSError:
+            if not os.path.exists(link):
+                raise
+    return link
+
+
+def jvm_bgzf_src(spark, path: str, require_index: bool = True) -> str | None:
+    """A path the JVM codec can byte-range split for a local bgzf text
+    file, or None when the layout doesn't qualify. ``.bgz`` names pass
+    through; ``.gz`` names qualify only when a ``.tbi`` proves the file is
+    really BGZF (a plain-gzip .gff.gz must keep the unsplittable codec)."""
+    low = path.lower()
+    if not os.path.isfile(path) or not codec_active(spark):
+        return None
+    if low.endswith(".bgz"):
+        return path
+    if low.endswith(".gz") and os.path.exists(path + ".tbi"):
+        return full_view(path)
+    return None
+
+
 def merge_chunks(chunks: list[tuple[int, int]]) -> list[tuple[int, int]]:
     """Sort + merge overlapping/adjacent virtual-offset ranges."""
     out: list[tuple[int, int]] = []

@@ -264,13 +264,14 @@ def read_vcf_region_jvm(
     )
 
 
-def _vcf_region_jvm_route(path: str, options: dict):
+def _vcf_region_jvm_route(path: str, options: dict, spark=None):
     """Route a VCF region scan to the JVM codec path when (a) the file is a
-    local .bgz with a tabix index, (b) no Python-only parse option is set,
-    and (c) the region's index chunks cover a large fraction of the file —
-    where chunk pruning saves little and JVM parse throughput dominates."""
+    local bgzf (.bgz, or .gz proven bgzf by its .tbi) with a tabix index,
+    (b) no Python-only parse option is set, and (c) the region's index
+    chunks cover a large fraction of the file — where chunk pruning saves
+    little and JVM parse throughput dominates."""
     regions = options.get("regions") or options.get("region")
-    if not regions or not str(path).lower().endswith(".bgz"):
+    if not regions or not str(path).lower().endswith((".bgz", ".gz")):
         return None
     for k in ("parse_info", "parse_formats", "sequence_data_type"):
         if str(options.get(k, "")).strip() not in ("", "false"):
@@ -284,16 +285,30 @@ def _vcf_region_jvm_route(path: str, options: dict):
     tbi = path + ".tbi"
     if not os.path.exists(tbi):
         return None
+    if spark is not None:
+        from exon_spark.sources.bgzf_view import codec_active
+
+        if not codec_active(spark):
+            return None
     try:
         from exon_spark.functions.region import expand_regions
         from exon_spark.sources.indexes import read_tabix, tabix_chunks
 
         index = read_tabix(tbi)
         span = 0
+        chunks: list[tuple[int, int]] = []
         for region in expand_regions(str(regions)):
             for cb, ce in tabix_chunks(index, region):
                 span += (ce >> 16) - (cb >> 16)
+                chunks.append((cb, ce))
         size = os.path.getsize(path)
+        if not path.lower().endswith(".bgz") and chunks:
+            # .gz name: the scan must go through the pruned view (the raw
+            # fallback would hit the unsplittable gzip codec) — build it
+            # eagerly so failure routes to the Python path instead
+            from exon_spark.sources.bgzf_view import build_region_view
+
+            build_region_view(path, chunks)
     except Exception:
         return None
     if size <= 0 or span < 0.15 * size:
@@ -345,11 +360,13 @@ def read_mzml_meta_jvm(spark: SparkSession, path: str, cols) -> DataFrame:
     return spec.select(*[exprs[c].alias(c) for c in cols])
 
 
-def jvm_fast_reader(fmt: str, path: str, options: dict):
+def jvm_fast_reader(fmt: str, path: str, options: dict, spark=None):
     """Return the JVM fast-path reader for fmt if the requested options are
-    compatible with it, else None."""
+    compatible with it, else None. ``spark`` (when given) gates the
+    codec-dependent routes on the session actually carrying the BGZF
+    codec."""
     if fmt == "vcf":
-        region_reader = _vcf_region_jvm_route(path, options)
+        region_reader = _vcf_region_jvm_route(path, options, spark)
         if region_reader is not None:
             return region_reader
     python_only = {"regions", "region", "sequence_data_type", "parse_info",
@@ -384,13 +401,22 @@ def jvm_fast_reader(fmt: str, path: str, options: dict):
         return read_fasta_jvm
     if fmt == "vcf":
         if path.lower().endswith((".gz", ".bgz")):
+            if spark is not None:
+                from exon_spark.sources.bgzf_view import jvm_bgzf_src
+
+                src = jvm_bgzf_src(spark, path)
+                if src is not None:
+                    # splittable BGZF codec: the csv scan byte-range
+                    # splits the compressed file itself (a .gz-named bgzf
+                    # goes through a .bgz symlink view)
+                    return lambda spark, p, _s=src: read_vcf_jvm(spark, _s)
             from exon_spark.sources.fs import fs_exists
 
             if fs_exists(path + ".tbi"):
-                # bgzf + tabix: the Python path splits the stream at
-                # linear-index record boundaries and fans out across the
-                # cluster; the JVM gzip codec is one unsplittable partition
-                # per file — ~15x slower on a 2.5 GB VCF (measured)
+                # no codec in this session: the Python path splits the
+                # stream at linear-index record boundaries; the stock JVM
+                # gzip codec is one unsplittable partition per file —
+                # ~15x slower on a 2.5 GB VCF (measured)
                 return None
         return read_vcf_jvm
     if fmt == "mzml":

@@ -148,7 +148,18 @@ def _read_tsv_raw(
     elif _is_zstd(path, options):
         src = _zstd_lines_rdd(spark, path)
     else:
-        src = _bgzf_split_lines_rdd(spark, path) or path
+        # JVM first: with the splittable BGZF codec a local bgzf file
+        # byte-range splits inside spark.read.csv itself — no Python line
+        # RDD, no per-line Python->JVM serialization (jvm_bgzf_src proves
+        # bgzf via the .bgz suffix or a .tbi). The RDD paths remain for
+        # sessions without the codec and for plain-gzip layouts.
+        from exon_spark.sources.bgzf_view import jvm_bgzf_src
+
+        src = (
+            jvm_bgzf_src(spark, path)
+            or _bgzf_split_lines_rdd(spark, path)
+            or path
+        )
     df = (
         spark.read.option("sep", "\t")
         .option("comment", "#")
@@ -214,6 +225,19 @@ def _tabix_lines_rdd(spark: SparkSession, path: str, regions: str):
 
     if not groups:
         return "empty"
+    # JVM first: splice the chunk ranges into an exoncat .bgz view and let
+    # the codec-backed csv reader split it — record-exact (boundary blocks
+    # re-cut at the index's virtual offsets), zero Python in the data path
+    if os.path.isfile(path):
+        from exon_spark.sources.bgzf_view import build_region_view, codec_active
+
+        if codec_active(spark):
+            try:
+                return build_region_view(
+                    path, [c for chunks, _ in all_chunks for c in chunks]
+                )
+            except Exception:
+                pass  # fall back to the Python chunk-group readers
     return spark.sparkContext.parallelize(groups, len(groups)).flatMap(_read_group)
 
 
