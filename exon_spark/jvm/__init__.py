@@ -15,24 +15,39 @@ import shutil
 import subprocess
 
 _JVM_DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC_DIR = os.path.join(_JVM_DIR, "java", "exonspark", "hadoop")
+_SRC_DIR = os.path.join(_JVM_DIR, "java")
 _JAR = os.path.join(_JVM_DIR, "bgzf-codec.jar")
 
 BGZF_CODEC_CLASS = "exonspark.hadoop.BgzfCodec"
 EXONCAT_FS_CLASS = "exonspark.hadoop.ExonCatFileSystem"
+VCF_DSV2_CLASS = "exonspark.spark.VcfBgzfSource"
 
 
-def _hadoop_api_jar() -> str | None:
+def _compile_classpath() -> str | None:
+    """Hadoop (codec/FS interfaces) + Spark catalyst/sql-api/unsafe and the
+    Scala runtime (DataSourceV2 interfaces, InternalRow, UTF8String)."""
     import pyspark
 
     jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    prefixes = (
+        "hadoop-client-api",
+        "spark-catalyst_",
+        "spark-sql-api_",
+        "spark-unsafe_",
+        "scala-library-",
+        "kryo-shaded-",  # UTF8String implements KryoSerializable
+    )
+    found: list[str] = []
     try:
         for fn in sorted(os.listdir(jars)):
-            if fn.startswith("hadoop-client-api") and fn.endswith(".jar"):
-                return os.path.join(jars, fn)
+            if fn.endswith(".jar") and fn.startswith(prefixes):
+                found.append(os.path.join(jars, fn))
     except OSError:
         return None
-    return None
+    # the hadoop jar alone was the historical minimum; require it at least
+    if not any("hadoop-client-api" in f for f in found):
+        return None
+    return os.pathsep.join(found)
 
 
 def ensure_bgzf_jar() -> str | None:
@@ -40,8 +55,9 @@ def ensure_bgzf_jar() -> str | None:
     stale. Returns None only if the jar is absent AND cannot be built."""
     have_jar = os.path.exists(_JAR)
     srcs = sorted(
-        os.path.join(_SRC_DIR, f)
-        for f in (os.listdir(_SRC_DIR) if os.path.isdir(_SRC_DIR) else [])
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(_SRC_DIR)
+        for f in files
         if f.endswith(".java")
     )
     src_newer = bool(srcs) and (
@@ -54,14 +70,14 @@ def ensure_bgzf_jar() -> str | None:
     jar = shutil.which("jar") or os.path.join(
         os.environ.get("JAVA_HOME", ""), "bin", "jar"
     )
-    hadoop = _hadoop_api_jar()
-    if not (javac and os.path.exists(jar) and hadoop and srcs):
+    cp = _compile_classpath()
+    if not (javac and os.path.exists(jar) and cp and srcs):
         return _JAR if have_jar else None
     build = os.path.join(_JVM_DIR, "build")
     os.makedirs(build, exist_ok=True)
     try:
         subprocess.run(
-            [javac, "-encoding", "UTF-8", "-cp", hadoop, "-d", build, *srcs],
+            [javac, "-encoding", "UTF-8", "-cp", cp, "-d", build, *srcs],
             check=True,
             capture_output=True,
         )

@@ -18,6 +18,8 @@ reference's regrouped file scans (SURVEY.md §4.4).
 
 from __future__ import annotations
 
+import bisect
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -124,6 +126,111 @@ _VCF_BASE_COLS = (
 )
 
 
+# DSv2 full-schema types (exonspark.spark.VcfBgzfSource.FULL_SCHEMA)
+_DSV2_TYPES = {
+    "chrom": "string",
+    "pos": "bigint",
+    "id": "array<string>",
+    "ref": "string",
+    "alt": "array<string>",
+    "qual": "float",
+    "filter": "array<string>",
+    "info": "string",
+}
+
+
+def _plan_dsv2_partitions(index, region_list, target: int):
+    """Record-exact BGZF virtual-offset [beg, end) ranges for a region
+    list, cut at the tabix linear-index record offsets and packed into
+    ~`target` partitions balanced by compressed size. Every linear-index
+    entry is the virtual offset of a record start, so cutting there keeps
+    each range a whole number of VCF lines — partitions never split or
+    duplicate a record."""
+    from exon_spark.functions.region import parse_region
+    from exon_spark.sources.indexes import tabix_chunks
+
+    subranges: list[tuple[int, int]] = []
+    for region in region_list:
+        name = parse_region(region)[0]
+        chunks = tabix_chunks(index, region) or []
+        if not chunks:
+            continue
+        cuts = sorted(set(index.linear[index.names.index(name)]))
+        for cb, ce in chunks:
+            lo = bisect.bisect_right(cuts, cb)
+            hi = bisect.bisect_left(cuts, ce)
+            prev = cb
+            for v in cuts[lo:hi]:
+                if v > prev:
+                    subranges.append((prev, v))
+                    prev = v
+            if ce > prev:
+                subranges.append((prev, ce))
+    if not subranges:
+        return []
+    span = lambda r: (r[1] >> 16) - (r[0] >> 16)  # noqa: E731
+    per = max(1, sum(span(r) for r in subranges) // max(target, 1))
+    parts: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    acc = 0
+    for r in subranges:
+        cur.append(r)
+        acc += span(r)
+        if acc >= per and len(parts) < target - 1:
+            parts.append(cur)
+            cur, acc = [], 0
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def read_vcf_region_dsv2(
+    spark: SparkSession, path: str, regions: str, columns
+) -> DataFrame | None:
+    """Region scan through the Java DataSourceV2 (exonspark.spark.
+    VcfBgzfSource): the driver plans record-exact virtual-offset ranges
+    from the tabix index; executors seek + inflate only those BGZF blocks
+    and parse the projected fields straight from the decompressed bytes
+    into InternalRows. Beats the codec + spark.read.text route by skipping
+    the LineReader Text copy, the full-line row, and the per-field
+    substring scans. Returns None when the projection needs FORMAT/sample
+    columns (not served) or the source class is absent from the session's
+    jar (caller falls back to the text/Python paths).
+
+    At cluster scale the planned ranges ship inside InputPartitions, so
+    executors need only the file itself (any shared/posix fs); partition
+    count tracks defaultParallelism, not file count."""
+    from exon_spark.functions.region import expand_regions, parse_region
+    from exon_spark.sources.indexes import read_tabix
+
+    want = (
+        [c.strip() for c in columns.split(",") if c.strip()]
+        if isinstance(columns, str)
+        else list(columns)
+    )
+    if not set(want) <= set(_DSV2_TYPES):
+        return None
+    region_list = expand_regions(regions)
+    index = read_tabix(path + ".tbi")
+    target = spark.sparkContext.defaultParallelism * 2
+    parts = _plan_dsv2_partitions(index, region_list, target)
+    ddl = ", ".join(f"{c} {_DSV2_TYPES[c]}" for c in want)
+    if not parts:
+        return spark.createDataFrame([], ddl)
+    pstr = "|".join(";".join(f"{b}:{e}" for b, e in p) for p in parts)
+    rstr = ",".join(
+        f"{n}:{lo}:{hi}" for n, lo, hi in map(parse_region, region_list)
+    )
+    df = (
+        spark.read.format("exonspark.spark.VcfBgzfSource")
+        .option("path", path)
+        .option("partitions", pstr)
+        .option("regions", rstr)
+        .load()
+    )
+    return df.select(*want)
+
+
 def read_vcf_region_jvm(
     spark: SparkSession, path: str, regions: str, columns=None
 ) -> DataFrame:
@@ -159,6 +266,21 @@ def read_vcf_region_jvm(
     idx = {c: i for i, c in enumerate(_VCF_BASE_COLS)}
     needed = set(want) | {"chrom", "pos"}
     max_i = max(idx[c] for c in needed)
+
+    # Fastest route first: the Java DataSourceV2 parses projected fields
+    # straight from the inflated bytes (no LineReader copy, no full-line
+    # row). Falls through to the codec+text path when the class is absent
+    # (stale jar) or the projection needs FORMAT/sample columns.
+    if set(want) <= set(_DSV2_TYPES):
+        import os as _os
+
+        if _os.path.exists(path + ".tbi"):
+            try:
+                dsv2 = read_vcf_region_dsv2(spark, path, regions, want)
+                if dsv2 is not None:
+                    return dsv2
+            except Exception:
+                pass
 
     # Index pruning: scan an exoncat:// view holding only the regions'
     # BGZF blocks (driver-planned from the tabix index, boundary blocks
@@ -311,8 +433,12 @@ def _vcf_region_jvm_route(path: str, options: dict, spark=None):
             build_region_view(path, chunks)
     except Exception:
         return None
-    if size <= 0 or span < 0.15 * size:
+    if size <= 0 or not chunks:
         return None
+    # Small regions used to stay on the Python tabix path (pruning
+    # dominated, parse cost was irrelevant); with the DSv2 byte parser and
+    # the exoncat pruned views both decompressing only the region's share,
+    # the JVM path wins at every span, so route unconditionally.
     cols = options.get("columns")
     return lambda spark, p: read_vcf_region_jvm(
         spark, p, regions=str(regions), columns=cols

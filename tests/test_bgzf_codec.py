@@ -83,8 +83,9 @@ def test_vcf_region_routing(spark):
     vcf = os.path.join(fx, "variants.vcf.bgz")
     # whole-chromosome: large index span -> JVM codec path
     assert _vcf_region_jvm_route(vcf, {"regions": "chr1"}) is not None
-    # small region: chunk pruning dominates -> Python tabix path
-    assert _vcf_region_jvm_route(vcf, {"regions": "chr17:1-2000000"}) is None
+    # small region: also JVM (DSv2/pruned view decompress only the
+    # region's blocks, so the JVM parser wins at every span)
+    assert _vcf_region_jvm_route(vcf, {"regions": "chr17:1-2000000"}) is not None
     # Python-only parse options never route to the JVM path
     assert (
         _vcf_region_jvm_route(vcf, {"regions": "chr1", "parse_info": "true"})
@@ -92,12 +93,94 @@ def test_vcf_region_routing(spark):
     )
 
 
-def test_region_view_projection_plan(spark):
-    """The 3-column projection must stay inside whole-stage codegen with no
-    Python eval nodes and no Generate (lean substring_index path)."""
+def test_vcf_dsv2_matches_python_source(spark):
+    """The Java DataSourceV2 byte parser must agree with the Python
+    DataSource value-for-value on every projected column and region
+    shape (dot-null, splits, qual float, bounded regions)."""
+    from exon_spark.queries.formats import ensure_format_fixtures
+    from exon_spark.sources.jvm_fast import read_vcf_region_dsv2
+
+    fx = ensure_format_fixtures("/root/testdata/sf0.01")
+    vcf = os.path.join(fx, "variants.vcf.bgz")
+    cols = "chrom,pos,id,ref,alt,qual,filter,info"
+    for region in ("chr1", "chr17:1-2000000", "chr1:5000000-90000000"):
+        py = (
+            spark.read.format("vcf")
+            .option("regions", region)
+            .load(vcf)
+            .select(*cols.split(","))
+        )
+        ds = read_vcf_region_dsv2(spark, vcf, region, cols)
+        assert ds.schema == py.schema
+        assert ds.exceptAll(py).count() == 0
+        assert py.exceptAll(ds).count() == 0
+        assert ds.count() == py.count()
+
+
+def test_vcf_dsv2_partition_planner_exact(spark):
+    """Partition boundaries are record-exact for ANY partition count: a
+    deliberately over-partitioned plan (tiny target span) must yield the
+    same multiset of rows as a single-partition plan — no record lost or
+    duplicated at a cut point."""
+    from exon_spark.queries.formats import ensure_format_fixtures
+    from exon_spark.functions.region import expand_regions
+    from exon_spark.sources.indexes import read_tabix
+    from exon_spark.sources.jvm_fast import _plan_dsv2_partitions
+
+    fx = ensure_format_fixtures("/root/testdata/sf0.01")
+    vcf = os.path.join(fx, "variants.vcf.bgz")
+    index = read_tabix(vcf + ".tbi")
+    regions = expand_regions("chr1")
+    fine = _plan_dsv2_partitions(index, regions, 500)
+    coarse = _plan_dsv2_partitions(index, regions, 1)
+    assert len(fine) > len(coarse)
+
+    def read_with(parts):
+        pstr = "|".join(";".join(f"{b}:{e}" for b, e in p) for p in parts)
+        return (
+            spark.read.format("exonspark.spark.VcfBgzfSource")
+            .option("path", vcf)
+            .option("partitions", pstr)
+            .option("regions", "chr1:1:%d" % (2**63 - 1))
+            .load()
+            .select("chrom", "pos", "id")
+        )
+
+    a, b = read_with(fine), read_with(coarse)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    # ranges must tile the chunk span: disjoint, ordered, gap-free
+    flat = [r for p in fine for r in p]
+    for (b0, e0), (b1, _e1) in zip(flat, flat[1:]):
+        assert b0 < e0 and e0 == b1
+
+
+def test_vcf_dsv2_plan_is_batch_scan(spark):
+    """The routed region scan is a DSv2 BatchScan with the projection
+    pushed down — no Python eval, no Filter node re-checking regions."""
     from exon_spark.queries.formats import ensure_format_fixtures
     from exon_spark.sources.jvm_fast import read_vcf_region_jvm
 
+    fx = ensure_format_fixtures("/root/testdata/sf0.01")
+    vcf = os.path.join(fx, "variants.vcf.bgz")
+    df = read_vcf_region_jvm(spark, vcf, "chr1", columns="chrom,pos,id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan" in plan and "VcfBgzfScan" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_region_view_projection_plan(spark, monkeypatch):
+    """The codec+text FALLBACK (taken when the DSv2 class is absent from
+    the session jar): 3-column projection must stay inside whole-stage
+    codegen with no Python eval nodes and no Generate (lean
+    substring_index path)."""
+    from exon_spark.queries.formats import ensure_format_fixtures
+    from exon_spark.sources import jvm_fast
+    from exon_spark.sources.jvm_fast import read_vcf_region_jvm
+
+    monkeypatch.setattr(
+        jvm_fast, "read_vcf_region_dsv2", lambda *a, **k: None
+    )
     fx = ensure_format_fixtures("/root/testdata/sf0.01")
     vcf = os.path.join(fx, "variants.vcf.bgz")
     df = read_vcf_region_jvm(spark, vcf, "chr1", columns="chrom,pos,id")
