@@ -166,6 +166,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Small single files must still fan out: fan-out-heavy operators
+        # (rolling-window fingerprints, shingle explodes) multiply rows
+        # 100-1000x AFTER the scan, so a 10 MB parquet read as one split
+        # serializes megarows onto one core. minPartitionNum targets
+        # ~2 splits/core and the lowered open-cost stops the bin-packer
+        # from gluing small splits back together (defaults 4 MB/1 split
+        # left documents.parquet a single task; measured 4.3s -> 0.6s on
+        # the sf0.1 text profile). At cluster scale big inputs already
+        # exceed these floors and the knobs are inert.
+        .config("spark.sql.files.minPartitionNum", str(2 * cpus))
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert in exon_spark.queries.base.table
