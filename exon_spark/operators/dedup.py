@@ -70,6 +70,29 @@ def tokens(text: Column | str, lowercase: bool = True) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def fanout_repartition(df: DataFrame) -> DataFrame:
+    """Pre-spread the input of a fan-out-heavy operator (shingle/window
+    explodes multiply rows 100-1000x AFTER the scan).
+
+    Parquet splits at row-group granularity, so a small input — one row
+    group, or one file smaller than maxPartitionBytes — arrives as a
+    single partition and the entire fan-out stage runs on one core no
+    matter how many the cluster has. One cheap shuffle of the (small)
+    input fixes that. Guarded to be inert at warehouse scale: inputs
+    already wider than half the cores pass through untouched, so big
+    tables never pay a redundant exchange. Deliberately NOT applied in
+    the shared table() reader: measured at sf0.1, blanket repartition
+    costs +0.3-1.0s on every light query (exchange + task overhead)
+    while only the fan-out operators win."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            return df.repartition(target)
+    except Exception:
+        pass  # connect session / non-file input: leave as-is
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via 128-bit digest groupBy: one row per distinct text with
     the surviving (minimum) id and the duplicate count."""
@@ -732,6 +755,7 @@ def dup_ngram_coverage(
     # word_ngrams does n element_at calls per window, and with the split()
     # inlined each one re-tokenizes the document (measured 131s vs 1.5s at
     # sf0.1, identical output — same trap shingled_docs documents)
+    df = fanout_repartition(df)
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(tokens(text_col))).alias("toks"),

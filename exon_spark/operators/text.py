@@ -10,7 +10,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from exon_spark.operators.dedup import h32, tokens, word_ngrams
+from exon_spark.operators.dedup import (
+    fanout_repartition,
+    h32,
+    tokens,
+    word_ngrams,
+)
 
 STOPWORDS_EN = ("the", "and", "of", "is", "was", "a", "to", "in")
 
@@ -133,6 +138,7 @@ def fingerprint(
     stay inside whole-stage codegen (measured 2.8s -> ~0.9s at sf0.1 for
     the same md5-per-window work). md5/h32 itself is the portable-hash
     contract with the DuckDB oracle."""
+    df = fanout_repartition(df)
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(_norm_expr(text_col))).alias("_norm"),
@@ -210,6 +216,7 @@ def text_profile(
     there for why it beats an array_min(transform(...)) HOF), so the
     whole profile costs one scan plus one per-document-row exchange —
     the per-window fan-out collapses map-side before the shuffle."""
+    df = fanout_repartition(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),
@@ -318,6 +325,7 @@ def quality_signals(
     — measured 0.2 s PER DOCUMENT (100 s for 500 docs) inlined vs
     milliseconds materialized, identical output.
     """
+    df = fanout_repartition(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(tokens(text_col, lowercase=True))).alias("toks"),
@@ -571,6 +579,7 @@ def corpus_top_ngrams(
     inlined, Catalyst re-runs the regex split inside every ``element_at``
     of the n-gram lambda — O(tokens²) per doc, measured 8x end-to-end.
     """
+    df = fanout_repartition(df)
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(tokens(text_col, lowercase=True))).alias("_toks"),

@@ -66,12 +66,14 @@ _NANO_TS_COLS = {
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    import os
-
     import pyspark.sql.functions as F
 
-    path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    # NOTE: no blanket repartition here even though the testdata parquets
+    # are single-row-group (one scan partition): measured at sf0.1 it
+    # costs +0.3-1.0s on every light query while only the fan-out-heavy
+    # operators win — those call operators.dedup.fanout_repartition on
+    # their own input instead.
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
         if c not in df.columns:
             continue
@@ -82,21 +84,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif dtype == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    # Parquet splits at row-group granularity; the testdata files are each
-    # ONE row group, so every downstream stage before the first exchange
-    # would run on a single core — fatal for the fan-out operators (window
-    # fingerprints, shingle explodes multiply rows 100-1000x after the
-    # scan; measured 4.3s -> 0.7s on the sf0.1 text profile). One cheap
-    # shuffle of the (small) input fixes it. Guarded so it is inert at
-    # warehouse scale: big tables arrive in >= cores partitions and tiny
-    # dimension tables (region/nation/...) stay unshuffled + broadcastable.
-    try:
-        if os.path.getsize(path) > (1 << 19):
-            target = spark.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < max(2, target // 2):
-                df = df.repartition(target)
-    except Exception:
-        pass  # non-posix path / connect session: keep the scan as-is
     return df
 
 
