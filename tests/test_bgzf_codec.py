@@ -190,3 +190,160 @@ def test_region_view_projection_plan(spark, monkeypatch):
     assert "*(1)" in plan  # the '*' prefix marks WholeStageCodegen spans
     # index pruning: the scan reads an exoncat:// view, not the raw file
     assert "exoncat" in plan
+
+
+@pytest.fixture(scope="module")
+def adversarial_vcf(tmp_path_factory):
+    """Hand-built bgzf VCF with every parser edge: dot/empty/multi-valued
+    fields, a line far longer than one BGZF block (spans many blocks),
+    missing trailing fields, tiny blocks (records cross block boundaries
+    constantly). Tracks each record's virtual offset so partitions can be
+    cut at arbitrary record boundaries."""
+    random.seed(13)
+    recs = []
+    for i in range(400):
+        chrom = ("chrA", "chrB", "chrC")[i % 3]
+        pos = 10 * i + 1
+        rid = [".", "", "rs%d" % i, "rs%d;rs%d" % (i, i + 1)][i % 4]
+        ref = ["A", "AT", "", "GGC"][i % 4]
+        alt = [".", "C", "C,G", ""][i % 4]
+        qual = [".", "12.5", "notanum", "0"][i % 4]
+        filt = ["PASS", ".", "q10;s50", ""][i % 4]
+        info = [".", "DP=4", "x" * (150_000 if i == 17 else 40), ""][i % 4]
+        recs.append((chrom, pos, rid, ref, alt, qual, filt, info))
+    lines = ["##fileformat=VCFv4.2", "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+    lines += ["\t".join([c, str(p), i_, r, a, q, f, inf])
+              for c, p, i_, r, a, q, f, inf in recs]
+    # one malformed short line (5 fields): trailing fields read as empty
+    lines.append("chrA\t4001\trsX\tA\tC")
+    recs.append(("chrA", 4001, "rsX", "A", "C", "", "", ""))
+    blob = ("\n".join(lines) + "\n").encode()
+
+    from exon_spark.sources.bgzf import BGZF_EOF, bgzf_block
+
+    # compress with random tiny blocks, tracking virtual offsets of every
+    # byte-offset -> (coffset << 16 | uoffset)
+    path = str(tmp_path_factory.mktemp("advcf") / "adv.vcf.bgz")
+    cuts = []
+    boundaries = []  # (uncompressed_offset, voffset)
+    off = 0
+    coffset = 0
+    with open(path, "wb") as fh:
+        while off < len(blob):
+            n = random.choice([37, 100, 511, 4096, 65000])
+            chunk = blob[off : off + n]
+            boundaries.append((off, coffset << 16))
+            b = bgzf_block(chunk)
+            fh.write(b)
+            coffset += len(b)
+            off += len(chunk)
+        eof_voff = coffset << 16
+        fh.write(BGZF_EOF)
+
+    def voff_of(uoff: int) -> int:
+        # virtual offset for an uncompressed byte offset
+        lo = max(b for b in boundaries if b[0] <= uoff)
+        return lo[1] | (uoff - lo[0])
+
+    # record-start uncompressed offsets (after the 2 header lines)
+    rec_offs = []
+    p = 0
+    for ln in lines:
+        if not ln.startswith("#"):
+            rec_offs.append(p)
+        p += len(ln.encode()) + 1
+    first_voff = voff_of(rec_offs[0])
+    return path, recs, [voff_of(o) for o in rec_offs], first_voff, eof_voff
+
+
+def _dsv2_read(spark, path, parts, regions=""):
+    pstr = "|".join(";".join(f"{b}:{e}" for b, e in p) for p in parts)
+    return (
+        spark.read.format("exonspark.spark.VcfBgzfSource")
+        .option("path", path)
+        .option("partitions", pstr)
+        .option("regions", regions)
+        .load()
+    )
+
+
+def _expected_rows(recs):
+    def dot(s, sep=None):
+        if s in (".", ""):
+            return None
+        return s.split(sep) if sep else s
+
+    out = []
+    for c, p, i_, r, a, q, f, inf in recs:
+        try:
+            qv = None if q in (".", "") else float(q)
+        except ValueError:
+            qv = None
+        out.append((c, p, dot(i_, ";"), r, dot(a, ","), qv, dot(f, ";"), dot(inf)))
+    return sorted(out, key=lambda t: (t[0], t[1]))
+
+
+def test_vcf_dsv2_adversarial_content(spark, adversarial_vcf):
+    """Full 8-column parse over tiny blocks + block-spanning lines must
+    match the reference semantics exactly, for a single partition AND for
+    partitions cut at every single record boundary."""
+    path, recs, rec_voffs, first, eof = adversarial_vcf
+    expected = _expected_rows(recs)
+
+    layouts = [
+        [[(first, eof)]],                                    # one range
+        [[(v, rec_voffs[i + 1] if i + 1 < len(rec_voffs) else eof)]
+         for i, v in enumerate(rec_voffs)],                  # 1 record/part
+    ]
+    # random contiguous groupings
+    random.seed(99)
+    cutpts = sorted(random.sample(range(1, len(rec_voffs)), 10))
+    bounds = [first] + [rec_voffs[c] for c in cutpts] + [eof]
+    layouts.append([[(bounds[i], bounds[i + 1])] for i in range(len(bounds) - 1)])
+
+    for parts in layouts:
+        df = _dsv2_read(spark, path, parts)
+        got = sorted(
+            (
+                (
+                    r.chrom,
+                    r.pos,
+                    list(r.id) if r.id is not None else None,
+                    r.ref,
+                    list(r.alt) if r.alt is not None else None,
+                    r.qual,
+                    list(r.filter) if r.filter is not None else None,
+                    r.info,
+                )
+                for r in df.collect()
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        assert len(got) == len(expected)
+        for g, e in zip(got, expected):
+            gc, gp, gi, gr, ga, gq, gf, ginf = g
+            ec, ep, ei, er, ea, eq, ef, einf = e
+            assert (gc, gp, gi, gr, ga, gf, ginf) == (ec, ep, ei, er, ea, ef, einf), (g, e)
+            assert (gq is None) == (eq is None)
+            if gq is not None:
+                assert abs(gq - eq) < 1e-6
+
+
+def test_vcf_dsv2_region_filter_semantics(spark, adversarial_vcf):
+    """Bounded regions: chrom byte-equality + 1-based inclusive pos
+    bounds, multiple regions OR'd."""
+    path, recs, rec_voffs, first, eof = adversarial_vcf
+    parts = [[(first, eof)]]
+    df = _dsv2_read(
+        spark, path, parts, regions="chrA:1:500,chrB:1000:2000"
+    )
+    got = sorted((r.chrom, r.pos) for r in df.select("chrom", "pos").collect())
+    exp = sorted(
+        (c, p)
+        for c, p, *_ in recs
+        if (c == "chrA" and 1 <= p <= 500) or (c == "chrB" and 1000 <= p <= 2000)
+    )
+    assert got == exp
+    # empty projection still counts every in-range record
+    n = _dsv2_read(spark, path, parts, regions="chrC:1:%d" % (2**62)).count()
+    assert n == sum(1 for c, *_ in recs if c == "chrC")
