@@ -131,20 +131,22 @@ def fingerprint(
     ``norm`` is pinned behind an ``explode(array(...))`` Generate barrier
     (the shingled_docs idiom): projected plainly, Catalyst inlines the
     regexp_replace chain into every per-window ``substring`` lambda
-    element — O(len²) regex work per doc. The window minimum is computed
-    by the explode + partial-min shape (_explode_min_window), not an
-    array_min(transform(...)) higher-order function: HOF lambdas are
-    interpreted per element, while Generate + md5 + HashAggregate all
-    stay inside whole-stage codegen (measured 2.8s -> ~0.9s at sf0.1 for
-    the same md5-per-window work). md5/h32 itself is the portable-hash
-    contract with the DuckDB oracle."""
+    element — O(len²) regex work per doc. The window minimum stays the
+    map-side ``array_min(transform(...))`` (_fp_cols): an r6 experiment
+    rebuilt it as explode + codegen'd md5 + partial-min agg on the theory
+    that interpreted HOF lambdas were the cost — measured WORSE at both
+    scales once input parallelism was fixed (0.40s vs 0.76s at sf0.1,
+    22.1s vs 24.6s at 500k docs): the per-window md5 dominates either
+    shape, and the agg form adds a Generate + exchange the per-row
+    array_min never pays. The real r6 fix was fanout_repartition — the
+    single-row-group input serialized the whole operator on one core.
+    md5/h32 is the portable-hash contract with the DuckDB oracle."""
     df = fanout_repartition(df)
     d = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array(_norm_expr(text_col))).alias("_norm"),
+        F.explode(F.array(_norm_expr(text_col))).alias("norm"),
     )
-    d = d.select("doc_id", F.md5(F.col("_norm")).alias("fingerprint"), "_norm")
-    return _explode_min_window(d, ["fingerprint"], window)
+    return d.select("doc_id", *_fp_cols(F.col("norm"), window))
 
 
 def _norm_expr(text_col: str) -> Column:
@@ -157,44 +159,17 @@ def _norm_expr(text_col: str) -> Column:
     )
 
 
-def _explode_min_window(d: DataFrame, carry: list[str], window: int) -> DataFrame:
-    """min-over-rolling-windows via Generate + codegen'd md5 + partial-min
-    aggregation. ``d`` must have doc_id and _norm plus per-doc ``carry``
-    columns, which ride the explode unchanged (codegen keeps them in
-    locals — no copy per window row) and come back out via first().
-
-    Scale shape: the fan-out (one row per window position) collapses
-    map-side — the partial HashAggregate reduces each task to its
-    distinct doc_ids before the exchange, so the shuffle carries one
-    ~150-byte row per document, not per window. The per-window work
-    (substring + md5) is whole-stage-codegen'd, unlike a
-    transform()-lambda which the engine interprets per element."""
-    win = d.select(
-        "doc_id",
-        # one struct, not N loose columns: the partial agg then keeps a
-        # single first() buffer instead of N per-row-checked ones
-        F.struct(*carry).alias("_c"),
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length(F.col("_norm")) - (window - 1), F.lit(1)),
-            )
-        ).alias("_i"),
-        F.col("_norm"),
-    ).select(
-        "doc_id",
-        "_c",
-        h32(F.col("_norm").substr(F.col("_i"), F.lit(window))).alias("_wh"),
+def _fp_cols(norm: Column, window: int) -> list[Column]:
+    wins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(norm) - (window - 1), F.lit(1))
+        ),
+        lambda i: F.substring(norm, i, window),
     )
-    agg = win.groupBy("doc_id").agg(
-        F.first("_c").alias("_c"),
-        F.min("_wh").alias("min_window_hash"),
-    )
-    return agg.select(
-        "doc_id",
-        *[F.col(f"_c.{c}").alias(c) for c in carry],
-        "min_window_hash",
-    )
+    return [
+        F.md5(norm).alias("fingerprint"),
+        F.array_min(F.transform(wins, lambda w: h32(w))).alias("min_window_hash"),
+    ]
 
 
 def text_profile(
@@ -211,11 +186,10 @@ def text_profile(
 
     This is the shape a 100 TB profiling pass wants: the three standalone
     operators each re-scan the table; chained per-document maps should
-    share the scan. Output = text_stats ∥ lang_id ∥ fingerprint columns.
-    The min-window fingerprint rides the _explode_min_window shape (see
-    there for why it beats an array_min(transform(...)) HOF), so the
-    whole profile costs one scan plus one per-document-row exchange —
-    the per-window fan-out collapses map-side before the shuffle."""
+    share the scan. Output = text_stats ∥ lang_id ∥ fingerprint columns,
+    joined-on-doc_id-equivalent but with no join (and no shuffle at all —
+    the min-window hash is a per-row array_min, see fingerprint's
+    docstring for the measured rejection of the agg-based alternative)."""
     df = fanout_repartition(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -233,20 +207,9 @@ def text_profile(
         "doc_id",
         *_stats_cols(F.col("_t"), F.col("_p.toks")),
         *_lang_score_cols(F.col("_p.toks")),
-        F.md5(F.col("_p.norm")).alias("fingerprint"),
-        F.col("_p.norm").alias("_norm"),
+        *_fp_cols(F.col("_p.norm"), window),
     )
-    carry = [
-        "n_tokens",
-        "n_bpe_tokens",
-        "avg_token_len",
-        "punct_ratio",
-        "stopword_ratio",
-        *[f"s_{lang}" for lang in _LANG_ORDER],
-        "fingerprint",
-    ]
-    agg = _explode_min_window(level1, carry, window)
-    return agg.select(
+    return level1.select(
         "doc_id",
         "n_tokens",
         "n_bpe_tokens",
