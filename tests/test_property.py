@@ -150,3 +150,69 @@ def test_fixtures_xl_voffset_arithmetic(tmp_path_factory, lens):
         for i, rec in enumerate(recs):
             got = bg.read_range(int(v_start[i]), int(v_end[i]))
             assert got == rec, f"record {i} (len {len(rec)})"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_chunks=st.integers(1, 6),
+    n_cuts=st.integers(0, 40),
+    target=st.integers(1, 64),
+    data=st.data(),
+)
+def test_dsv2_partition_planner_tiles_chunks(n_chunks, n_cuts, target, data):
+    """_plan_dsv2_partitions must tile the tabix chunks exactly for ANY
+    linear index / chunk layout / target: ranges are disjoint, ordered,
+    and their union equals the chunk list — no record window lost or
+    duplicated at a cut — and the partition count never exceeds the
+    number of subranges."""
+    from exon_spark.sources.indexes import TabixIndex
+    from exon_spark.sources.jvm_fast import _plan_dsv2_partitions
+
+    # random disjoint chunks in virtual-offset space
+    points = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, 1 << 40),
+                min_size=2 * n_chunks,
+                max_size=2 * n_chunks,
+                unique=True,
+            )
+        )
+    )
+    chunks = [(points[2 * i], points[2 * i + 1]) for i in range(n_chunks)]
+    # linear index: sorted voffsets anywhere in range (tabix ioffs are
+    # monotonic record starts; the planner must not care where they fall)
+    lin = sorted(
+        data.draw(
+            st.lists(st.integers(0, 1 << 40), min_size=n_cuts, max_size=n_cuts)
+        )
+    )
+    index = TabixIndex(
+        names=["c"],
+        bins=[{4681: list(chunks)}],
+        linear=[lin],
+        col_seq=1,
+        col_begin=2,
+        col_end=0,
+        zero_based=False,
+        skip=0,
+        meta_char="#",
+    )
+    parts = _plan_dsv2_partitions(index, ["c"], target)
+    flat = [r for p in parts for r in p]
+    # disjoint + ordered
+    for (b0, e0), (b1, _e1) in zip(flat, flat[1:]):
+        assert b0 < e0 and e0 <= b1
+    # union == chunks (merge adjacent subranges back together)
+    merged = []
+    for b, e in flat:
+        if merged and merged[-1][1] == b:
+            merged[-1][1] = e
+        else:
+            merged.append([b, e])
+    # tabix_chunks merges overlapping chunk input; compare against that
+    from exon_spark.sources.indexes import tabix_chunks
+
+    expect = tabix_chunks(index, "c")
+    assert [tuple(m) for m in merged] == [tuple(c) for c in expect]
+    assert len(parts) <= max(1, len(flat))
