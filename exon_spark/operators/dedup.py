@@ -158,6 +158,10 @@ def shingled_docs(
     inlines ``split(text)`` into every ``element_at``/``size`` consumer
     (~5x per shingle — measured 10x slowdown end-to-end), and the final
     size filter would re-evaluate the whole shingle transform."""
+    # warmed A/B at sf0.1: spreading a narrow input wins ~0.1-0.3s for
+    # every consumer (minhash/simhash/jaccard partial stages all run
+    # before their first exchange); inert on already-wide inputs
+    df = fanout_repartition(df)
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(tokens(text_col))).alias("toks"),
