@@ -639,31 +639,80 @@ def decontaminate(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 20, driver_edge_limit: int = 1_000_000
+) -> DataFrame:
     """Connected components over near-duplicate pairs -> (doc_id,
     cluster_id), where cluster_id is the minimum doc_id in the component.
     This is the step that turns pairwise near-dup output into actionable
     groups (keep one canonical doc per cluster).
 
-    Iterative min-label propagation: each round, every vertex takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds. Near-dup graphs are forests of tiny
-    dense clusters (diameter 2-4 in practice), so this beats the
-    O(log n)-round large-star/small-star alternation, which pays its
-    constant factor twice per round. Each round is one shuffle join plus
-    one map-side-combined groupBy; the label table (2 longs per doc in
-    any pair) is persisted per round and unpersisted after the next round
-    materializes. Early-stops via a per-round changed-label count.
+    Two regimes, the same split as a broadcast-vs-shuffle join:
+
+    * **Small edge set** (≤ ``driver_edge_limit``, counted after the pair
+      table materializes): union-find on the driver. A near-dup pair list
+      is ~16 bytes/edge, so the default 1M-edge gate collects ≤ ~16 MB —
+      the size class Spark itself broadcasts — and replaces ~diameter
+      shuffle-join rounds with one collect. Near-dup graphs are sparse
+      (pairs survive a similarity threshold), so even 100 TB corpora
+      commonly land here after banding.
+    * **Large edge set**: iterative min-label propagation — each round,
+      every vertex takes the minimum label among itself and its
+      neighbors; converges in O(component diameter) rounds. Near-dup
+      graphs are forests of tiny dense clusters (diameter 2-4 in
+      practice), so this beats the O(log n)-round large-star/small-star
+      alternation, which pays its constant factor twice per round. Each
+      round is one shuffle join plus one map-side-combined groupBy; the
+      label table (2 longs per doc in any pair) is persisted per round
+      and unpersisted after the next round materializes. Early-stops via
+      a per-round changed-label count. (Both regimes produce identical
+      output — pinned by a test that forces ``driver_edge_limit=0``.)
 
     Iterative and therefore not expressible in one SQL statement; the
     DuckDB oracle (q31) uses a recursive CTE over the same pairs.
     """
+    pairs = _materialize(pairs.select("doc_a", "doc_b"), eager=True)
+    if pairs.count() <= driver_edge_limit:
+        rows = pairs.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r.doc_a, r.doc_b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so every root IS the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(doc, find(doc)) for doc in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema["doc_a"].dataType
+        schema = StructType(
+            [
+                StructField("doc_id", id_type),
+                StructField("cluster_id", id_type),
+            ]
+        )
+        res = pairs.sparkSession.createDataFrame(out, schema)
+        pairs.unpersist(False)
+        return res
     edges = _materialize(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         ),
         eager=True,
     )
+    pairs.unpersist(False)
     labels = _materialize(
         edges.select(F.col("src").alias("doc")).distinct().select(
             "doc", F.col("doc").alias("lab")
@@ -678,10 +727,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("doc")
             .agg(F.min("lab").alias("lab"))
         )
-        # lazy persist: the changed-count action below both materializes
-        # the cache AND computes the early-stop signal — one job per round
-        # instead of the eager-materialize-then-count two
-        new_labels = _materialize(nbr_min)
+        # EAGER materialize (lineage truncation) is load-bearing here, not
+        # a perf choice: nbr_min references `labels` twice (join + union),
+        # so with lazy persist the logical plan DOUBLES per round —
+        # exponential tree growth that OOMs the driver around round ~15
+        # on any graph whose diameter forces that many rounds (caught by
+        # test_dup_clusters_regimes_agree's random graph). Checkpointing
+        # each round keeps the plan O(1) per round, the standard shape
+        # for iterative algorithms.
+        new_labels = _materialize(nbr_min, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")

@@ -274,6 +274,30 @@ def test_dup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_regimes_agree(spark):
+    """The driver union-find (small-edge regime) and the distributed
+    min-label propagation (forced via driver_edge_limit=0) must produce
+    identical components on a random sparse graph."""
+    import random
+
+    from exon_spark.operators.dedup import dup_clusters
+
+    random.seed(5)
+    edges = [
+        (random.randrange(200), random.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    small = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    big = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(pairs, driver_edge_limit=0).collect()
+    }
+    assert small == big
+    # every cluster label is the component minimum
+    assert all(lab <= doc for doc, lab in small.items())
+
+
 def test_hash_sample_deterministic_and_nested(spark):
     from exon_spark.operators.sampling import hash_sample
 
