@@ -556,10 +556,20 @@ def semantic_dedup(
         F.col("embedding").alias("vec_b"),
         F.col("_nrm").alias("_nb"),
     )
+    cand = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    # spread the candidate pairs BEFORE the cosine projection: the join
+    # keys on <=n_clusters values and AQE then coalesces its output by
+    # BYTES — a few MB of pair rows land on one task while the cosine
+    # fold is the dominant compute. One round-robin exchange of the
+    # (small) candidate rows buys full-core parallelism for it; at
+    # corpus scale with ~sqrt(n) clusters the join output is already
+    # wide and the exchange is one extra pass over candidate rows, not
+    # over the corpus.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     return (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        cand.select(
             "cluster_id",
             "id_a",
             "id_b",
