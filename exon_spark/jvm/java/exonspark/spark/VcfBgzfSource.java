@@ -61,7 +61,14 @@ import org.apache.spark.unsafe.types.UTF8String;
  * Options (all lowercase):
  *   path        local filesystem path of the .bgz/.gz BGZF VCF
  *   partitions  "beg:end;beg:end|..." — '|'-separated partitions, each a
- *               ';'-separated list of BGZF virtual-offset [beg,end) ranges
+ *               ';'-separated list of BGZF virtual-offset [beg,end) ranges.
+ *               A partition may carry a "ridx@" prefix binding it to ONE
+ *               region of the regions option; its reader then filters by
+ *               that region alone. This reproduces the per-region
+ *               partition semantics of the reference and the Python
+ *               DataSource (overlapping regions each emit their own
+ *               matches — duplicates included); without the prefix the
+ *               partition filters by the OR of all regions.
  *   regions     ','-separated "chrom:lo:hi" (1-based inclusive; parsed
  *               from the right so chrom names may contain ':')
  */
@@ -176,7 +183,14 @@ public class VcfBgzfSource implements TableProvider {
       String[] parts = partitionSpec.split("\\|");
       InputPartition[] out = new InputPartition[parts.length];
       for (int p = 0; p < parts.length; p++) {
-        String[] ranges = parts[p].split(";");
+        String spec = parts[p];
+        int regionIdx = -1;
+        int at = spec.indexOf('@');
+        if (at >= 0) {
+          regionIdx = Integer.parseInt(spec.substring(0, at));
+          spec = spec.substring(at + 1);
+        }
+        String[] ranges = spec.split(";");
         long[] begs = new long[ranges.length];
         long[] ends = new long[ranges.length];
         for (int i = 0; i < ranges.length; i++) {
@@ -184,7 +198,7 @@ public class VcfBgzfSource implements TableProvider {
           begs[i] = Long.parseLong(ranges[i].substring(0, c));
           ends[i] = Long.parseLong(ranges[i].substring(c + 1));
         }
-        out[p] = new VcfPartition(begs, ends);
+        out[p] = new VcfPartition(begs, ends, regionIdx);
       }
       return out;
     }
@@ -202,10 +216,12 @@ public class VcfBgzfSource implements TableProvider {
   static final class VcfPartition implements InputPartition {
     final long[] begs;
     final long[] ends;
+    final int regionIdx; // -1 = filter by all regions OR'd
 
-    VcfPartition(long[] begs, long[] ends) {
+    VcfPartition(long[] begs, long[] ends, int regionIdx) {
       this.begs = begs;
       this.ends = ends;
+      this.regionIdx = regionIdx;
     }
   }
 
@@ -283,6 +299,12 @@ public class VcfBgzfSource implements TableProvider {
         needPos = false;
       } else {
         String[] rs = regionSpec.split(",");
+        if (part.regionIdx >= 0) {
+          // region-scoped partition: filter by its own region only (the
+          // per-region semantics of the Python DataSource — overlapping
+          // regions each emit their own matches)
+          rs = new String[] {rs[part.regionIdx]};
+        }
         regionChroms = new byte[rs.length][];
         regionLo = new long[rs.length];
         regionHi = new long[rs.length];

@@ -140,17 +140,22 @@ _DSV2_TYPES = {
 
 
 def _plan_dsv2_partitions(index, region_list, target: int):
-    """Record-exact BGZF virtual-offset [beg, end) ranges for a region
-    list, cut at the tabix linear-index record offsets and packed into
-    ~`target` partitions balanced by compressed size. Every linear-index
-    entry is the virtual offset of a record start, so cutting there keeps
-    each range a whole number of VCF lines — partitions never split or
-    duplicate a record."""
+    """Record-exact BGZF virtual-offset [beg, end) ranges per region, cut
+    at the tabix linear-index record offsets and packed into ~`target`
+    partitions balanced by compressed size. Every linear-index entry is
+    the virtual offset of a record start, so cutting there keeps each
+    range a whole number of VCF lines — partitions never split or
+    duplicate a record.
+
+    Returns [(region_idx, [(beg, end), ...]), ...]. Partitions never mix
+    regions: each is filtered executor-side by its OWN region only, which
+    reproduces the Python DataSource's per-region scan semantics exactly
+    (overlapping regions each emit their own matches)."""
     from exon_spark.functions.region import parse_region
     from exon_spark.sources.indexes import tabix_chunks
 
-    subranges: list[tuple[int, int]] = []
-    for region in region_list:
+    subranges: list[tuple[int, int, int]] = []  # (region_idx, beg, end)
+    for ridx, region in enumerate(region_list):
         name = parse_region(region)[0]
         chunks = tabix_chunks(index, region) or []
         if not chunks:
@@ -162,25 +167,30 @@ def _plan_dsv2_partitions(index, region_list, target: int):
             prev = cb
             for v in cuts[lo:hi]:
                 if v > prev:
-                    subranges.append((prev, v))
+                    subranges.append((ridx, prev, v))
                     prev = v
             if ce > prev:
-                subranges.append((prev, ce))
+                subranges.append((ridx, prev, ce))
     if not subranges:
         return []
-    span = lambda r: (r[1] >> 16) - (r[0] >> 16)  # noqa: E731
-    per = max(1, sum(span(r) for r in subranges) // max(target, 1))
-    parts: list[list[tuple[int, int]]] = []
+    total = sum((e >> 16) - (b >> 16) for _r, b, e in subranges)
+    per = max(1, total // max(target, 1))
+    parts: list[tuple[int, list[tuple[int, int]]]] = []
     cur: list[tuple[int, int]] = []
+    cur_ridx = subranges[0][0]
     acc = 0
-    for r in subranges:
-        cur.append(r)
-        acc += span(r)
+    for ridx, b, e in subranges:
+        if cur and ridx != cur_ridx:
+            parts.append((cur_ridx, cur))
+            cur, acc = [], 0
+        cur_ridx = ridx
+        cur.append((b, e))
+        acc += (e >> 16) - (b >> 16)
         if acc >= per and len(parts) < target - 1:
-            parts.append(cur)
+            parts.append((cur_ridx, cur))
             cur, acc = [], 0
     if cur:
-        parts.append(cur)
+        parts.append((cur_ridx, cur))
     return parts
 
 
@@ -217,7 +227,10 @@ def read_vcf_region_dsv2(
     ddl = ", ".join(f"{c} {_DSV2_TYPES[c]}" for c in want)
     if not parts:
         return spark.createDataFrame([], ddl)
-    pstr = "|".join(";".join(f"{b}:{e}" for b, e in p) for p in parts)
+    pstr = "|".join(
+        f"{ridx}@" + ";".join(f"{b}:{e}" for b, e in ranges)
+        for ridx, ranges in parts
+    )
     rstr = ",".join(
         f"{n}:{lo}:{hi}" for n, lo, hi in map(parse_region, region_list)
     )

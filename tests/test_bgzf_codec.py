@@ -103,7 +103,17 @@ def test_vcf_dsv2_matches_python_source(spark):
     fx = ensure_format_fixtures("/root/testdata/sf0.01")
     vcf = os.path.join(fx, "variants.vcf.bgz")
     cols = "chrom,pos,id,ref,alt,qual,filter,info"
-    for region in ("chr1", "chr17:1-2000000", "chr1:5000000-90000000"):
+    for region in (
+        "chr1",
+        "chr17:1-2000000",
+        "chr1:5000000-90000000",
+        # OVERLAPPING regions: the Python source scans per region with a
+        # region-scoped filter, so overlap matches are emitted once per
+        # matching region — the DSv2's region-bound partitions must
+        # reproduce that multiset exactly
+        "chr1:1-50000000,chr1:20000000-90000000",
+        "chr17:1-2000000,chr1:1-5000000",
+    ):
         py = (
             spark.read.format("vcf")
             .option("regions", region)
@@ -136,7 +146,10 @@ def test_vcf_dsv2_partition_planner_exact(spark):
     assert len(fine) > len(coarse)
 
     def read_with(parts):
-        pstr = "|".join(";".join(f"{b}:{e}" for b, e in p) for p in parts)
+        pstr = "|".join(
+            f"{ridx}@" + ";".join(f"{b}:{e}" for b, e in ranges)
+            for ridx, ranges in parts
+        )
         return (
             spark.read.format("exonspark.spark.VcfBgzfSource")
             .option("path", vcf)
@@ -150,7 +163,7 @@ def test_vcf_dsv2_partition_planner_exact(spark):
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     # ranges must tile the chunk span: disjoint, ordered, gap-free
-    flat = [r for p in fine for r in p]
+    flat = [r for _ridx, ranges in fine for r in ranges]
     for (b0, e0), (b1, _e1) in zip(flat, flat[1:]):
         assert b0 < e0 and e0 == b1
 

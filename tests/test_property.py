@@ -199,7 +199,8 @@ def test_dsv2_partition_planner_tiles_chunks(n_chunks, n_cuts, target, data):
         meta_char="#",
     )
     parts = _plan_dsv2_partitions(index, ["c"], target)
-    flat = [r for p in parts for r in p]
+    assert all(ridx == 0 for ridx, _ranges in parts)
+    flat = [r for _ridx, ranges in parts for r in ranges]
     # disjoint + ordered
     for (b0, e0), (b1, _e1) in zip(flat, flat[1:]):
         assert b0 < e0 and e0 <= b1
