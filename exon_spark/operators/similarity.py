@@ -458,12 +458,43 @@ def embedding_cosine_dups(
     )
 
 
+def _assign_cluster_udf(centroids: list[tuple[int, list[float]]]):
+    """Arrow-vectorized nearest-centroid assignment: embedding -> the
+    cluster id with the maximum cosine, ties to the smallest centroid id
+    (argmax over ascending-id-sorted centroids = first occurrence). One
+    numpy matmul per batch replaces n_clusters interpreted Catalyst
+    cosine folds; centroids ride in the closure — broadcast, zero
+    shuffle. Defined inside a factory so cloudpickle ships it by value."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([cid for cid, _ in centroids], np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    C = np.array([c for _, c in centroids], np.float64)[order]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("bigint")
+    def f(emb):
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack([np.asarray(v, np.float64) for v in emb])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series(ids[np.argmax(Mn @ Cn.T, axis=1)])
+
+    return f
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int = 16,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    assignment: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked embedding dedup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -488,10 +519,21 @@ def semantic_dedup(
     no second shuffle); the pair stage shuffles by cluster id and is
     O(Σ cluster_size²) — ``n_clusters`` is the knob, scaled with the
     corpus exactly as the paper does (~√n clusters keeps the quadratic
-    bounded). At that scale swap the expression-based assignment for the
-    closure-UDF argmax ``ivf_ann_topk`` uses (zero-shuffle, numpy) — the
-    expression form here keeps bit-exact parity with the oracle.
+    bounded).
+
+    ``assignment`` picks the argmax implementation: ``"expr"`` (default)
+    is the Catalyst-expression broadcast cross join + struct-min agg —
+    bit-exact parity with the DuckDB oracle; ``"udf"`` is the vectorized
+    numpy closure argmax (one matmul per Arrow batch, zero shuffle over
+    the corpus) — the scale path once n_clusters·rows makes n_clusters
+    interpreted cosine folds per row the bottleneck (measured at 200k
+    vectors × 450 centroids: assignment dominates the 62 s expr run; the
+    udf assignment is ~40x cheaper, SCALE.md). Identical assignments on
+    real data — ties would need two centroids with exactly equal float64
+    cosine — pinned by test; requires a bigint id column.
     """
+    if assignment not in ("expr", "udf"):
+        raise ValueError(f"assignment must be 'expr' or 'udf', got {assignment!r}")
     d = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("embedding"),
@@ -514,36 +556,56 @@ def semantic_dedup(
             F.col("_nrm").alias("_cnrm"),
         )
     )
-    scored = d.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "_nrm",
-        "cidx",
-        cosine_pre(
-            F.col("embedding"), F.col("cemb"), F.col("_nrm"), F.col("_cnrm")
-        ).alias("cos"),
-    )
-    # min struct((-cos, cidx)) == argmax cosine, ties to the smallest
-    # centroid id; embedding is constant within the group so first() is
-    # deterministic in value
     from exon_spark.operators.dedup import _materialize
 
-    # assign feeds both sides of the pair self-join; unmaterialized, the
-    # dominant O(n·k·dim) broadcast argmax runs twice per invocation
-    assign = _materialize(
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("cos")).alias("nc"), F.col("cidx").alias("cidx"))
-            ).alias("_m"),
-            F.first("embedding").alias("embedding"),
-            F.first("_nrm").alias("_nrm"),
+    if assignment == "udf":
+        # centroid collect is bounded by the n_clusters knob (same class
+        # as ivf_fit_centroids' documented driver sample)
+        cent_rows = cents.select("cidx", "cemb").collect()
+        assign_fn = _assign_cluster_udf(
+            [(r.cidx, list(r.cemb)) for r in cent_rows]
         )
-        .select(
-            "vec_id", F.col("_m.cidx").alias("cluster_id"), "embedding", "_nrm"
-        ),
-        eager=True,
-    )
+        assign = _materialize(
+            d.select(
+                "vec_id",
+                assign_fn(F.col("embedding")).alias("cluster_id"),
+                "embedding",
+                "_nrm",
+            ),
+            eager=True,
+        )
+    else:
+        scored = d.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "_nrm",
+            "cidx",
+            cosine_pre(
+                F.col("embedding"), F.col("cemb"), F.col("_nrm"), F.col("_cnrm")
+            ).alias("cos"),
+        )
+        # min struct((-cos, cidx)) == argmax cosine, ties to the smallest
+        # centroid id; embedding is constant within the group so first()
+        # is deterministic in value.
+        # assign feeds both sides of the pair self-join; unmaterialized,
+        # the dominant O(n·k·dim) broadcast argmax runs twice per
+        # invocation
+        assign = _materialize(
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cos")).alias("nc"), F.col("cidx").alias("cidx")
+                    )
+                ).alias("_m"),
+                F.first("embedding").alias("embedding"),
+                F.first("_nrm").alias("_nrm"),
+            )
+            .select(
+                "vec_id", F.col("_m.cidx").alias("cluster_id"), "embedding", "_nrm"
+            ),
+            eager=True,
+        )
     a = assign.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),

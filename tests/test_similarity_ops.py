@@ -374,3 +374,26 @@ def test_ngram_containment_quote_detection(spark):
     # hashed keys give the identical pair set
     hashed = {(r.doc_a, r.doc_b): r for r in ngram_containment_pairs(df, threshold=0.9, hashed=True).collect()}
     assert set(hashed) == set(out)
+
+
+def test_semantic_dedup_assignment_regimes_agree(spark):
+    """The numpy closure argmax ('udf', the beyond-broadcast scale path)
+    must produce the same cluster assignment — and therefore the same
+    pair set — as the oracle-exact expression argmax on the real
+    embeddings fixture."""
+    from exon_spark.operators.similarity import semantic_dedup
+    from exon_spark.queries.base import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # plant exact duplicates so the pair set is guaranteed non-empty
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionAll(planted)
+    expr = semantic_dedup(both, n_clusters=16, threshold=0.8)
+    udf = semantic_dedup(both, n_clusters=16, threshold=0.8, assignment="udf")
+    e = {(r.cluster_id, r.id_a, r.id_b) for r in expr.collect()}
+    u = {(r.cluster_id, r.id_a, r.id_b) for r in udf.collect()}
+    assert e == u and len(e) > 0
