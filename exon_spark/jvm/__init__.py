@@ -33,6 +33,7 @@ def _compile_classpath() -> str | None:
         "hadoop-client-api",
         "spark-catalyst_",
         "spark-sql-api_",
+        "spark-sql_",
         "spark-unsafe_",
         "scala-library-",
         "kryo-shaded-",  # UTF8String implements KryoSerializable

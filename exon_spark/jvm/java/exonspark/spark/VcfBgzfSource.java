@@ -143,7 +143,8 @@ public class VcfBgzfSource implements TableProvider {
           options.get("path"),
           options.getOrDefault("partitions", ""),
           options.getOrDefault("regions", ""),
-          required);
+          required,
+          !"false".equalsIgnoreCase(options.getOrDefault("columnar", "true")));
     }
   }
 
@@ -152,12 +153,19 @@ public class VcfBgzfSource implements TableProvider {
     private final String partitionSpec;
     private final String regionSpec;
     private final StructType required;
+    private final boolean columnar;
 
-    VcfScan(String path, String partitionSpec, String regionSpec, StructType required) {
+    VcfScan(
+        String path,
+        String partitionSpec,
+        String regionSpec,
+        StructType required,
+        boolean columnar) {
       this.path = path;
       this.partitionSpec = partitionSpec;
       this.regionSpec = regionSpec;
       this.required = required;
+      this.columnar = columnar;
     }
 
     @Override
@@ -209,7 +217,7 @@ public class VcfBgzfSource implements TableProvider {
       for (int i = 0; i < cols.length; i++) {
         cols[i] = required.fields()[i].name();
       }
-      return new VcfReaderFactory(path, cols, regionSpec);
+      return new VcfReaderFactory(path, cols, regionSpec, columnar);
     }
   }
 
@@ -229,17 +237,36 @@ public class VcfBgzfSource implements TableProvider {
     private final String path;
     private final String[] cols;
     private final String regionSpec;
+    private final boolean columnar;
 
-    VcfReaderFactory(String path, String[] cols, String regionSpec) {
+    VcfReaderFactory(String path, String[] cols, String regionSpec, boolean columnar) {
       this.path = path;
       this.cols = cols;
       this.regionSpec = regionSpec;
+      this.columnar = columnar;
     }
 
     @Override
     public PartitionReader<InternalRow> createReader(InputPartition partition) {
       try {
         return new VcfPartitionReader(path, cols, regionSpec, (VcfPartition) partition);
+      } catch (IOException e) {
+        throw new RuntimeException("vcf-bgzf: cannot open " + path, e);
+      }
+    }
+
+    @Override
+    public boolean supportColumnarReads(InputPartition partition) {
+      return columnar;
+    }
+
+    @Override
+    public PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch>
+        createColumnarReader(InputPartition partition) {
+      try {
+        return new VcfColumnarReader(
+            new VcfPartitionReader(path, cols, regionSpec, (VcfPartition) partition),
+            cols);
       } catch (IOException e) {
         throw new RuntimeException("vcf-bgzf: cannot open " + path, e);
       }
@@ -324,11 +351,22 @@ public class VcfBgzfSource implements TableProvider {
 
     @Override
     public boolean next() throws IOException {
+      if (!nextFields()) {
+        return false;
+      }
+      current = buildRow();
+      return true;
+    }
+
+    /** Advance to the next line that passes the header/blank/region
+     * checks, leaving its bytes in lbuf/llen and field ends in tabs.
+     * Shared by the row and columnar readers. */
+    boolean nextFields() throws IOException {
       while (true) {
         if (!fillLine()) {
           return false;
         }
-        if (parseLine()) {
+        if (parseFields()) {
           return true;
         }
       }
@@ -378,8 +416,11 @@ public class VcfBgzfSource implements TableProvider {
       }
     }
 
-    /** Parse lbuf into `current`; false to skip (header/blank/filtered). */
-    private boolean parseLine() {
+    long linePos; // parsed POS of the current line (Long.MIN_VALUE = null)
+
+    /** Scan tabs + parse POS + apply the region filter on lbuf; false to
+     * skip (header/blank/filtered). */
+    private boolean parseFields() {
       if (llen == 0 || lbuf[0] == '#') {
         return false;
       }
@@ -393,15 +434,15 @@ public class VcfBgzfSource implements TableProvider {
         tabs[f] = llen; // missing trailing fields read as empty
       }
       int chromEnd = tabs[0];
-      long pos = Long.MIN_VALUE;
+      linePos = Long.MIN_VALUE;
       if (needPos || contains(fieldOf, 1)) {
-        pos = parseLong(chromEnd + 1, tabs[1]);
+        linePos = parseLong(chromEnd + 1, tabs[1]);
       }
       if (regionChroms.length > 0) {
         boolean hit = false;
         for (int r = 0; r < regionChroms.length; r++) {
           if (bytesEqual(regionChroms[r], lbuf, 0, chromEnd)
-              && (!needPos || (pos >= regionLo[r] && pos <= regionHi[r]))) {
+              && (!needPos || (linePos >= regionLo[r] && linePos <= regionHi[r]))) {
             hit = true;
             break;
           }
@@ -410,20 +451,34 @@ public class VcfBgzfSource implements TableProvider {
           return false;
         }
       }
+      return true;
+    }
+
+    /** Start offset of projected column i's field in lbuf. */
+    int fieldStart(int i) {
+      int f = fieldOf[i];
+      int s = f == 0 ? 0 : tabs[f - 1] + 1;
+      return s > tabs[f] ? llen : s;
+    }
+
+    /** End offset of projected column i's field in lbuf. */
+    int fieldEnd(int i) {
+      int f = fieldOf[i];
+      int s = f == 0 ? 0 : tabs[f - 1] + 1;
+      return s > tabs[f] ? llen : tabs[f];
+    }
+
+    private InternalRow buildRow() {
       Object[] vals = new Object[fieldOf.length];
       for (int i = 0; i < fieldOf.length; i++) {
-        int f = fieldOf[i];
-        int s = f == 0 ? 0 : tabs[f - 1] + 1;
-        int e = tabs[f];
-        if (s > e) { // line had fewer fields
-          s = e = llen;
-        }
+        int s = fieldStart(i);
+        int e = fieldEnd(i);
         switch (colKind[i]) {
           case 0:
-            vals[i] = f == 0 ? chromString(e) : utf8(s, e);
+            vals[i] = fieldOf[i] == 0 ? chromString(e) : utf8(s, e);
             break;
           case 1:
-            vals[i] = pos == Long.MIN_VALUE ? null : (Long) pos;
+            vals[i] = linePos == Long.MIN_VALUE ? null : (Long) linePos;
             break;
           case 2:
             vals[i] = splitNullable(s, e, (byte) ';');
@@ -438,8 +493,7 @@ public class VcfBgzfSource implements TableProvider {
             vals[i] = isDot(s, e) ? null : utf8(s, e);
         }
       }
-      current = new GenericInternalRow(vals);
-      return true;
+      return new GenericInternalRow(vals);
     }
 
     private static boolean contains(int[] a, int v) {
@@ -525,6 +579,131 @@ public class VcfBgzfSource implements TableProvider {
         }
       }
       return new GenericArrayData(out);
+    }
+  }
+
+  /**
+   * Columnar variant: same line/field scanning as VcfPartitionReader (it
+   * wraps one), but emits 4096-row ColumnarBatches of OnHeapColumnVectors
+   * instead of per-row InternalRows — no per-row object allocation, no
+   * per-row reader round trip; the downstream ColumnarToRow is a tight
+   * codegen'd loop. Field bytes are APPENDED into the vectors' storage
+   * (putByteArray), so nothing references the reused line buffer.
+   */
+  static final class VcfColumnarReader
+      implements PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch> {
+    private static final int CAPACITY = 4096;
+
+    private final VcfPartitionReader core;
+    private final org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[] vecs;
+    private final org.apache.spark.sql.vectorized.ColumnarBatch batch;
+    private final int[] elemIdx; // per-column element cursor for array cols
+
+    VcfColumnarReader(VcfPartitionReader core, String[] cols) {
+      this.core = core;
+      StructField[] fields = new StructField[cols.length];
+      for (int i = 0; i < cols.length; i++) {
+        fields[i] = FULL_SCHEMA.fields()[FULL_SCHEMA.fieldIndex(cols[i].toLowerCase())];
+      }
+      vecs =
+          org.apache.spark.sql.execution.vectorized.OnHeapColumnVector.allocateColumns(
+              CAPACITY, fields);
+      batch = new org.apache.spark.sql.vectorized.ColumnarBatch(vecs);
+      elemIdx = new int[cols.length];
+    }
+
+    @Override
+    public boolean next() throws IOException {
+      for (org.apache.spark.sql.execution.vectorized.OnHeapColumnVector v : vecs) {
+        v.reset();
+      }
+      Arrays.fill(elemIdx, 0);
+      int n = 0;
+      while (n < CAPACITY && core.nextFields()) {
+        emitRow(n++);
+      }
+      batch.setNumRows(n);
+      return n > 0;
+    }
+
+    private void emitRow(int rowId) {
+      byte[] lbuf = core.lbuf;
+      for (int i = 0; i < core.fieldOf.length; i++) {
+        org.apache.spark.sql.execution.vectorized.WritableColumnVector v = vecs[i];
+        int s = core.fieldStart(i);
+        int e = core.fieldEnd(i);
+        switch (core.colKind[i]) {
+          case 0:
+            v.putByteArray(rowId, lbuf, s, e - s);
+            break;
+          case 1:
+            if (core.linePos == Long.MIN_VALUE) {
+              v.putNull(rowId);
+            } else {
+              v.putLong(rowId, core.linePos);
+            }
+            break;
+          case 2:
+            putSplit(v, i, rowId, lbuf, s, e, (byte) ';');
+            break;
+          case 3:
+            putSplit(v, i, rowId, lbuf, s, e, (byte) ',');
+            break;
+          case 4:
+            Object f = core.parseFloatNullable(s, e);
+            if (f == null) {
+              v.putNull(rowId);
+            } else {
+              v.putFloat(rowId, (Float) f);
+            }
+            break;
+          default:
+            if (core.isDot(s, e)) {
+              v.putNull(rowId);
+            } else {
+              v.putByteArray(rowId, lbuf, s, e - s);
+            }
+        }
+      }
+    }
+
+    private void putSplit(
+        org.apache.spark.sql.execution.vectorized.WritableColumnVector v,
+        int col,
+        int rowId,
+        byte[] lbuf,
+        int s,
+        int e,
+        byte sep) {
+      if (core.isDot(s, e)) {
+        v.putNull(rowId);
+        return;
+      }
+      org.apache.spark.sql.execution.vectorized.WritableColumnVector elems =
+          v.arrayData();
+      int start = elemIdx[col];
+      int k = start;
+      int tok = s;
+      for (int i = s; i <= e; i++) {
+        if (i == e || lbuf[i] == sep) {
+          elems.reserve(k + 1);
+          elems.putByteArray(k++, lbuf, tok, i - tok);
+          tok = i + 1;
+        }
+      }
+      elemIdx[col] = k;
+      v.putArray(rowId, start, k - start);
+    }
+
+    @Override
+    public org.apache.spark.sql.vectorized.ColumnarBatch get() {
+      return batch;
+    }
+
+    @Override
+    public void close() throws IOException {
+      batch.close();
+      core.close();
     }
   }
 
