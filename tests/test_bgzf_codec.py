@@ -360,3 +360,30 @@ def test_vcf_dsv2_region_filter_semantics(spark, adversarial_vcf):
     # empty projection still counts every in-range record
     n = _dsv2_read(spark, path, parts, regions="chrC:1:%d" % (2**62)).count()
     assert n == sum(1 for c, *_ in recs if c == "chrC")
+
+
+def test_vcf_dsv2_row_and_columnar_readers_agree(spark, adversarial_vcf):
+    """The row-based PartitionReader (columnar=false, the fallback) must
+    produce the same multiset as the default ColumnarBatch reader on the
+    adversarial fixture."""
+    path, recs, rec_voffs, first, eof = adversarial_vcf
+    parts = [[(first, eof)]]
+
+    def read(columnar):
+        pstr = "|".join(";".join(f"{b}:{e}" for b, e in p) for p in parts)
+        return (
+            spark.read.format("exonspark.spark.VcfBgzfSource")
+            .option("path", path)
+            .option("partitions", pstr)
+            .option("regions", "")
+            .option("columnar", str(columnar).lower())
+            .load()
+        )
+
+    col, row = read(True), read(False)
+    assert col.count() == row.count() == len(recs)
+    assert col.exceptAll(row).count() == 0
+    assert row.exceptAll(col).count() == 0
+    # and the row path is actually row-based (no ColumnarToRow)
+    plan = row._jdf.queryExecution().executedPlan().toString()
+    assert "ColumnarToRow" not in plan
