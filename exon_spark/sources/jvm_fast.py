@@ -140,27 +140,56 @@ _DSV2_TYPES = {
 
 
 def _plan_dsv2_partitions(index, region_list, target: int):
-    """Record-exact BGZF virtual-offset [beg, end) ranges per region, cut
-    at the tabix linear-index record offsets and packed into ~`target`
-    partitions balanced by compressed size. Every linear-index entry is
-    the virtual offset of a record start, so cutting there keeps each
-    range a whole number of VCF lines — partitions never split or
-    duplicate a record.
+    """Tabix entry point for _plan_voff_partitions: chunks from the bin
+    index, cut points from the linear index."""
+    from exon_spark.functions.region import parse_region
+    from exon_spark.sources.indexes import tabix_chunks
 
+    per_region = []
+    for ridx, region in enumerate(region_list):
+        name = parse_region(region)[0]
+        chunks = tabix_chunks(index, region) or []
+        if chunks:
+            cuts = sorted(set(index.linear[index.names.index(name)]))
+            per_region.append((ridx, chunks, cuts))
+    return _plan_voff_partitions(per_region, target)
+
+
+def _plan_csi_partitions(cindex, region_list, target: int):
+    """CSI entry point (htslib ``tabix --csi`` layout): chunks from the
+    binning index, cut points from the per-bin loffsets — both are
+    record-start virtual offsets, same contract as the tabix linear
+    index."""
+    from exon_spark.functions.region import parse_region
+    from exon_spark.sources.indexes import csi_chunks
+
+    per_region = []
+    for ridx, region in enumerate(region_list):
+        name, lo, hi = parse_region(region)
+        if name not in cindex.names:
+            continue
+        rid = cindex.names.index(name)
+        chunks = csi_chunks(cindex, rid, lo, hi)
+        if chunks:
+            cuts = sorted(set(cindex.loffsets[rid].values()))
+            per_region.append((ridx, chunks, cuts))
+    return _plan_voff_partitions(per_region, target)
+
+
+def _plan_voff_partitions(per_region, target: int):
+    """Record-exact BGZF virtual-offset [beg, end) ranges per region, cut
+    at index record offsets and packed into ~`target` partitions balanced
+    by compressed size. Every cut point is the virtual offset of a record
+    start, so cutting there keeps each range a whole number of VCF lines
+    — partitions never split or duplicate a record.
+
+    ``per_region`` = [(region_idx, merged_chunks, sorted_cut_voffsets)].
     Returns [(region_idx, [(beg, end), ...]), ...]. Partitions never mix
     regions: each is filtered executor-side by its OWN region only, which
     reproduces the Python DataSource's per-region scan semantics exactly
     (overlapping regions each emit their own matches)."""
-    from exon_spark.functions.region import parse_region
-    from exon_spark.sources.indexes import tabix_chunks
-
     subranges: list[tuple[int, int, int]] = []  # (region_idx, beg, end)
-    for ridx, region in enumerate(region_list):
-        name = parse_region(region)[0]
-        chunks = tabix_chunks(index, region) or []
-        if not chunks:
-            continue
-        cuts = sorted(set(index.linear[index.names.index(name)]))
+    for ridx, chunks, cuts in per_region:
         for cb, ce in chunks:
             lo = bisect.bisect_right(cuts, cb)
             hi = bisect.bisect_left(cuts, ce)
@@ -210,8 +239,10 @@ def read_vcf_region_dsv2(
     At cluster scale the planned ranges ship inside InputPartitions, so
     executors need only the file itself (any shared/posix fs); partition
     count tracks defaultParallelism, not file count."""
+    import os
+
     from exon_spark.functions.region import expand_regions, parse_region
-    from exon_spark.sources.indexes import read_tabix
+    from exon_spark.sources.indexes import read_csi, read_tabix
 
     want = (
         [c.strip() for c in columns.split(",") if c.strip()]
@@ -221,9 +252,16 @@ def read_vcf_region_dsv2(
     if not set(want) <= set(_DSV2_TYPES):
         return None
     region_list = expand_regions(regions)
-    index = read_tabix(path + ".tbi")
     target = spark.sparkContext.defaultParallelism * 2
-    parts = _plan_dsv2_partitions(index, region_list, target)
+    if os.path.exists(path + ".tbi"):
+        parts = _plan_dsv2_partitions(read_tabix(path + ".tbi"), region_list, target)
+    elif os.path.exists(path + ".csi"):
+        cindex = read_csi(path + ".csi")
+        if not cindex.names:
+            return None  # BCF/BAM-style .csi without the tabix aux names
+        parts = _plan_csi_partitions(cindex, region_list, target)
+    else:
+        return None
     ddl = ", ".join(f"{c} {_DSV2_TYPES[c]}" for c in want)
     if not parts:
         return spark.createDataFrame([], ddl)
@@ -287,7 +325,7 @@ def read_vcf_region_jvm(
     if set(want) <= set(_DSV2_TYPES):
         import os as _os
 
-        if _os.path.exists(path + ".tbi"):
+        if _os.path.exists(path + ".tbi") or _os.path.exists(path + ".csi"):
             try:
                 dsv2 = read_vcf_region_dsv2(spark, path, regions, want)
                 if dsv2 is not None:
@@ -418,7 +456,8 @@ def _vcf_region_jvm_route(path: str, options: dict, spark=None):
     import os
 
     tbi = path + ".tbi"
-    if not os.path.exists(tbi):
+    csi = path + ".csi"
+    if not os.path.exists(tbi) and not os.path.exists(csi):
         return None
     if spark is not None:
         from exon_spark.sources.bgzf_view import codec_active
@@ -426,21 +465,43 @@ def _vcf_region_jvm_route(path: str, options: dict, spark=None):
         if not codec_active(spark):
             return None
     try:
-        from exon_spark.functions.region import expand_regions
-        from exon_spark.sources.indexes import read_tabix, tabix_chunks
+        from exon_spark.functions.region import expand_regions, parse_region
+        from exon_spark.sources.indexes import (
+            csi_chunks,
+            read_csi,
+            read_tabix,
+            tabix_chunks,
+        )
 
-        index = read_tabix(tbi)
-        span = 0
         chunks: list[tuple[int, int]] = []
-        for region in expand_regions(str(regions)):
-            for cb, ce in tabix_chunks(index, region):
-                span += (ce >> 16) - (cb >> 16)
-                chunks.append((cb, ce))
+        if os.path.exists(tbi):
+            index = read_tabix(tbi)
+            for region in expand_regions(str(regions)):
+                chunks.extend(tabix_chunks(index, region) or [])
+        else:
+            # htslib `tabix --csi` layout: the DSv2 plans from the CSI
+            # directly; only route when the aux names are present (the
+            # Python path keeps csi files the DSv2 can't serve)
+            cindex = read_csi(csi)
+            if not cindex.names:
+                return None
+            for region in expand_regions(str(regions)):
+                name, lo, hi = parse_region(region)
+                if name in cindex.names:
+                    chunks.extend(
+                        csi_chunks(cindex, cindex.names.index(name), lo, hi)
+                    )
         size = os.path.getsize(path)
-        if not path.lower().endswith(".bgz") and chunks:
-            # .gz name: the scan must go through the pruned view (the raw
-            # fallback would hit the unsplittable gzip codec) — build it
-            # eagerly so failure routes to the Python path instead
+        if (
+            os.path.exists(tbi)
+            and not path.lower().endswith(".bgz")
+            and chunks
+        ):
+            # .gz name: the codec+text FALLBACK must go through the pruned
+            # view (the raw path would hit the unsplittable gzip codec) —
+            # build it eagerly so failure routes to the Python path
+            # instead. csi-only files skip this: their fallback-of-last-
+            # resort is the filtered full scan, still correct.
             from exon_spark.sources.bgzf_view import build_region_view
 
             build_region_view(path, chunks)

@@ -387,3 +387,31 @@ def test_vcf_dsv2_row_and_columnar_readers_agree(spark, adversarial_vcf):
     # and the row path is actually row-based (no ColumnarToRow)
     plan = row._jdf.queryExecution().executedPlan().toString()
     assert "ColumnarToRow" not in plan
+
+
+def test_vcf_dsv2_csi_only_routing(spark, tmp_path):
+    """htslib `tabix --csi` layout (no .tbi): the region scan must still
+    route to the DSv2 byte parser (chunks from the CSI bins, cut points
+    from the per-bin loffsets) and match the Python source exactly."""
+    import shutil
+
+    from exon_spark.queries.formats import ensure_format_fixtures
+    from exon_spark.sources import read_format
+    from exon_spark.sources.indexes import build_csi_vcf
+
+    fx = ensure_format_fixtures("/root/testdata/sf0.01")
+    dst = str(tmp_path / "v.vcf.gz")
+    shutil.copy(os.path.join(fx, "variants.vcf.bgz"), dst)
+    build_csi_vcf(dst)
+    df = read_format(spark, "vcf", dst, regions="chr1", columns="chrom,pos,id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "VcfBgzfScan" in plan
+    py = (
+        spark.read.format("vcf")
+        .option("regions", "chr1")
+        .load(dst)
+        .select("chrom", "pos", "id")
+    )
+    assert df.exceptAll(py).count() == 0
+    assert py.exceptAll(df).count() == 0
+    assert df.count() == py.count()
