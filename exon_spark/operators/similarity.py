@@ -482,8 +482,20 @@ def _assign_cluster_udf(centroids: list[tuple[int, list[float]]]):
         if len(emb) == 0:
             return pd.Series([], dtype="int64")
         M = np.stack([np.asarray(v, np.float64) for v in emb])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        return pd.Series(ids[np.argmax(Mn @ Cn.T, axis=1)])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        if not nrm.all():
+            # the expression path raises DIVIDE_BY_ZERO here under ANSI
+            # (the session default); fail the same way, not NaN-silently
+            raise ArithmeticError(
+                "zero-norm embedding in semantic_dedup assignment"
+            )
+        Mn = M / nrm
+        # round to 6 dp BEFORE the argmax, mirroring the expr path's
+        # cosine_pre(..., digits=6): centroids within ~1e-6 of the max
+        # cosine tie in both regimes and resolve to the smallest centroid
+        # id (first occurrence over ascending-id-sorted centroids here,
+        # struct-min cidx tie-break there).
+        return pd.Series(ids[np.argmax(np.round(Mn @ Cn.T, 6), axis=1)])
 
     return f
 
@@ -528,9 +540,14 @@ def semantic_dedup(
     the corpus) — the scale path once n_clusters·rows makes n_clusters
     interpreted cosine folds per row the bottleneck (measured at 200k
     vectors × 450 centroids: assignment dominates the 62 s expr run; the
-    udf assignment is ~40x cheaper, SCALE.md). Identical assignments on
-    real data — ties would need two centroids with exactly equal float64
-    cosine — pinned by test; requires a bigint id column.
+    udf assignment is ~40x cheaper, SCALE.md). Both regimes argmax over
+    cosines rounded to 6 dp with ties to the smallest centroid id, so
+    assignments agree even when two centroids sit within 1e-6 of the max
+    (the only residual divergence is a cosine landing exactly on a
+    .5-at-the-7th-decimal rounding boundary, where Spark rounds half-up
+    and numpy half-even — measure-zero on real embeddings); pinned by
+    test. Zero-norm embeddings raise in both regimes (ANSI
+    DIVIDE_BY_ZERO / ArithmeticError). Requires a bigint id column.
     """
     if assignment not in ("expr", "udf"):
         raise ValueError(f"assignment must be 'expr' or 'udf', got {assignment!r}")

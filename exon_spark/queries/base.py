@@ -135,11 +135,15 @@ def _MICRO_SUM(expr: str) -> str:
 
     Overflow bound (Spark side): |group sum| < 2^63 micro-units =
     9.2e12 currency units — 30x headroom at bench scale (sf0.1 group sums
-    ~3e11) and safe through TPC-H sf1. Past that, either sum partition-
-    partial bigints and merge the ~num_partitions partials as decimal
-    (partition row counts are bounded by maxPartitionBytes, so partials
-    cannot overflow by construction), or use SUM_D_DEC below — the exact
-    decimal spelling this replaced, kept for beyond-sf1 workloads.
+    ~3e11) and safe through TPC-H sf1. The bound is ENFORCED, not just
+    documented: sessions run Spark 4's default ANSI mode, where a bigint
+    SUM past 2^63 raises ARITHMETIC_OVERFLOW instead of wrapping — a
+    beyond-headroom run fails loudly (pinned by
+    test_micro_sum_overflow_raises). DuckDB's side promotes to hugeint
+    and cannot overflow. A session that disables ANSI gives up that
+    guard — use SUM_D_DEC there for beyond-sf1 workloads (the exact
+    decimal spelling this replaced), or sum partition-partial bigints
+    and merge the partials as decimal.
     """
     return f"sum(cast(round(round({expr}, 6) * 1000000) as bigint))"
 

@@ -302,21 +302,13 @@ def read_vcf_region_jvm(
     Row semantics match the Python DataSource exactly: same dot-null
     handling, same region_match filter (1-based inclusive,
     udfs/vcf/mod.rs:107-121)."""
-    from exon_spark.functions.region import (
-        expand_regions,
-        parse_region,
-        region_match,
-    )
+    from exon_spark.functions.region import expand_regions
 
     region_list = expand_regions(regions)
-    names = sorted({parse_region(r)[0] for r in region_list})
     if isinstance(columns, str):
         want = [c.strip() for c in columns.split(",") if c.strip()]
     else:
         want = list(columns) if columns else list(_VCF_BASE_COLS)
-    idx = {c: i for i, c in enumerate(_VCF_BASE_COLS)}
-    needed = set(want) | {"chrom", "pos"}
-    max_i = max(idx[c] for c in needed)
 
     # Fastest route first: the Java DataSourceV2 parses projected fields
     # straight from the inflated bytes (no LineReader copy, no full-line
@@ -332,6 +324,43 @@ def read_vcf_region_jvm(
                     return dsv2
             except Exception:
                 pass
+
+    if len(region_list) > 1:
+        # Per-region multiset semantics (pinned equal to the DSv2 and
+        # Python-DataSource routes by test): a record overlapped by k
+        # requested regions appears k times, once from each region's
+        # branch. The OR-of-predicates spelling this replaces emitted
+        # shared records once — a different multiset for overlapping or
+        # duplicate region lists. Each branch prunes to its own region's
+        # index chunks, so the union scans no more blocks than the merged
+        # view did (shared blocks are decoded once per overlapping region,
+        # the price of the exact semantics; multi-region codec-path scans
+        # are rare — DSv2 serves them when the class is present).
+        from functools import reduce
+
+        return reduce(
+            DataFrame.unionAll,
+            [
+                _vcf_codec_text_scan(spark, path, [r], want)
+                for r in region_list
+            ],
+        )
+    return _vcf_codec_text_scan(spark, path, region_list, want)
+
+
+def _vcf_codec_text_scan(
+    spark: SparkSession, path: str, region_list: list[str], want: list[str]
+) -> DataFrame:
+    """The codec+text fallback for one region group: BGZF-view (or
+    full-file) ``spark.read.text`` scan + codegen'd prefix filter + field
+    extraction. Region semantics are single-region here — multi-region
+    calls go through read_vcf_region_jvm's per-region union."""
+    from exon_spark.functions.region import parse_region, region_match
+
+    names = sorted({parse_region(r)[0] for r in region_list})
+    idx = {c: i for i, c in enumerate(_VCF_BASE_COLS)}
+    needed = set(want) | {"chrom", "pos"}
+    max_i = max(idx[c] for c in needed)
 
     # Index pruning: scan an exoncat:// view holding only the regions'
     # BGZF blocks (driver-planned from the tabix index, boundary blocks

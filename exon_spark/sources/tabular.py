@@ -199,12 +199,26 @@ def _tabix_lines_rdd(spark: SparkSession, path: str, regions: str):
     ):
         return None
     idx = read_tabix(path + ".tbi")
-    all_chunks = []
+    # Merge chunk lists across regions per chromosome BEFORE grouping:
+    # tabular region reads have distinct-matching-lines semantics (the
+    # residual OR-of-overlaps predicate in the callers emits each line
+    # once), and both the codec view route (build_region_view merges its
+    # chunk list) and the no-index scan+filter route already behave that
+    # way. Without this merge, overlapping regions put shared chunks in
+    # two groups and the Python fallback emitted shared lines twice —
+    # a route-dependent multiset. (VCF region scans are the deliberate
+    # contrast: per-region multiset, pinned in jvm_fast/the DataSource.)
+    from exon_spark.sources.bgzf_view import merge_chunks
+
+    per_name: dict[str, list] = {}
     for region in expand_regions(regions):
         chunks = tabix_chunks(idx, region)
         if chunks:
-            name = parse_region(region)[0]
-            all_chunks.append((chunks, idx.linear[idx.names.index(name)]))
+            per_name.setdefault(parse_region(region)[0], []).extend(chunks)
+    all_chunks = [
+        (merge_chunks(chunks), idx.linear[idx.names.index(name)])
+        for name, chunks in per_name.items()
+    ]
     total = sum(
         (ce >> 16) - (cb >> 16) for chunks, _ in all_chunks for cb, ce in chunks
     )

@@ -205,6 +205,31 @@ def test_region_view_projection_plan(spark, monkeypatch):
     assert "exoncat" in plan
 
 
+def test_vcf_region_jvm_fallback_overlapping_regions(spark, monkeypatch):
+    """The codec+text FALLBACK must preserve the per-region multiset
+    semantics the DSv2 and Python-DataSource routes pin: a record
+    overlapped by k requested regions appears k times. The old OR-filter
+    spelling emitted shared records once."""
+    from exon_spark.queries.formats import ensure_format_fixtures
+    from exon_spark.sources import jvm_fast
+    from exon_spark.sources.jvm_fast import read_vcf_region_jvm
+
+    monkeypatch.setattr(jvm_fast, "read_vcf_region_dsv2", lambda *a, **k: None)
+    fx = ensure_format_fixtures("/root/testdata/sf0.01")
+    vcf = os.path.join(fx, "variants.vcf.bgz")
+    for region in (
+        "chr1:1-50000000,chr1:20000000-90000000",  # overlapping span
+        "chr17:1-2000000,chr17:1-2000000",  # exact duplicate
+        "chr17:1-2000000,chr1:1-5000000",  # disjoint control
+    ):
+        py = spark.read.format("vcf").option("regions", region).load(vcf)
+        jvm = read_vcf_region_jvm(spark, vcf, region)
+        assert jvm.schema == py.schema
+        assert jvm.count() == py.count()
+        assert jvm.exceptAll(py).count() == 0
+        assert py.exceptAll(jvm).count() == 0
+
+
 @pytest.fixture(scope="module")
 def adversarial_vcf(tmp_path_factory):
     """Hand-built bgzf VCF with every parser edge: dot/empty/multi-valued

@@ -34,3 +34,30 @@ def test_streaming_specs_inside_window():
 def test_every_query_has_oracle_or_is_streaming():
     for name, spec in ALL_QUERIES.items():
         assert spec.spark_fn is not None, name
+
+
+def test_micro_sum_overflow_raises(spark):
+    """_MICRO_SUM's 2^63-micro-unit headroom is enforced, not advisory:
+    under the session's ANSI mode (the Spark 4 default; no session here
+    overrides it) a group sum past the bound raises ARITHMETIC_OVERFLOW
+    instead of silently wrapping to a wrong result."""
+    import pytest
+
+    from exon_spark.queries.base import SUM_D
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    # 3 terms of 4e12 currency units = 1.2e19 micro-units > 2^63-1
+    spark.createDataFrame(
+        [(4.0e12,), (4.0e12,), (4.0e12,)], "v double"
+    ).createOrReplaceTempView("_overflow_probe")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        spark.sql(
+            f"select {SUM_D('v', 'sum_v')} from _overflow_probe"
+        ).collect()
+    # and the in-bounds spelling still sums exactly
+    got = spark.sql(
+        "select "
+        + SUM_D("v", "sum_v")
+        + " from (select 1.25 as v union all select 2.5 as v)"
+    ).collect()[0].sum_v
+    assert got == 3.75

@@ -3,6 +3,7 @@
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -397,3 +398,44 @@ def test_semantic_dedup_assignment_regimes_agree(spark):
     e = {(r.cluster_id, r.id_a, r.id_b) for r in expr.collect()}
     u = {(r.cluster_id, r.id_a, r.id_b) for r in udf.collect()}
     assert e == u and len(e) > 0
+
+
+def test_semantic_dedup_assignment_regimes_agree_on_ties(spark):
+    """Adversarial tie cases both regimes must resolve identically (to
+    the smallest centroid id, after rounding cosines to 6 dp):
+    exact ties — every cone vector has the same cosine to the axis probe;
+    near-ties — two candidates within 1e-6 cosine of the max. Zero-norm
+    embeddings raise loudly in BOTH regimes (ANSI DIVIDE_BY_ZERO /
+    ArithmeticError), never a silent NaN assignment."""
+    import math
+
+    from exon_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    # 6 candidates on a cone around z: cosine(z_probe, v_i) identical
+    for i in range(6):
+        th = 2 * math.pi * i / 6
+        rows.append((i, [2.0 * math.cos(th), 2.0 * math.sin(th), 3.0]))
+    # one candidate nudged so its cosine to the probe differs by < 1e-6
+    rows.append((6, [2.0, 0.0, 3.0 + 1e-8]))
+    rows.append((100, [0.0, 0.0, 1.0]))  # the tied probe
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    for k in (2, 4, 7):
+        expr = semantic_dedup(df, n_clusters=k, threshold=-1.0)
+        udf = semantic_dedup(df, n_clusters=k, threshold=-1.0, assignment="udf")
+        e = sorted((r.cluster_id, r.id_a, r.id_b) for r in expr.collect())
+        u = sorted((r.cluster_id, r.id_a, r.id_b) for r in udf.collect())
+        assert e == u, (k, e, u)
+
+    withzero = df.unionAll(
+        spark.createDataFrame(
+            [(101, [0.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+        )
+    )
+    for mode in ("expr", "udf"):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+            semantic_dedup(
+                withzero, n_clusters=2, threshold=-1.0, assignment=mode
+            ).collect()
