@@ -310,3 +310,50 @@ def epoch_mix(
             F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_n"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    shard and a dense position within it, derived only from the row key —
+    the write pass before sharded training export. ``df.orderBy(rand())``
+    is the wrong tool for the same reason ``df.sample()`` is (module
+    docstring): partition-seeded RNG changes the order with the layout.
+    Content-hash order is reproducible on any engine and any cluster
+    size, and a different ``salt`` yields an independent permutation per
+    epoch without rewriting upstream data.
+
+        shard = h32(key || ':' || salt) % n_shards
+        pos   = dense 1..k rank within the shard, ordered by
+                h32(key || ':pos:' || salt), ties by key
+
+    Output: the assignment triple (<id_col>, shard, pos), deliberately
+    narrow — the shuffle and sort move key-sized rows, not document
+    payloads; join the assignment back by key at write time (or
+    repartition the payload by the computed shard column directly).
+
+    Scale: one shuffle on shard (uniform by construction — hash-balanced,
+    no skew) + one in-shard sort; each shard is ~rows/n_shards, so sizing
+    n_shards to the target shard file size bounds the sort's working set.
+    No window over the whole corpus, no driver collect, no RNG."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(id_col).cast("string")
+    shard = (h32(F.concat(key, F.lit(":" + salt))) % n_shards).cast("int")
+    order = h32(F.concat(key, F.lit(":pos:" + salt)))
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            order.alias("_ord"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select(id_col, "shard", "pos")
+    )

@@ -234,7 +234,10 @@ PII_PATTERNS = {
 
 
 def pii_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    redact: bool = False,
 ) -> DataFrame:
     """Per-document PII signal counts (emails, phone numbers, SSN-shaped
     ids, IPv4 addresses) + a has_pii flag — the redaction/filter pass every
@@ -244,17 +247,37 @@ def pii_stats(
     Counts are independent per pattern (an SSN-shaped string also matches
     nothing else here; phone/SSN differ in group sizes). Output:
     (doc_id, n_emails, n_phones, n_ssns, n_ips, has_pii).
+
+    ``redact=True`` additionally emits the ``redact_pii`` columns —
+    ``text_col`` with every match replaced by its typed placeholder, and
+    ``n_redactions`` — fused into the SAME single scan (the detect and
+    release passes share their regex evaluation; running the two
+    standalone operators re-scans the corpus, the text_profile
+    argument). n_redactions is counted progressively on the
+    partially-redacted text, exactly as redact_pii defines it, so the
+    fused and standalone spellings agree column-for-column.
     """
     counts = [
         F.regexp_count(F.col(text_col), F.lit(p)).alias(name)
         for name, p in PII_PATTERNS.items()
     ]
-    out = df.select(F.col(id_col).alias("doc_id"), *counts)
+    extra = []
+    if redact:
+        red = F.col(text_col)
+        n = F.lit(0)
+        for name, pattern in PII_PATTERNS.items():
+            n = n + F.regexp_count(red, F.lit(pattern))
+            red = F.regexp_replace(red, pattern, PII_REDACTION_TAGS[name])
+        extra = [red.alias(text_col), n.cast("int").alias("n_redactions")]
+    out = df.select(F.col(id_col).alias("doc_id"), *counts, *extra)
     total = None
     for name in PII_PATTERNS:
         c = F.col(name)
         total = c if total is None else total + c
-    return out.withColumn("has_pii", total > 0)
+    tail = [text_col, "n_redactions"] if redact else []
+    return out.select(
+        "doc_id", *PII_PATTERNS.keys(), (total > 0).alias("has_pii"), *tail
+    )
 
 
 def quality_signals(
@@ -750,3 +773,79 @@ def ppl_buckets(
         .otherwise("tail")
     )
     return d.select("doc_id", by, "n_tokens", "logppl", bucket.alias("ppl_bucket"))
+
+
+def line_dedup(
+    df: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    hashed: bool = False,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the line-wise dedup pass of
+    RefinedWeb / Falcon, Penedo et al. 2023 §4.2, and MassiveText's
+    repetition filters): delete every line that occurs in at least
+    ``min_df`` DISTINCT documents — navigation text, cookie banners,
+    share buttons, license headers — then reassemble each document from
+    its surviving lines in original order. Documents whose every line is
+    boilerplate are dropped (they carry no trainable content).
+
+    Output: (doc_id, text, n_lines, n_kept) — the redacted text plus the
+    original and surviving line counts, so the caller can threshold on
+    removal fraction (RefinedWeb drops docs that lose >50% of lines).
+
+    Scale: the explode is line-granular (not shingle-granular — no
+    fan-out blowup); the document-frequency agg runs on distinct
+    (doc, line) pairs with map-side combine, so the shuffle carries one
+    row per distinct line per partition, Zipf-shrunk. The hot set
+    (line_df >= min_df) is the boilerplate vocabulary — tiny relative to
+    the corpus — and rides a broadcast hash ANTI join back onto the
+    exploded lines (``broadcast_hot=False`` degrades to a shuffle anti
+    join for a pathological hot set wider than the broadcast limit).
+    ``hashed=True`` swaps line text for xxhash64(line) as BOTH the agg
+    and anti-join key — 8-byte shuffle rows at 100 TB; exact up to
+    64-bit collisions, so the default stays text-keyed for the oracle
+    gate, same convention as ngram_jaccard_pairs(hashed=).
+    Reassembly is one groupBy(doc) of the surviving lines — the only
+    corpus-wide shuffle — with an in-group array_sort on position, not
+    a window sort. ``n_lines`` rides every exploded row (the split
+    evaluates twice per document row for it — benign per-ROW double-eval,
+    not the per-ELEMENT lambda inlining trap) so no second doc-keyed
+    aggregate-and-join branch is needed."""
+    d = fanout_repartition(df)
+    arr = F.split(F.col(text_col), sep, -1)
+    lines = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(arr).alias("n_lines"),
+        F.posexplode(arr).alias("pos", "line"),
+    )
+    key = (
+        F.xxhash64(F.col("line")).alias("_k")
+        if hashed
+        else F.col("line").alias("_k")
+    )
+    lines = lines.select("doc_id", "n_lines", "pos", "line", key)
+    hot = (
+        lines.select("doc_id", "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("_k")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = lines.join(hot, "_k", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.first("n_lines").cast("int").alias("n_lines"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    ).select("doc_id", text_col, "n_lines", "n_kept")
