@@ -75,7 +75,7 @@ HEADLINE = [
     "q48_containment_pairs",
     "q49_tfidf_keywords",
     "q50_chunk_documents",
-    "q51_redact_pii",
+    "q51_line_dedup",
     "q52_ppl_buckets",
 ]
 

@@ -339,12 +339,24 @@ def deterministic_shuffle(
     Scale: one shuffle on shard (uniform by construction — hash-balanced,
     no skew) + one in-shard sort; each shard is ~rows/n_shards, so sizing
     n_shards to the target shard file size bounds the sort's working set.
-    No window over the whole corpus, no driver collect, no RNG."""
+    No window over the whole corpus, no driver collect, no RNG.
+
+    NULL ids raise at execution time: a null key has no identity to hash,
+    and silently funneling every null row into one null shard (what the
+    raw concat would do) is a driver-invisible skew bomb."""
     from pyspark.sql import Window
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    key = F.col(id_col).cast("string")
+    key = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"deterministic_shuffle: null {id_col} — shard assignment "
+                "is keyed; drop or fill null ids upstream"
+            )
+        ).cast("string"),
+    ).otherwise(F.col(id_col).cast("string"))
     shard = (h32(F.concat(key, F.lit(":" + salt))) % n_shards).cast("int")
     order = h32(F.concat(key, F.lit(":pos:" + salt)))
     w = Window.partitionBy("shard").orderBy("_ord", id_col)

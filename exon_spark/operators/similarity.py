@@ -473,7 +473,14 @@ def _assign_cluster_udf(centroids: list[tuple[int, list[float]]]):
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     C = np.array([c for _, c in centroids], np.float64)[order]
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    if not cn.all():
+        # same contract as the member path below (and the expr path's
+        # ANSI DIVIDE_BY_ZERO): fail loudly at factory time, not NaN-ly
+        raise ArithmeticError(
+            "zero-norm centroid in semantic_dedup assignment"
+        )
+    Cn = C / cn
 
     @pandas_udf("bigint")
     def f(emb):

@@ -813,9 +813,17 @@ def line_dedup(
     a window sort. ``n_lines`` rides every exploded row (the split
     evaluates twice per document row for it — benign per-ROW double-eval,
     not the per-ELEMENT lambda inlining trap) so no second doc-keyed
-    aggregate-and-join branch is needed."""
+    aggregate-and-join branch is needed.
+
+    ``sep`` is a LITERAL separator (regexp-escaped before the split, so
+    ``sep="|"`` splits on pipes, not on every character) and is the same
+    literal used for reassembly. NULL text is treated as ``''`` — one
+    empty line, kept or dropped by the same df rule as any other line —
+    so null-text documents don't silently vanish from the corpus."""
+    import re
+
     d = fanout_repartition(df)
-    arr = F.split(F.col(text_col), sep, -1)
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep), -1)
     lines = d.select(
         F.col(id_col).alias("doc_id"),
         F.size(arr).alias("n_lines"),

@@ -377,10 +377,16 @@ left join hits h using (doc_id)
 
 
 def _q35_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection over documents with deterministically planted PII
-    (synthetic corpus text carries none — a query returning all zeros
-    verifies nothing): every doc_id % 4 == 1 doc gains an email, a phone
-    number and an IPv4; the oracle plants identically."""
+    """PII detection + fused typed-placeholder redaction over documents
+    with deterministically planted PII (synthetic corpus text carries
+    none — a query returning all zeros verifies nothing): every
+    doc_id % 4 == 1 doc gains an email, a phone number and an IPv4;
+    every doc_id % 4 == 2 doc an SSN-shaped id and a second IPv4; the
+    oracle plants identically. ``redact=True`` gates the r7 fused
+    detect+release scan — counts on the original text plus the
+    progressively-redacted text and n_redactions, all from ONE pass;
+    the standalone ``redact_pii`` spelling is pinned column-for-column
+    equal to this fused output by tests/test_text_ops.py."""
     docs = table(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
@@ -393,30 +399,55 @@ def _q35_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("@mail.example.com or 555-123-4567 at 10.0.0.1"),
             ),
         )
+        .when(
+            (F.col("doc_id") % 4) == 2,
+            F.concat(F.col("text"), F.lit(" ssn 987-65-4320 via 192.168.1.1")),
+        )
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return pii_stats(planted)
+    return pii_stats(planted, redact=True)
 
 
-Q35_ORACLE = """
+def _q35_oracle() -> str:
+    from exon_spark.operators.text import PII_PATTERNS, PII_REDACTION_TAGS
+
+    # counts scan the ORIGINAL text; redaction is progressive (each
+    # pattern counted on, then replaced in, the partially-redacted
+    # text) — the exact contract of pii_stats(redact=True)
+    count_cols = []
+    total_terms = []
+    for name, pat in PII_PATTERNS.items():
+        sql_pat = pat.replace("'", "''")
+        expr = f"len(regexp_extract_all(text, '{sql_pat}'))"
+        count_cols.append(f"cast({expr} as int) as {name}")
+        total_terms.append(expr)
+    text_expr = "text"
+    n_terms = []
+    for name, pat in PII_PATTERNS.items():
+        sql_pat = pat.replace("'", "''")
+        n_terms.append(f"len(regexp_extract_all({text_expr}, '{sql_pat}'))")
+        text_expr = (
+            f"regexp_replace({text_expr}, '{sql_pat}', "
+            f"'{PII_REDACTION_TAGS[name]}', 'g')"
+        )
+    counts_sql = ",\n       ".join(count_cols)
+    return f"""
 with planted as (
   select doc_id,
          case when doc_id % 4 = 1
               then text || ' reach user' || doc_id ||
                    '@mail.example.com or 555-123-4567 at 10.0.0.1'
+              when doc_id % 4 = 2
+              then text || ' ssn 987-65-4320 via 192.168.1.1'
               else text end as text
   from documents
 )
 select doc_id,
-       cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as int) as n_emails,
-       cast(len(regexp_extract_all(text, '\\(\\d{3}\\) \\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}')) as int) as n_phones,
-       cast(len(regexp_extract_all(text, '\\d{3}-\\d{2}-\\d{4}')) as int) as n_ssns,
-       cast(len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) as int) as n_ips,
-       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-        + len(regexp_extract_all(text, '\\(\\d{3}\\) \\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}'))
-        + len(regexp_extract_all(text, '\\d{3}-\\d{2}-\\d{4}'))
-        + len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))) > 0 as has_pii
+       {counts_sql},
+       ({' + '.join(total_terms)}) > 0 as has_pii,
+       {text_expr} as text,
+       cast({' + '.join(n_terms)} as int) as n_redactions
 from planted
 """
 
@@ -600,7 +631,16 @@ _MIX_DEFAULT = 0.1
 
 
 def _q32_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exon_spark.operators.sampling import stratified_mix
+    """Stratified corpus mix + deterministic training-order shard
+    assignment — the natural write-pass pipeline (pick the mix, then
+    assign every picked doc a reproducible (shard, pos) for export).
+    Doc-level output gates BOTH operators exactly: mix membership per
+    document (strictly stronger than the old per-stratum aggregate) and
+    deterministic_shuffle's full hash arithmetic — shard =
+    h32(id || ':epoch0') % 8, pos = dense in-shard rank by
+    h32(id || ':pos:epoch0') — mirrored md5-exactly by the DuckDB
+    oracle, the q43 convention."""
+    from exon_spark.operators.sampling import deterministic_shuffle, stratified_mix
 
     picked = stratified_mix(
         table(spark, sf_dir, "documents"),
@@ -608,8 +648,11 @@ def _q32_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratum_col="source",
         default_rate=_MIX_DEFAULT,
     )
-    return picked.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    assign = deterministic_shuffle(picked, n_shards=8, salt="epoch0")
+    return (
+        picked.select("doc_id", "lang", "source", "n_chars")
+        .join(assign, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "shard", "pos")
     )
 
 
@@ -622,11 +665,20 @@ _MIX_RATE_SQL = (
 )
 
 Q32_ORACLE = f"""
-select lang, source, count(*) as n_docs,
-       cast(sum(n_chars) as bigint) as total_chars
-from documents
-where ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000000 < {_MIX_RATE_SQL}
-group by lang, source
+with picked as (
+  select doc_id, lang, source, n_chars
+  from documents
+  where ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000000 < {_MIX_RATE_SQL}
+),
+a as (
+  select doc_id, lang, source, n_chars,
+         cast(('0x' || substr(md5(doc_id::varchar || ':epoch0'), 1, 8))::bigint % 8 as int) as shard,
+         ('0x' || substr(md5(doc_id::varchar || ':pos:epoch0'), 1, 8))::bigint as _ord
+  from picked
+)
+select doc_id, lang, source, n_chars, shard,
+       cast(row_number() over (partition by shard order by _ord, doc_id) as int) as pos
+from a
 """
 
 
@@ -1068,57 +1120,63 @@ from ranked
 
 
 def _q51_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exon_spark.operators import redact_pii
+    """RefinedWeb-style corpus-level line dedup. Boilerplate is planted
+    deterministically (the synthetic corpus has no shared nav/footer
+    lines of its own): every doc_id % 3 == 0 doc gains a nav header and
+    a copyright footer, every doc_id % 7 == 2 doc a newsletter CTA —
+    those lines cross the min_df=2 document-frequency bar and must be
+    stripped, while each doc's unique body line(s) survive and
+    reassemble in original order. Replaces the r6 q51 redact_pii gate,
+    which is now covered by q35's fused redact=True output (identical
+    text/n_redactions spelling) + the pytest parity pin."""
+    from exon_spark.operators import line_dedup
 
-    # plant deterministic PII so the redaction actually fires (mirrors
-    # q35's planted-signal convention)
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(
-            F.col("doc_id") % 11 == 3,
-            F.concat(
-                F.col("text"), F.lit(" contact bob@example.com or 555-123-4567")
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HOME | ABOUT | CONTACT")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("(c) 2024 Example Corp - All rights reserved"),
             ),
-        )
-        .when(
-            F.col("doc_id") % 11 == 7,
-            F.concat(F.col("text"), F.lit(" from 10.0.0.1 ssn 123-45-6789")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+            F.when(F.col("doc_id") % 7 == 2, F.lit("Subscribe to our newsletter")),
+        ).alias("text"),
     )
-    return redact_pii(d)
+    return line_dedup(d, min_df=2)
 
 
-def _q51_oracle() -> str:
-    from exon_spark.operators.text import PII_PATTERNS, PII_REDACTION_TAGS
-
-    text_expr = "text"
-    n_terms = []
-    for name, pat in PII_PATTERNS.items():
-        # DuckDB single-quoted literals take backslashes verbatim — the
-        # raw Java-regex pattern IS the DuckDB RE2 pattern (shared subset)
-        sql_pat = pat.replace("'", "''")
-        n_terms.append(
-            f"len(regexp_extract_all({text_expr}, '{sql_pat}'))"
-        )
-        text_expr = (
-            f"regexp_replace({text_expr}, '{sql_pat}', "
-            f"'{PII_REDACTION_TAGS[name]}', 'g')"
-        )
-    return f"""
+Q51_ORACLE = """
 with planted as (
   select doc_id,
-         case when doc_id % 11 = 3
-                then text || ' contact bob@example.com or 555-123-4567'
-              when doc_id % 11 = 7
-                then text || ' from 10.0.0.1 ssn 123-45-6789'
-              else text end as text
+         concat_ws(chr(10),
+           case when doc_id % 3 = 0 then 'HOME | ABOUT | CONTACT' end,
+           text,
+           case when doc_id % 3 = 0 then '(c) 2024 Example Corp - All rights reserved' end,
+           case when doc_id % 7 = 2 then 'Subscribe to our newsletter' end
+         ) as text
   from documents
+),
+la as (select doc_id, string_split(text, chr(10)) as arr from planted),
+l as (
+  select doc_id, cast(len(arr) as int) as n_lines,
+         unnest(range(1, len(arr) + 1)) as pos,
+         unnest(arr) as line
+  from la
+),
+hot as (
+  select line
+  from (select line, count(distinct doc_id) as line_df from l group by line)
+  where line_df >= 2
 )
-select doc_id, {text_expr} as text,
-       cast({' + '.join(n_terms)} as int) as n_redactions
-from planted
+select doc_id,
+       string_agg(line, chr(10) order by pos) as text,
+       max(n_lines) as n_lines,
+       cast(count(*) as int) as n_kept
+from l
+where line not in (select line from hot)
+group by doc_id
 """
 
 
@@ -1249,9 +1307,9 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q27_similarity_ann_ivf", _q27_spark, _q27_oracle(), "IVF-cell ANN top-k"),
     QuerySpec("q28_dedup_embedding_cosine", _q28_spark, _q28_oracle(), "embedding-cosine near-dup"),
     QuerySpec("q31_dedup_clusters", _q31_spark, Q31_ORACLE, "connected components over near-dup pairs"),
-    QuerySpec("q32_corpus_mix", _q32_spark, Q32_ORACLE, "deterministic stratified corpus mixing"),
+    QuerySpec("q32_corpus_mix", _q32_spark, Q32_ORACLE, "stratified corpus mixing + deterministic training-order shard assignment"),
     QuerySpec("q34_decontaminate", _q34_spark, Q34_ORACLE, "train/eval n-gram overlap check"),
-    QuerySpec("q35_pii_stats", _q35_spark, Q35_ORACLE, "PII signal counts (emails/phones/SSNs/IPs)"),
+    QuerySpec("q35_pii_stats", _q35_spark, _q35_oracle(), "PII signal counts + fused typed-placeholder redaction (one scan)"),
     QuerySpec("q36_quality_signals", _q36_spark, Q36_ORACLE, "Gopher-style repetition/quality filters"),
     QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal"),
     QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
@@ -1266,6 +1324,6 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q48_containment_pairs", _q48_spark, Q48_ORACLE, "shingle containment (quote/partial-copy detection)"),
     QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),
     QuerySpec("q50_chunk_documents", _q50_spark, Q50_ORACLE, "overlapping token-window chunking (RAG/embedding prep)"),
-    QuerySpec("q51_redact_pii", _q51_spark, _q51_oracle(), "typed-placeholder PII redaction"),
+    QuerySpec("q51_line_dedup", _q51_spark, Q51_ORACLE, "corpus-level boilerplate line removal (RefinedWeb line-wise dedup)"),
     QuerySpec("q52_ppl_buckets", _q52_spark, Q52_ORACLE, "CCNet-style per-language perplexity tertiles"),
 ]

@@ -439,3 +439,15 @@ def test_semantic_dedup_assignment_regimes_agree_on_ties(spark):
             semantic_dedup(
                 withzero, n_clusters=2, threshold=-1.0, assignment=mode
             ).collect()
+
+
+def test_assign_cluster_udf_zero_norm_centroid_raises():
+    """r8: the centroid matrix gets the same zero-norm guard as member
+    embeddings — ArithmeticError at factory time, never NaN cosines (the
+    r7 RuntimeWarning path)."""
+    import pytest
+
+    from exon_spark.operators.similarity import _assign_cluster_udf
+
+    with pytest.raises(ArithmeticError, match="zero-norm centroid"):
+        _assign_cluster_udf([(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])])

@@ -488,3 +488,170 @@ def test_ppl_buckets_tertiles_per_stratum(spark):
         # head docs have the lowest logppl within the stratum
         srt = sorted(rs, key=lambda r: (r.logppl, r.doc_id))
         assert [r.ppl_bucket for r in srt] == ["head"] * 2 + ["middle"] * 2 + ["tail"] * 2
+
+
+# ------------------------------------------------- r8: line_dedup gate pins
+
+def test_line_dedup_boilerplate_golden(spark):
+    """Hand-built RefinedWeb fixture: nav/footer lines shared across >=
+    min_df docs are stripped, unique body lines survive in original
+    order, and a document whose EVERY line is boilerplate is dropped."""
+    from exon_spark.operators import line_dedup
+
+    nav, foot = "HOME | ABOUT", "(c) 2024 Corp"
+    rows = [
+        (1, f"{nav}\nalpha body one\nalpha body two\n{foot}"),
+        (2, f"{nav}\nbeta body\n{foot}"),
+        (3, f"{nav}\n{foot}"),  # all-boilerplate: must vanish
+        (4, "gamma standalone"),  # untouched doc
+    ]
+    out = {r.doc_id: r for r in line_dedup(_docs(spark, rows), min_df=2).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].text == "alpha body one\nalpha body two"
+    assert (out[1].n_lines, out[1].n_kept) == (4, 2)
+    assert out[2].text == "beta body"
+    assert (out[2].n_lines, out[2].n_kept) == (3, 1)
+    assert out[4].text == "gamma standalone"
+    assert (out[4].n_lines, out[4].n_kept) == (1, 1)
+
+    # min_df=3: nav/foot only appear in 3 docs -> still stripped; raise
+    # the bar to 4 and everything survives verbatim
+    keep_all = {
+        r.doc_id: r for r in line_dedup(_docs(spark, rows), min_df=4).collect()
+    }
+    assert set(keep_all) == {1, 2, 3, 4}
+    assert keep_all[3].text == f"{nav}\n{foot}"
+    assert keep_all[3].n_kept == 2
+
+
+def test_line_dedup_hashed_and_shuffle_anti_parity(spark):
+    """hashed=True (8-byte xxhash64 keys) and broadcast_hot=False (shuffle
+    anti join) must both be value-identical to the default text-keyed
+    broadcast plan."""
+    from exon_spark.operators import line_dedup
+
+    rows = [
+        (i, "SHARED NAV\n" + f"body {i} line a\nbody {i} line b" + "\nSHARED FOOT")
+        for i in range(1, 9)
+    ] + [(9, "SHARED NAV\nSHARED FOOT"), (10, "only unique content")]
+    df = _docs(spark, rows)
+    base = sorted(map(tuple, line_dedup(df, min_df=2).collect()))
+    hashed = sorted(map(tuple, line_dedup(df, min_df=2, hashed=True).collect()))
+    shuffled = sorted(
+        map(tuple, line_dedup(df, min_df=2, broadcast_hot=False).collect())
+    )
+    assert base == hashed == shuffled
+    assert all(t[0] != 9 for t in base)  # all-boilerplate doc dropped
+
+
+def test_line_dedup_regex_special_separator(spark):
+    """sep is a LITERAL: '|' (a regex alternation metachar) must split on
+    pipes, not on every character — the r7 F.split regex hazard."""
+    from exon_spark.operators import line_dedup
+
+    rows = [(1, "ad块|keep me|ad块"), (2, "ad块|other body|x"), (3, "ad块|z|q")]
+    out = {
+        r.doc_id: r
+        for r in line_dedup(_docs(spark, rows), min_df=2, sep="|").collect()
+    }
+    # 'ad块' occurs in all 3 docs -> stripped; bodies survive pipe-joined
+    assert out[1].text == "keep me"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 1)
+    assert out[2].text == "other body|x"
+    assert out[2].n_kept == 2
+
+
+def test_line_dedup_null_text_coalesced(spark):
+    """NULL text behaves as '' (one empty line): kept while rare, subject
+    to the same df rule when common — never a silent row drop."""
+    from exon_spark.operators import line_dedup
+
+    one_null = [(1, None), (2, "real body")]
+    out = {r.doc_id: r for r in line_dedup(_docs(spark, one_null), min_df=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].text == "" and (out[1].n_lines, out[1].n_kept) == (1, 1)
+
+    many_null = [(1, None), (2, None), (3, "real body")]
+    out2 = {
+        r.doc_id: r for r in line_dedup(_docs(spark, many_null), min_df=2).collect()
+    }
+    # the '' line now crosses min_df -> both null docs are all-boilerplate
+    assert set(out2) == {3}
+
+
+def test_pii_stats_redact_fusion_matches_standalone(spark):
+    """pii_stats(redact=True) == pii_stats() join redact_pii(), column for
+    column — the r7 fused detect+release scan changes the plan (one pass),
+    never the values."""
+    from exon_spark.operators import pii_stats, redact_pii
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e.org phone (555) 123-4567"),
+        (2, "ssn 123-45-6789 at 10.0.0.1 and 999-88-7777"),
+        (3, "clean text"),
+        (4, "overlap 555-123-4567 then 1.2.3.4 via bob@corp.example"),
+    ]
+    df = _docs(spark, rows)
+    fused = {r.doc_id: r for r in pii_stats(df, redact=True).collect()}
+    stats = {r.doc_id: r for r in pii_stats(df).collect()}
+    red = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert set(fused) == set(stats) == set(red)
+    for i in fused:
+        for c in ("n_emails", "n_phones", "n_ssns", "n_ips", "has_pii"):
+            assert fused[i][c] == stats[i][c], (i, c)
+        assert fused[i].text == red[i].text, i
+        assert fused[i].n_redactions == red[i].n_redactions, i
+    assert fused[4].text == "overlap <PHONE> then <IP> via <EMAIL>"
+
+
+# ------------------------------------- r8: deterministic_shuffle gate pins
+
+def test_deterministic_shuffle_properties(spark):
+    """Keyed permutation contract: layout-independent determinism, dense
+    1..k positions per shard, every row assigned, salt independence."""
+    from exon_spark.operators.sampling import deterministic_shuffle
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    a = sorted(map(tuple, deterministic_shuffle(df, 8, salt="s1").collect()))
+    b = sorted(
+        map(
+            tuple,
+            deterministic_shuffle(df.repartition(13, "text"), 8, salt="s1").collect(),
+        )
+    )
+    assert a == b  # bit-identical under any input partitioning
+
+    assert len(a) == 200 and len({t[0] for t in a}) == 200
+    by_shard = {}
+    for doc_id, shard, pos in a:
+        assert 0 <= shard < 8
+        by_shard.setdefault(shard, []).append(pos)
+    # dense 1..k within every shard, no gaps or dups
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # hash balance: 200 rows over 8 shards, no shard empty or hoarding
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert len(by_shard) == 8 and sizes[0] >= 5
+
+    c = sorted(map(tuple, deterministic_shuffle(df, 8, salt="s2").collect()))
+    assert c != a  # a different salt is a different permutation
+    assert {t[0] for t in c} == {t[0] for t in a}  # ...of the same rows
+
+    one = deterministic_shuffle(df, 1).collect()
+    assert sorted(r.pos for r in one) == list(range(1, 201))
+    assert {r.shard for r in one} == {0}
+
+
+def test_deterministic_shuffle_null_id_raises(spark):
+    """A null key has no identity: raise loudly instead of funneling every
+    null row into one silent skew shard."""
+    import pytest
+    from exon_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id bigint, text string"
+    )
+    with pytest.raises(Exception, match="null doc_id"):
+        deterministic_shuffle(df, 4).collect()
