@@ -272,3 +272,35 @@ def test_semantic_dedup_broadcasts_centroids(registered):
     )
     assert "BroadcastNestedLoopJoin" in assign_plan, assign_plan[:2000]
     assert "CartesianProduct" not in assign_plan
+
+
+def test_line_dedup_plan_shape(registered):
+    """q51's 100 TB contract: the hot-line set rides a broadcast LEFT ANTI
+    hash join back onto the exploded lines (no shuffle anti by default),
+    everything JVM-side, and reassembly is an in-group array_sort — no
+    window over the corpus."""
+    plan = _plan(_queries()["q51_line_dedup"].spark_fn(registered, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
+    assert "Window" not in plan  # array_sort reassembly, not a window sort
+
+
+def test_deterministic_shuffle_plan_shape(registered):
+    """q32's shard assignment: key-only shuffle on the computed shard +
+    one in-shard sort for row_number — never a single global window
+    partition, never Python."""
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators.sampling import deterministic_shuffle
+
+    df = registered.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(deterministic_shuffle(df, 8))
+    assert "EvalPython" not in plan
+    # partitioned window: hashpartitioning on shard, NOT SinglePartition
+    assert re.search(r"hashpartitioning\(shard", plan), plan[:2000]
+    assert "SinglePartition" not in plan
+    # the window input is the narrow (id, shard, _ord) projection — the
+    # document payload (text) never rides the shuffle
+    m = re.search(r"Exchange hashpartitioning\(shard[^\n]*\n([^\n]*)", plan)
+    assert m and "text" not in m.group(0) + m.group(1), m

@@ -655,3 +655,40 @@ def test_deterministic_shuffle_null_id_raises(spark):
     )
     with pytest.raises(Exception, match="null doc_id"):
         deterministic_shuffle(df, 4).collect()
+
+
+def test_line_dedup_randomized_python_oracle_parity(spark):
+    """Seeded random corpus with a deliberately tiny line vocabulary (so
+    cross-doc collisions are dense and min_df interacts with every doc)
+    checked row-for-row against an independent pure-Python oracle."""
+    import random
+
+    from exon_spark.operators import line_dedup
+
+    rng = random.Random(0xE805)
+    vocab = [f"line {i}" for i in range(30)] + ["", "  ", "dup dup"]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(80)
+    ]
+
+    def oracle(docs, min_df):
+        df_count = {}
+        for _, text in docs:
+            for ln in set(text.split("\n")):
+                df_count[ln] = df_count.get(ln, 0) + 1
+        hot = {ln for ln, c in df_count.items() if c >= min_df}
+        out = {}
+        for doc_id, text in docs:
+            lines = text.split("\n")
+            kept = [ln for ln in lines if ln not in hot]
+            if kept:
+                out[doc_id] = ("\n".join(kept), len(lines), len(kept))
+        return out
+
+    for min_df in (2, 5):
+        got = {
+            r.doc_id: (r.text, r.n_lines, r.n_kept)
+            for r in line_dedup(_docs(spark, rows), min_df=min_df).collect()
+        }
+        assert got == oracle(rows, min_df), min_df
