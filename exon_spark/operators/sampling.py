@@ -369,3 +369,35 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select(id_col, "shard", "pos")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Export the corpus as ``n_shards`` deterministic training shards —
+    the sink half of :func:`deterministic_shuffle`: one ``shard=<k>/``
+    hive directory per shard, rows inside each shard in the permutation's
+    ``pos`` order (the order a sequential reader trains in). Same input +
+    salt ⇒ byte-stable shard membership and order on any cluster size;
+    a new salt per epoch re-permutes without rewriting upstream data.
+
+    Plan: the narrow assignment triple joins back onto the payload by key
+    (one co-shuffle), then one repartition on shard + in-task sort by
+    (shard, pos). The sort prefix satisfies partitionBy's required
+    ordering, so the file writer inserts no second sort and each shard
+    file preserves pos order exactly (pinned by the round-trip test).
+    ``pos`` is written so readers can verify/merge; ``shard`` becomes the
+    directory key."""
+    assign = deterministic_shuffle(df, n_shards, id_col=id_col, salt=salt)
+    out = (
+        df.join(assign, id_col)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+    out.write.partitionBy("shard").format(format).mode(mode).save(path)

@@ -692,3 +692,44 @@ def test_line_dedup_randomized_python_oracle_parity(spark):
             for r in line_dedup(_docs(spark, rows), min_df=min_df).collect()
         }
         assert got == oracle(rows, min_df), min_df
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Sink half of deterministic_shuffle: one shard=<k>/ dir per shard,
+    rows inside each file in pos order (no second sort inserted by the
+    writer), membership/order identical to the assignment triple."""
+    from exon_spark.operators.sampling import (
+        deterministic_shuffle,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=4, salt="e1")
+
+    back = spark.read.parquet(path)
+    expect = {
+        r.doc_id: (r.shard, r.pos)
+        for r in deterministic_shuffle(df, 4, salt="e1").collect()
+    }
+    got = {r.doc_id: (r.shard, r.pos) for r in back.collect()}
+    assert got == expect
+    assert {r.text for r in back.collect()} == {t for _, t in rows}  # payload rides
+
+    # per-shard files preserve pos order: read each shard dir's parquet
+    # WITHOUT spark (pyarrow keeps file row order) and check monotone pos
+    import os
+
+    import pyarrow.parquet as pq
+
+    shard_dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert len(shard_dirs) == 4
+    for d in shard_dirs:
+        parts = [
+            pq.read_table(os.path.join(path, d, f))
+            for f in sorted(os.listdir(os.path.join(path, d)))
+            if f.endswith(".parquet")
+        ]
+        pos = [p for t in parts for p in t.column("pos").to_pylist()]
+        assert pos == sorted(pos) and sorted(pos) == list(range(1, len(pos) + 1)), d
