@@ -379,6 +379,7 @@ def write_training_shards(
     salt: str = "",
     format: str = "parquet",
     mode: str = "overwrite",
+    check_unique: bool = True,
 ) -> None:
     """Export the corpus as ``n_shards`` deterministic training shards —
     the sink half of :func:`deterministic_shuffle`: one ``shard=<k>/``
@@ -388,16 +389,46 @@ def write_training_shards(
     a new salt per epoch re-permutes without rewriting upstream data.
 
     Plan: the narrow assignment triple joins back onto the payload by key
-    (one co-shuffle), then one repartition on shard + in-task sort by
-    (shard, pos). The sort prefix satisfies partitionBy's required
-    ordering, so the file writer inserts no second sort and each shard
-    file preserves pos order exactly (pinned by the round-trip test).
-    ``pos`` is written so readers can verify/merge; ``shard`` becomes the
-    directory key."""
+    (one co-shuffle), then one ROW-balanced range repartition on
+    (shard, pos) + in-task sort. Range beats hash-on-shard here: hashing
+    n shard values into n partitions collides (~1/e of writer tasks
+    empty, stragglers writing 2-3 shards), while range partitioning
+    balances by rows and lets a giant shard span tasks — partitionBy
+    still routes every row to its shard=<k>/ directory, and because
+    range partitions ascend in (shard, pos), concatenating a shard's
+    files in part-file-name order preserves global pos order. The
+    (shard, pos) sort prefix satisfies partitionBy's required ordering,
+    so the file writer inserts no second sort (pinned by the round-trip
+    test). ``pos`` is written so readers can verify/merge; ``shard``
+    becomes the directory key.
+
+    Pre-existing ``shard``/``pos`` payload columns (e.g. re-permuting a
+    previous export for a new epoch) are dropped and recomputed.
+    Duplicate ids raise before anything is written — the join would
+    silently fan every duplicated row out against both assignment rows
+    (``check_unique=False`` skips the extra pass when the caller has
+    already deduped, e.g. straight after exact_dedup)."""
+    clash = [c for c in ("shard", "pos") if c in df.columns]
+    if clash:
+        df = df.drop(*clash)
+    if check_unique:
+        dup = (
+            df.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"write_training_shards: duplicate {id_col} "
+                f"{dup[0][0]!r} — shard export is keyed; dedup first "
+                "or pass check_unique=False at your own risk"
+            )
     assign = deterministic_shuffle(df, n_shards, id_col=id_col, salt=salt)
     out = (
         df.join(assign, id_col)
-        .repartition(n_shards, "shard")
+        .repartitionByRange(n_shards, "shard", "pos")
         .sortWithinPartitions("shard", "pos")
     )
     out.write.partitionBy("shard").format(format).mode(mode).save(path)

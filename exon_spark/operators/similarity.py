@@ -474,11 +474,14 @@ def _assign_cluster_udf(centroids: list[tuple[int, list[float]]]):
     ids = ids[order]
     C = np.array([c for _, c in centroids], np.float64)[order]
     cn = np.linalg.norm(C, axis=1, keepdims=True)
-    if not cn.all():
+    if not (np.isfinite(cn).all() and cn.all()):
         # same contract as the member path below (and the expr path's
-        # ANSI DIVIDE_BY_ZERO): fail loudly at factory time, not NaN-ly
+        # ANSI DIVIDE_BY_ZERO): fail loudly at factory time, not NaN-ly.
+        # isfinite: a NaN/Inf centroid component gives a NaN/Inf norm,
+        # which is truthy — without the check it would NaN every cosine
+        # and argmax would silently assign cluster 0.
         raise ArithmeticError(
-            "zero-norm centroid in semantic_dedup assignment"
+            "zero-norm or non-finite centroid in semantic_dedup assignment"
         )
     Cn = C / cn
 

@@ -449,5 +449,5 @@ def test_assign_cluster_udf_zero_norm_centroid_raises():
 
     from exon_spark.operators.similarity import _assign_cluster_udf
 
-    with pytest.raises(ArithmeticError, match="zero-norm centroid"):
+    with pytest.raises(ArithmeticError, match="zero-norm"):
         _assign_cluster_udf([(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])])

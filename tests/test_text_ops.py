@@ -733,3 +733,49 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         ]
         pos = [p for t in parts for p in t.column("pos").to_pylist()]
         assert pos == sorted(pos) and sorted(pos) == list(range(1, len(pos) + 1)), d
+
+
+def test_write_training_shards_guards(spark, tmp_path):
+    """Input-shape hazards raise or heal: duplicate ids abort before any
+    write (the join would fan out silently); pre-existing shard/pos
+    payload columns (re-permuting a previous export) are dropped and
+    recomputed instead of colliding."""
+    import pytest
+
+    from exon_spark.operators.sampling import (
+        deterministic_shuffle,
+        write_training_shards,
+    )
+
+    dup_df = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        write_training_shards(dup_df, str(tmp_path / "x"), n_shards=2)
+
+    # re-permute a previous export: read-back carries shard/pos already
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(60)], "doc_id bigint, text string"
+    )
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    write_training_shards(df, p1, n_shards=3, salt="e1")
+    back1 = spark.read.parquet(p1)
+    write_training_shards(back1, p2, n_shards=3, salt="e2")
+    back2 = spark.read.parquet(p2)
+    expect = {
+        r.doc_id: (r.shard, r.pos)
+        for r in deterministic_shuffle(df, 3, salt="e2").collect()
+    }
+    assert {r.doc_id: (r.shard, r.pos) for r in back2.collect()} == expect
+
+
+def test_assign_cluster_udf_nonfinite_centroid_raises():
+    """A NaN centroid component gives a NaN norm — truthy, so the
+    zero-norm check alone would pass it and argmax would silently emit
+    cluster 0 for every row."""
+    import pytest
+
+    from exon_spark.operators.similarity import _assign_cluster_udf
+
+    with pytest.raises(ArithmeticError, match="non-finite"):
+        _assign_cluster_udf([(0, [float("nan"), 1.0]), (1, [1.0, 0.0])])
