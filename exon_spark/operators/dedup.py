@@ -776,6 +776,7 @@ def dup_ngram_coverage(
     text_col: str = "text",
     hashed: bool = False,
     max_gram_df: int | None = None,
+    remove: bool = False,
 ) -> DataFrame:
     """Cross-document exact-substring duplication signal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for each
@@ -804,6 +805,21 @@ def dup_ngram_coverage(
       ngram_jaccard_pairs' ``max_shingle_df``: one viral boilerplate gram
       otherwise pins a single join task with df² rows. Capped grams no
       longer count toward coverage — an explicit, bounded recall trade.
+
+    ``remove=True`` additionally emits the ACTION half — Lee et al.'s
+    ExactSubstr deletion adapted to word windows, fused onto the SAME
+    materialized gram index (running detection and removal separately
+    would rebuild the inverted index, the pii_stats(redact=True)
+    argument): every token position covered by a shared n-gram is cut
+    EXCEPT in the gram's keeper document (the smallest sharing doc_id),
+    so exactly one copy of each duplicated span survives the corpus.
+    Adds ``text_col`` (the reassembled survivors — token-normalized:
+    single-space joined, original case; ``''`` when every token was cut)
+    and ``n_removed``. A keeper doc can still lose positions to OTHER
+    grams whose keeper lies elsewhere — inherent to window-granular
+    keep-one, deterministic, and mirrored by the oracle. Matching stays
+    case-insensitive; reassembly keeps the original case (both token
+    arrays split on the same ``\\s+``, so positions align).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -814,14 +830,18 @@ def dup_ngram_coverage(
     # inlined each one re-tokenizes the document (measured 131s vs 1.5s at
     # sf0.1, identical output — same trap shingled_docs documents)
     df = fanout_repartition(df)
+    tok_cols = [tokens(text_col).alias("toks")]
+    if remove:
+        tok_cols.append(tokens(text_col, lowercase=False).alias("orig"))
     toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array(tokens(text_col))).alias("toks"),
-    )
+        F.explode(F.array(F.struct(*tok_cols))).alias("_t"),
+    ).select("doc_id", F.col("_t.*"))
     d = toked.select(
         "doc_id",
         F.size("toks").alias("n_toks"),
         word_ngrams(F.col("toks"), n).alias("grams"),
+        *([F.col("orig")] if remove else []),
     )
     # g feeds two concurrently-planned consumers (the dup-gram frequency
     # agg and the join back); left lazy each recomputes the tokenize +
@@ -838,12 +858,15 @@ def dup_ngram_coverage(
     )
     dup_grams = (
         g.groupBy("gram_k")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keep_doc"),
+        )
         .filter(F.col("nd") >= 2)
     )
     if max_gram_df is not None:
         dup_grams = dup_grams.filter(F.col("nd") <= int(max_gram_df))
-    dup = g.join(dup_grams.select("gram_k"), "gram_k")
+    dup = g.join(dup_grams.select("gram_k", "keep_doc"), "gram_k")
     cov = (
         dup.select(
             "doc_id",
@@ -856,22 +879,81 @@ def dup_ngram_coverage(
         .agg(F.count("*").alias("covered_tokens"))
     )
     wins = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_ngrams"))
-    return (
+    out = (
         d.select("doc_id", "n_toks")
         .join(cov, "doc_id", "left")
         .join(wins, "doc_id", "left")
+    )
+    stat_cols = [
+        "doc_id",
+        "n_toks",
+        F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.greatest("n_toks", F.lit(1)),
+            6,
+        ).alias("covered_frac"),
+    ]
+    if not remove:
+        return out.select(*stat_cols)
+    # removal: cut every covered position OUTSIDE the gram's keeper doc;
+    # same dup frame, so the index shuffle is paid once for both halves
+    rem = (
+        dup.filter(F.col("doc_id") != F.col("keep_doc"))
         .select(
             "doc_id",
-            "n_toks",
-            F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
-            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-            F.round(
-                F.coalesce("covered_tokens", F.lit(0)).cast("double")
-                / F.greatest("n_toks", F.lit(1)),
-                6,
-            ).alias("covered_frac"),
+            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + n)).alias(
+                "tokpos"
+            ),
         )
+        .distinct()
     )
+    tok_rows = d.select(
+        "doc_id", F.posexplode("orig").alias("tp0", "tok")
+    ).select("doc_id", (F.col("tp0") + 1).alias("tokpos"), "tok")
+    kept = tok_rows.join(rem, ["doc_id", "tokpos"], "left_anti")
+    red = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_rtext"),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    return out.join(red, "doc_id", "left").select(
+        *stat_cols,
+        F.coalesce("_rtext", F.lit("")).alias(text_col),
+        (F.col("n_toks") - F.coalesce("_nkept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Standalone spelling of ``dup_ngram_coverage(remove=True)``'s action
+    half — cross-document duplicated-span removal with keep-one-copy
+    semantics (see that docstring for the contract and scale shape).
+    Output: (doc_id, <text_col>, n_toks, n_removed)."""
+    out = dup_ngram_coverage(
+        df,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        hashed=hashed,
+        max_gram_df=max_gram_df,
+        remove=True,
+    )
+    return out.select("doc_id", text_col, "n_toks", "n_removed")
 
 
 def dedup_against(

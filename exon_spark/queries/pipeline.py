@@ -730,12 +730,16 @@ _BOILERPLATE = (
 
 
 def _q37_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-doc duplicated-8-gram coverage. A fixed 11-token boilerplate
+    """Cross-doc duplicated-8-gram coverage + fused keep-one-copy span
+    REMOVAL (r8: ``remove=True`` — detection and Lee-et-al-style deletion
+    share one materialized gram index). A fixed 11-token boilerplate
     sentence is planted into docs with doc_id % 7 == 2 (the synthetic
     corpus has almost no natural cross-doc 8-gram overlap — all-zero output
     would verify nothing); the oracle plants identically, so the 4
     plant-internal windows are shared across ~1/7 of the corpus while the
-    plant/test-boundary windows stay doc-unique."""
+    plant/test-boundary windows stay doc-unique. The smallest planted
+    doc_id keeps its boilerplate copy; every other planted doc loses
+    those covered positions from its reassembled text."""
     docs = table(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
@@ -746,7 +750,7 @@ def _q37_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return dup_ngram_coverage(planted, n=8)
+    return dup_ngram_coverage(planted, n=8, remove=True)
 
 
 _Q37_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(8))
@@ -767,9 +771,10 @@ g as (
   from tok, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) as t(i)
 ),
 dupg as (
-  select gram from g group by gram having count(distinct doc_id) >= 2
+  select gram, min(doc_id) as keep_doc
+  from g group by gram having count(distinct doc_id) >= 2
 ),
-dup as (select g.doc_id, g.pos from g join dupg using (gram)),
+dup as (select g.doc_id, g.pos, d.keep_doc from g join dupg d using (gram)),
 cov as (
   select doc_id, count(*) as covered_tokens from (
     select distinct doc_id, pos + k as p
@@ -777,15 +782,37 @@ cov as (
   ) group by doc_id
 ),
 wins as (select doc_id, count(*) as n_dup_ngrams from dup group by doc_id),
+rem as (
+  select distinct doc_id, pos + k as p
+  from dup, unnest(range(0, 8)) as u(k)
+  where doc_id != keep_doc
+),
+otok as (
+  select doc_id,
+         unnest(range(1, len(arr) + 1)) as tokpos,
+         unnest(arr) as tok
+  from (select doc_id, regexp_split_to_array(trim(text), '\\s+') as arr
+        from planted)
+),
+red as (
+  select o.doc_id, string_agg(o.tok, ' ' order by o.tokpos) as text,
+         count(*) as n_kept
+  from otok o left join rem r on o.doc_id = r.doc_id and o.tokpos = r.p
+  where r.doc_id is null
+  group by o.doc_id
+),
 nt as (select doc_id, cast(len(toks) as int) as n_toks from tok)
 select nt.doc_id, nt.n_toks,
        coalesce(w.n_dup_ngrams, 0) as n_dup_ngrams,
        coalesce(c.covered_tokens, 0) as covered_tokens,
        round(cast(coalesce(c.covered_tokens, 0) as double)
-             / greatest(nt.n_toks, 1), 6) as covered_frac
+             / greatest(nt.n_toks, 1), 6) as covered_frac,
+       coalesce(red.text, '') as text,
+       cast(nt.n_toks - coalesce(red.n_kept, 0) as int) as n_removed
 from nt
 left join cov c on nt.doc_id = c.doc_id
 left join wins w on nt.doc_id = w.doc_id
+left join red on nt.doc_id = red.doc_id
 """
 
 
@@ -1311,7 +1338,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q34_decontaminate", _q34_spark, Q34_ORACLE, "train/eval n-gram overlap check"),
     QuerySpec("q35_pii_stats", _q35_spark, _q35_oracle(), "PII signal counts + fused typed-placeholder redaction (one scan)"),
     QuerySpec("q36_quality_signals", _q36_spark, Q36_ORACLE, "Gopher-style repetition/quality filters"),
-    QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal"),
+    QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal + fused keep-one span removal"),
     QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
     QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup"),
     QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),

@@ -779,3 +779,79 @@ def test_assign_cluster_udf_nonfinite_centroid_raises():
 
     with pytest.raises(ArithmeticError, match="non-finite"):
         _assign_cluster_udf([(0, [float("nan"), 1.0]), (1, [1.0, 0.0])])
+
+
+# --------------------------------------- r8: duplicated-span removal pins
+
+def test_remove_dup_spans_keeper_semantics(spark):
+    """Keep-one-copy: the smallest doc_id sharing a duplicated n-gram
+    keeps its span; every other sharer loses the covered positions. A doc
+    that IS entirely a shared span empties to ''. Matching is
+    case-insensitive, reassembly keeps the original case."""
+    from exon_spark.operators import remove_dup_spans
+
+    shared = "a b c d"  # the duplicated 4-gram (n=4)
+    rows = [
+        (1, f"one unique lead {shared} tail1"),
+        (2, f"TWO opens {shared.upper()} then continues two"),
+        (3, shared),  # entirely the shared span
+        (4, "completely unrelated text here"),
+    ]
+    out = {
+        r.doc_id: r for r in remove_dup_spans(_docs(spark, rows), n=4).collect()
+    }
+    # doc 1 is the keeper (min id): everything survives, original case
+    assert out[1].text == "one unique lead a b c d tail1"
+    assert out[1].n_removed == 0
+    # doc 2 loses the 4 covered positions, keeps its own tokens' case
+    assert out[2].text == "TWO opens then continues two"
+    assert (out[2].n_toks, out[2].n_removed) == (9, 4)
+    # doc 3: all 4 tokens were the shared span -> empty text, kept as a row
+    assert out[3].text == "" and out[3].n_removed == 4
+    assert out[4].text == "completely unrelated text here"
+    assert out[4].n_removed == 0
+
+
+def test_remove_dup_spans_fused_and_knob_parity(spark):
+    """The standalone wrapper equals the fused dup_ngram_coverage
+    (remove=True) selection; hashed=True is value-identical; max_gram_df
+    exempts viral grams from removal too."""
+    from exon_spark.operators import dup_ngram_coverage, remove_dup_spans
+
+    shared = "p q r s"
+    rows = [(i, f"doc{i} body {shared} end{i}") for i in range(1, 6)] + [
+        (9, "no overlap at all here")
+    ]
+    df = _docs(spark, rows)
+    stand = sorted(map(tuple, remove_dup_spans(df, n=4).collect()))
+    fused = sorted(
+        map(
+            tuple,
+            dup_ngram_coverage(df, n=4, remove=True)
+            .select("doc_id", "text", "n_toks", "n_removed")
+            .collect(),
+        )
+    )
+    hashed = sorted(map(tuple, remove_dup_spans(df, n=4, hashed=True).collect()))
+    assert stand == fused == hashed
+    # the shared gram sits in 5 docs; capping df at 4 exempts it entirely
+    capped = {
+        r.doc_id: r
+        for r in remove_dup_spans(df, n=4, max_gram_df=4).collect()
+    }
+    assert all(r.n_removed == 0 for r in capped.values())
+    # and coverage stats still agree with the stats-only spelling
+    stats_only = sorted(
+        map(tuple, dup_ngram_coverage(df, n=4).collect())
+    )
+    stats_fused = sorted(
+        map(
+            tuple,
+            dup_ngram_coverage(df, n=4, remove=True)
+            .select(
+                "doc_id", "n_toks", "n_dup_ngrams", "covered_tokens", "covered_frac"
+            )
+            .collect(),
+        )
+    )
+    assert stats_only == stats_fused
