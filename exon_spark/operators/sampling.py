@@ -432,3 +432,136 @@ def write_training_shards(
         .sortWithinPartitions("shard", "pos")
     )
     out.write.partitionBy("shard").format(format).mode(mode).save(path)
+
+
+def _dsir_features(
+    df: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """Hashed bag-of-ngrams features (unigrams + bigrams → h32 % buckets),
+    one row per feature OCCURRENCE: (doc_id, b)."""
+    from exon_spark.operators.dedup import (
+        fanout_repartition,
+        tokens,
+        word_ngrams,
+    )
+
+    df = fanout_repartition(df)
+    # token array pinned behind the Generate barrier (shingled_docs idiom)
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens(text_col))).alias("toks"),
+    )
+    grams = F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
+    return (
+        toked.select("doc_id", F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select("doc_id", (h32(F.col("gram")) % buckets).alias("b"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    gumbel_salt: str | None = None,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document in
+    the ``raw`` corpus by how much more likely its hashed bag-of-ngrams
+    features are under the ``target`` distribution than under the raw
+    distribution — the standard recipe for carving a domain-matched
+    training set out of a web-scale crawl.
+
+    Features are unigrams + bigrams hashed into ``buckets`` buckets
+    (h32 % buckets — the repo's portable md5-derived hash, so DuckDB
+    oracles reproduce the bucketing exactly). Both corpora fit a
+    Laplace-smoothed multinomial over buckets, and the weight is the
+    bag-of-buckets log-likelihood ratio
+
+        dsir_w = Σ_features  ln p̂_target(b) − ln p̂_raw(b)
+        p̂(b) = (count(b) + smoothing) / (total + smoothing · buckets)
+
+    Output: (doc_id, n_feats, dsir_w) for EVERY raw doc — docs with no
+    features (empty text) get weight 0. With ``gumbel_salt`` set, adds
+    ``dsir_key = dsir_w + Gumbel(0,1)`` where the Gumbel draw derives
+    deterministically from h32(id || ':dsir:' || salt) — taking the
+    top-k rows by dsir_key IS Gumbel-top-k sampling ∝ exp(dsir_w), the
+    paper's importance-resampling step, reproducible on any engine /
+    partitioning (module docstring: why content-hash, not RNG).
+
+    Per-bucket log-ratios round to 6 dp and per-doc sums accumulate in
+    decimal so Spark and DuckDB agree bit-for-bit despite FP ln.
+
+    Scale: the ONLY corpus-sized shuffle is one groupBy(doc_id, bucket)
+    partial-agg over the raw feature stream (~2 rows per token, 12-byte
+    keys). Everything else is broadcast-sized: target stats and the
+    bucket log-ratio table are ≤ ``buckets`` rows (default 10k) and join
+    map-side; raw bucket totals re-aggregate the already-shuffled
+    (doc, bucket) frame. No sort, no window, no driver collect; weights
+    for a standing target can be recomputed per crawl snapshot with the
+    target side cached as a tiny parquet.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if not smoothing > 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    from exon_spark.operators.dedup import _materialize
+
+    k = float(smoothing)
+    c_t = (
+        _dsir_features(target, id_col, text_col, buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    # (doc, bucket) multiplicities feed BOTH the raw bucket totals and the
+    # scoring join — materialized so the tokenize+explode chain runs once
+    db = _materialize(
+        _dsir_features(raw, id_col, text_col, buckets)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("m")),
+        eager=True,
+    )
+    c_r = db.groupBy("b").agg(F.sum("m").alias("n_r"))
+    stats = c_t.join(c_r, "b", "full").select(
+        "b",
+        F.coalesce("n_t", F.lit(0)).alias("n_t"),
+        F.coalesce("n_r", F.lit(0)).alias("n_r"),
+    )
+    tot = stats.agg(F.sum("n_t").alias("tt"), F.sum("n_r").alias("tr"))
+    lr = F.log(
+        (F.col("n_t") + k) / (F.col("tt") + k * buckets)
+    ) - F.log((F.col("n_r") + k) / (F.col("tr") + k * buckets))
+    ratio = stats.crossJoin(F.broadcast(tot)).select(
+        "b", F.round(lr, 6).cast("decimal(28,6)").alias("lr")
+    )
+    scored = (
+        db.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("int").alias("n_feats"),
+            F.round(F.sum(F.col("m") * F.col("lr")).cast("double"), 4).alias(
+                "dsir_w"
+            ),
+        )
+    )
+    out = (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("dsir_w", F.lit(0.0)).alias("dsir_w"),
+        )
+    )
+    if gumbel_salt is None:
+        return out
+    u = (
+        h32(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir:" + gumbel_salt)))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    return out.withColumn(
+        "dsir_key", F.round(F.col("dsir_w") + (-F.log(-F.log(u))), 4)
+    )

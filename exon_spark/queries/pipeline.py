@@ -935,26 +935,82 @@ from c where cum_tokens <= 800
 
 
 def _q42_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exon_spark.operators import unigram_logppl
+    # fused gate (the q23/q35/q37 precedent): unigram_logppl and
+    # dsir_weights share the documents tokenization; one row gates both.
+    # DSIR target = the src0 stratum, raw = the whole corpus.
+    from exon_spark.operators import dsir_weights, unigram_logppl
 
-    return unigram_logppl(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    lp = unigram_logppl(docs)
+    w = dsir_weights(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        buckets=4096,
+        gumbel_salt="e0",
+    )
+    return lp.join(w, "doc_id")
 
 
 Q42_ORACLE = """
-with tok as (
-  select doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+with ta as (
+  select doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
   from documents
 ),
+tok as (select doc_id, unnest(toks) as tok from ta),
 vocab as (select tok, count(*) as tok_n from tok group by tok),
 total as (select sum(tok_n) as corpus_tokens from vocab),
 scored as (
   select doc_id, round(-ln(tok_n / corpus_tokens), 6) as nll
   from tok join vocab using (tok) cross join total
+),
+lp as (
+  select doc_id, cast(count(*) as int) as n_tokens,
+         round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
+           as logppl
+  from scored group by doc_id
+),
+feats as (
+  select doc_id, source, unnest(toks) as gram from ta
+  union all
+  select doc_id, source, s as gram from ta,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1])) as t(s)
+),
+fb as (
+  select doc_id, source,
+         ('0x' || substr(md5(gram), 1, 8))::bigint % 4096 as b
+  from feats where gram <> ''
+),
+db as (select doc_id, b, count(*) as m from fb group by doc_id, b),
+ct as (select b, count(*) as n_t from fb where source = 'src0' group by b),
+cr as (select b, sum(m) as n_r from db group by b),
+stats as (
+  select coalesce(ct.b, cr.b) as b,
+         coalesce(n_t, 0) as n_t, coalesce(n_r, 0) as n_r
+  from ct full join cr on ct.b = cr.b
+),
+tot as (select sum(n_t) as tt, sum(n_r) as tr from stats),
+ratio as (
+  select b, cast(round(ln((n_t + 1.0) / (tt + 1.0 * 4096))
+                     - ln((n_r + 1.0) / (tr + 1.0 * 4096)), 6)
+                 as decimal(28,6)) as lr
+  from stats cross join tot
+),
+w as (
+  select db.doc_id, cast(sum(m) as int) as n_feats,
+         round(cast(sum(m * lr) as double), 4) as dsir_w
+  from db join ratio using (b) group by db.doc_id
+),
+wd as (
+  select d.doc_id, coalesce(n_feats, 0) as n_feats,
+         coalesce(dsir_w, 0.0) as dsir_w
+  from (select doc_id from documents) d left join w using (doc_id)
 )
-select doc_id, cast(count(*) as int) as n_tokens,
-       round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
-         as logppl
-from scored group by doc_id
+select lp.doc_id, lp.n_tokens, lp.logppl, wd.n_feats, wd.dsir_w,
+       round(wd.dsir_w + (-ln(-ln(
+         (('0x' || substr(md5(lp.doc_id::varchar || ':dsir:e0'), 1, 8))::bigint
+          + 0.5) / 4294967296.0))), 4) as dsir_key
+from lp join wd on lp.doc_id = wd.doc_id
 """
 
 
@@ -1342,7 +1398,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
     QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup"),
     QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),
-    QuerySpec("q42_unigram_logppl", _q42_spark, Q42_ORACLE, "corpus-trained unigram log-perplexity score"),
+    QuerySpec("q42_unigram_logppl", _q42_spark, Q42_ORACLE, "unigram log-perplexity + DSIR importance weights (fused)"),
     QuerySpec("q43_zorder_key", _q43_spark, _q43_oracle(), "Morton/Z-order clustering key (OPTIMIZE ZORDER analogue)"),
     QuerySpec("q44_pack_sequences", _q44_spark, Q44_ORACLE, "concatenate-and-chop packing via distributed prefix sum"),
     QuerySpec("q45_top_ngrams", _q45_spark, Q45_ORACLE, "corpus n-gram heavy hitters (stop-shingle profiling)"),

@@ -304,3 +304,21 @@ def test_deterministic_shuffle_plan_shape(registered):
     # document payload (text) never rides the shuffle
     m = re.search(r"Exchange hashpartitioning\(shard[^\n]*\n([^\n]*)", plan)
     assert m and "text" not in m.group(0) + m.group(1), m
+
+
+def test_dsir_weights_plan_shape(registered):
+    """q42's DSIR half: the bucket log-ratio table (≤ buckets rows) joins
+    the corpus-sized (doc, bucket) frame via broadcast, totals ride a
+    broadcast nested-loop (1-row frame), and the whole weight path is
+    expression-only — no Python workers, no cartesian shuffle join."""
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators.sampling import dsir_weights
+
+    docs = registered.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        dsir_weights(docs, docs.filter(F.col("source") == "src0"), buckets=512)
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]

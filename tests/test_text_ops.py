@@ -855,3 +855,109 @@ def test_remove_dup_spans_fused_and_knob_parity(spark):
         )
     )
     assert stats_only == stats_fused
+
+
+# ------------------------------------- r8: dsir_weights gate pins (q42 fused)
+
+def test_dsir_weights_python_oracle_parity(spark):
+    """Pure-Python mirror of the hashed-ngram importance weight (same md5
+    h32 bucketing, same Laplace smoothing) on a seeded random corpus —
+    pins the math independently of the DuckDB gate."""
+    import hashlib
+    import math
+    import random
+    import re as _re
+
+    from exon_spark.operators import dsir_weights
+
+    rng = random.Random(0xD518)
+    spark_words = ["spark", "sql", "query", "engine", "shuffle", "join"]
+    fruit_words = ["banana", "apple", "fruit", "salad", "pear", "melon"]
+    rows = []
+    for i in range(60):
+        vocab = spark_words if i % 2 == 0 else fruit_words
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 20)))))
+    rows.append((60, ""))  # featureless doc
+    raw = _docs(spark, rows)
+    target = _docs(
+        spark, [(1000 + i, " ".join(rng.choice(spark_words) for _ in range(12))) for i in range(10)]
+    )
+    B, k = 512, 1.0
+
+    def feats(text):
+        toks = _re.split(r"\s+", text.lower().strip())
+        grams = [t for t in toks if t != ""]
+        if len(toks) >= 2:
+            grams += [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B for g in grams]
+
+    # target / raw bucket counts + per-doc multiplicities
+    ct = {}
+    for r in target.collect():
+        for b in feats(r.text):
+            ct[b] = ct.get(b, 0) + 1
+    cr, db = {}, {}
+    for doc_id, text in rows:
+        fs = feats(text)
+        db[doc_id] = fs
+        for b in fs:
+            cr[b] = cr.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    lr = {
+        b: round(
+            math.log((ct.get(b, 0) + k) / (tt + k * B))
+            - math.log((cr.get(b, 0) + k) / (tr + k * B)),
+            6,
+        )
+        for b in set(ct) | set(cr)
+    }
+    exp = {
+        doc_id: (len(fs), round(sum(lr[b] for b in fs), 4))
+        for doc_id, fs in db.items()
+    }
+
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_w)
+        for r in dsir_weights(raw, target, buckets=B).collect()
+    }
+    assert set(got) == set(exp)
+    for doc_id in exp:
+        assert got[doc_id][0] == exp[doc_id][0], doc_id
+        assert abs(got[doc_id][1] - exp[doc_id][1]) < 1e-3, (
+            doc_id, got[doc_id], exp[doc_id],
+        )
+    assert got[60] == (0, 0.0)  # empty doc: zero features, weight 0
+
+    # in-domain raw docs must outscore out-of-domain ones on average
+    in_dom = [w for d, (_, w) in got.items() if d < 60 and d % 2 == 0]
+    out_dom = [w for d, (_, w) in got.items() if d < 60 and d % 2 == 1]
+    assert sum(in_dom) / len(in_dom) > sum(out_dom) / len(out_dom) + 1.0
+
+
+def test_dsir_weights_determinism_and_gumbel(spark):
+    from exon_spark.operators import dsir_weights
+
+    rows = [(i, f"alpha beta gamma delta {i % 7}") for i in range(50)]
+    raw = _docs(spark, rows)
+    tgt = _docs(spark, [(100, "alpha beta alpha beta")])
+
+    a = sorted(map(tuple, dsir_weights(raw, tgt, buckets=64).collect()))
+    b = sorted(
+        map(tuple, dsir_weights(raw.repartition(13, "text"), tgt, buckets=64).collect())
+    )
+    assert a == b  # layout-independent
+    assert [len(t) for t in a[:1]] == [3]  # no gumbel column without salt
+
+    g1 = sorted(map(tuple, dsir_weights(raw, tgt, buckets=64, gumbel_salt="e0").collect()))
+    g2 = sorted(map(tuple, dsir_weights(raw, tgt, buckets=64, gumbel_salt="e0").collect()))
+    g3 = sorted(map(tuple, dsir_weights(raw, tgt, buckets=64, gumbel_salt="e1").collect()))
+    assert g1 == g2  # same salt: bit-stable resampling key
+    assert [t[:3] for t in g3] == [t[:3] for t in g1]  # weights unchanged
+    assert [t[3] for t in g3] != [t[3] for t in g1]  # keys re-drawn
+
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_weights(raw, tgt, buckets=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_weights(raw, tgt, smoothing=0.0)
