@@ -857,3 +857,106 @@ def line_dedup(
         F.first("n_lines").cast("int").alias("n_lines"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     ).select("doc_id", text_col, "n_lines", "n_kept")
+
+
+def _nfc_udf(form: str):
+    """Unicode-normalization pandas UDF, built lazily inside a factory so
+    cloudpickle ships the impl by value (the repo's pandas-UDF rule).
+    Arrow-batched: unicodedata.normalize per value, no per-row Python
+    round-trips through the JVM."""
+    from pyspark.sql.functions import pandas_udf
+
+    def make():
+        import unicodedata
+
+        def norm(s):
+            return s.map(
+                lambda t: None if t is None else unicodedata.normalize(form, t)
+            )
+
+        return norm
+
+    return pandas_udf(make(), "string")
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str | None = None,
+    strip_control: bool = True,
+    collapse_ws: bool = True,
+    unify_punct: bool = True,
+) -> DataFrame:
+    """Text normalization — the first pass of every web-corpus pipeline
+    (CCNet/RefinedWeb-style cleanup): strip control + zero-width
+    characters, unify typographic punctuation to ASCII, normalize line
+    endings and collapse space runs, and (optionally) apply Unicode
+    normalization.
+
+    Output: (doc_id, <text_col>, changed) — ``changed`` marks rows the
+    cleanup actually altered, so a pipeline can measure normalization
+    rates or write back only dirty rows. NULL text passes through as
+    NULL (changed=false).
+
+    Steps (each toggleable):
+      * ``strip_control`` — remove C0/C1 control chars (except \\t/\\n),
+        DEL, zero-width space/joiners and the BOM.
+      * ``unify_punct``   — curly quotes → ASCII quotes, en/em dash → -,
+        ellipsis char → ``...``, NBSP → space.
+      * ``collapse_ws``   — \\r\\n and \\r → \\n, runs of spaces/tabs →
+        one space, spaces trimmed at line edges and string edges.
+      * ``form`` (``'NFC'|'NFKC'|'NFD'|'NFKD'``) — Unicode normalization.
+        Spark has no built-in normalizer, so this one step runs as an
+        Arrow-batched pandas UDF (the justified-UDF list); it is applied
+        FIRST so the JVM regexp cleanup sees composed forms. With
+        ``form=None`` (default) the whole operator is pure JVM Column
+        expressions — zero Python workers (pinned by plan test).
+
+    Scale: map-side only — no shuffle, no agg, no window; a regexp chain
+    (and optionally one Arrow batch hop) per partition, embarrassingly
+    parallel at 100 TB. NFC on an ASCII-clean corpus is the identity —
+    run a cheap ``rlike('[^\\\\x00-\\\\x7F]')`` pre-filter upstream if the
+    corpus is mostly ASCII and normalize only the non-ASCII slice.
+    """
+    if form is not None:
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    c: Column = F.col(text_col)
+    if form is not None:
+        c = _nfc_udf(form)(c)
+    if strip_control:
+        # C0 minus \t\n\r, DEL..C1, zero-widths + BOM
+        c = F.regexp_replace(
+            c,
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F"
+            "\\u200B\\u200C\\u200D\\uFEFF]",
+            "",
+        )
+    if unify_punct:
+        c = F.translate(
+            c,
+            "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0",
+            "''\"\"-- ",
+        )
+        c = F.regexp_replace(c, "…", "...")
+    if collapse_ws:
+        c = F.regexp_replace(c, "\\r\\n?", "\n")
+        c = F.regexp_replace(c, "[ \\t]+", " ")
+        c = F.regexp_replace(c, " ?\\n ?", "\n")
+        c = F.trim(c)
+    # normalized text pinned behind the Generate barrier: the `changed`
+    # comparison would otherwise inline (= re-run) the whole regexp/UDF
+    # chain a second time per row (the shingled_docs idiom)
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_orig"),
+        F.explode(F.array(c)).alias("_norm"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("_norm").alias(text_col),
+        F.coalesce(F.col("_norm") != F.col("_orig"), F.lit(False)).alias(
+            "changed"
+        ),
+    )

@@ -961,3 +961,90 @@ def test_dsir_weights_determinism_and_gumbel(spark):
         dsir_weights(raw, tgt, buckets=1)
     with pytest.raises(ValueError, match="smoothing"):
         dsir_weights(raw, tgt, smoothing=0.0)
+
+
+# ------------------------------------- r8: normalize_text
+
+def test_normalize_text_cleanup_and_changed_flag(spark):
+    from exon_spark.operators import normalize_text
+
+    rows = [
+        (1, "already clean"),
+        (2, "ctrl\x00chars\x1fhere"),
+        (3, "smart ‘quotes’ and “more” – dash … nbsp end"),
+        (4, "win\r\nlines\rhere"),
+        (5, "  runs \t of   space  \n  indented line  "),
+        (6, None),
+        (7, "zero​width﻿gone"),
+    ]
+    got = {
+        r.doc_id: (r.text, r.changed)
+        for r in normalize_text(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).collect()
+    }
+    assert got[1] == ("already clean", False)
+    assert got[2] == ("ctrlcharshere", True)
+    assert got[3] == ("smart 'quotes' and \"more\" - dash ... nbsp end", True)
+    assert got[4] == ("win\nlines\nhere", True)
+    assert got[5] == ("runs of space\nindented line", True)
+    assert got[6] == (None, False)
+    assert got[7] == ("zerowidthgone", True)
+
+    # idempotence: a second pass changes nothing
+    out2 = normalize_text(
+        spark.createDataFrame(
+            [(k, v[0]) for k, v in got.items()], "doc_id bigint, text string"
+        )
+    ).collect()
+    assert all(not r.changed for r in out2)
+
+
+def test_normalize_text_nfc_duckdb_oracle_parity(spark):
+    """form='NFC' must agree with DuckDB's nfc_normalize on composed vs
+    decomposed forms (both implement UAX #15)."""
+    import duckdb
+
+    from exon_spark.operators import normalize_text
+
+    rows = [
+        (1, "café"),            # composed é
+        (2, "café"),           # decomposed e + combining acute
+        (3, "Ångström"),  # decomposed Å
+        (4, "プロ"),         # katakana (NFC-stable)
+    ]
+    got = {
+        r.doc_id: r.text
+        for r in normalize_text(
+            spark.createDataFrame(rows, "doc_id bigint, text string"),
+            form="NFC",
+            unify_punct=False,
+        ).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        (exp,) = con.execute("select nfc_normalize(?)", [text]).fetchone()
+        assert got[doc_id] == exp, doc_id
+    assert got[1] == got[2] == "café"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="form"):
+        normalize_text(
+            spark.createDataFrame(rows, "doc_id bigint, text string"),
+            form="nfc",
+        )
+
+
+def test_normalize_text_jvm_only_plan(spark):
+    """With form=None the operator is pure Column expressions — no Python
+    workers anywhere in the plan, and the chain is evaluated once (the
+    Generate barrier feeds both the text and the changed flag)."""
+    from exon_spark.operators import normalize_text
+
+    df = spark.createDataFrame([(1, "x  y")], "doc_id bigint, text string")
+    plan = (
+        normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Generate" in plan
