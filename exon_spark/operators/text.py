@@ -960,3 +960,95 @@ def normalize_text(
             "changed"
         ),
     )
+
+
+def bigram_logppl(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+) -> DataFrame:
+    """Corpus-trained interpolated bigram log-perplexity — the order-1
+    upgrade of ``unigram_logppl`` and one step closer to the n-gram LM
+    CCNet (Wenzek et al. 2020) actually filters with. Score each bigram
+    position by the interpolated probability
+
+        p(cur | prev) = lam * c(prev,cur)/c(prev,·) + (1-lam) * c(cur)/N
+
+    where c(prev,·) = Σ_w c(prev,w) (the exact MLE context total, NOT the
+    raw unigram count of ``prev`` — they differ at document-final
+    positions) and N is total corpus tokens. Both terms are trained on the
+    corpus itself, so every scored bigram has c(prev,cur) ≥ 1 by
+    construction and no smoothing floor is needed; the interpolation is
+    the LM (it shrinks one-context bigrams toward the unigram prior),
+    not a zero-guard.
+
+    Output: (doc_id, n_bigrams, logppl2) with logppl2 = avg over bigram
+    positions of -ln(p), per-position nll rounded to 6 dp and
+    exact-decimal averaged so Spark and DuckDB agree bit-for-bit
+    (``unigram_logppl``'s discipline). Docs with < 2 tokens have no
+    bigram positions and are ABSENT from the output — left-join +
+    coalesce at the call site (the q42 dsir precedent).
+
+    Scale: the corpus-sized work is one explode into bigram positions
+    feeding (a) the groupBy(prev,cur) model fit and (b) the join back to
+    score — pair keys are two tokens (~16 bytes), map-side partial agg
+    absorbs Zipf-hot pairs before the shuffle. The context table folds
+    out of the bigram table (tiny second agg, vocab-sized), the unigram
+    vocab is Zipf-bounded, N is a 1-row broadcast; AQE broadcasts the
+    model joins when they fit. Same plan family as unigram_logppl — no
+    window, no Python.
+    """
+    mu = 1.0 - lam
+    toks = tokens(text_col, lowercase=True)
+    # token array behind a Generate barrier (shingled_docs idiom): the
+    # pair transform references it size(t) times — inlined, that would
+    # re-run split() per element
+    ta = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("t")
+    )
+    t = F.col("t")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"),
+                F.element_at(t, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pair_rows = ta.select("doc_id", F.explode(pairs).alias("pc")).select(
+        "doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur")
+    )
+    big = pair_rows.groupBy("prev", "cur").agg(F.count("*").alias("big_n"))
+    ctx = big.groupBy("prev").agg(F.sum("big_n").alias("ctx_n"))
+    tok_rows = df.select(F.explode(toks).alias("tok"))
+    vocab = tok_rows.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    total = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
+    scored = (
+        pair_rows.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(vocab, F.col("cur") == F.col("tok"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.lit(lam) * (F.col("big_n") / F.col("ctx_n"))
+                    + F.lit(mu) * (F.col("tok_n") / F.col("corpus_tokens"))
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.round(
+            (
+                F.sum(F.col("nll").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ),
+            4,
+        ).alias("logppl2"),
+    )

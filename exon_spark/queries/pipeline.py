@@ -1166,9 +1166,31 @@ where greatest(round(cast(n_common as double) / x.n_sh, 6),
 
 
 def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exon_spark.operators import ppl_buckets
+    # fused gate (the q42 precedent): unigram and bigram perplexity share
+    # the documents tokenization; one row gates ppl_buckets AND the r8
+    # bigram_logppl, each with its own per-language tertile. Inner join:
+    # a doc with < 2 tokens has no bigram score (none exist at sf0.01;
+    # the edge is pinned by pytest).
+    from pyspark.sql import Window
 
-    return ppl_buckets(table(spark, sf_dir, "documents"), by="lang")
+    from exon_spark.operators import bigram_logppl, ppl_buckets
+
+    docs = table(spark, sf_dir, "documents")
+    pb = ppl_buckets(docs, by="lang")
+    b2 = bigram_logppl(docs)
+    d = pb.join(b2, "doc_id")
+    pr2 = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("logppl2", "doc_id")
+    )
+    bucket2 = (
+        F.when(pr2 < 1.0 / 3, "head")
+        .when(pr2 < 2.0 / 3, "middle")
+        .otherwise("tail")
+    )
+    return d.select(
+        "doc_id", "lang", "n_tokens", "logppl", "ppl_bucket",
+        "n_bigrams", "logppl2", bucket2.alias("ppl2_bucket"),
+    )
 
 
 Q52_ORACLE = """
@@ -1188,16 +1210,47 @@ ppl as (
            as logppl
   from scored group by doc_id
 ),
+ta as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+),
+pair as (
+  select doc_id, s[1] as prev, s[2] as cur from ta,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> [toks[i], toks[i+1]])) as t(s)
+),
+big as (select prev, cur, count(*) as big_n from pair group by prev, cur),
+ctx as (select prev, sum(big_n) as ctx_n from big group by prev),
+scored2 as (
+  select doc_id,
+         round(-ln(0.9 * (big_n / ctx_n)
+                   + (1 - 0.9) * (tok_n / corpus_tokens)), 6) as nll
+  from pair join big using (prev, cur) join ctx using (prev)
+       join vocab on vocab.tok = pair.cur
+       cross join total
+),
+ppl2 as (
+  select doc_id, cast(count(*) as int) as n_bigrams,
+         round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
+           as logppl2
+  from scored2 group by doc_id
+),
 ranked as (
-  select d.doc_id, d.lang, p.n_tokens, p.logppl,
+  select d.doc_id, d.lang, p.n_tokens, p.logppl, b.n_bigrams, b.logppl2,
          percent_rank() over (partition by d.lang
-                              order by p.logppl, d.doc_id) as pr
-  from documents d join ppl p using (doc_id)
+                              order by p.logppl, d.doc_id) as pr,
+         percent_rank() over (partition by d.lang
+                              order by b.logppl2, d.doc_id) as pr2
+  from documents d join ppl p using (doc_id) join ppl2 b using (doc_id)
 )
 select doc_id, lang, n_tokens, logppl,
        case when pr < 1.0/3 then 'head'
             when pr < 2.0/3 then 'middle'
-            else 'tail' end as ppl_bucket
+            else 'tail' end as ppl_bucket,
+       n_bigrams, logppl2,
+       case when pr2 < 1.0/3 then 'head'
+            when pr2 < 2.0/3 then 'middle'
+            else 'tail' end as ppl2_bucket
 from ranked
 """
 
@@ -1408,5 +1461,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),
     QuerySpec("q50_chunk_documents", _q50_spark, Q50_ORACLE, "overlapping token-window chunking (RAG/embedding prep)"),
     QuerySpec("q51_line_dedup", _q51_spark, Q51_ORACLE, "corpus-level boilerplate line removal (RefinedWeb line-wise dedup)"),
-    QuerySpec("q52_ppl_buckets", _q52_spark, Q52_ORACLE, "CCNet-style per-language perplexity tertiles"),
+    QuerySpec("q52_ppl_buckets", _q52_spark, Q52_ORACLE, "CCNet-style per-language perplexity tertiles (unigram + r8 bigram LM)"),
 ]

@@ -1048,3 +1048,82 @@ def test_normalize_text_jvm_only_plan(spark):
     )
     assert "EvalPython" not in plan
     assert "Generate" in plan
+
+
+# ------------------------------------- r8: bigram_logppl
+
+
+def test_bigram_logppl_hand_computed(spark):
+    """Exact parity with a pure-Python reimplementation of the formula on
+    a corpus with repeated, one-context, and sub-2-token docs."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from exon_spark.operators import bigram_logppl
+
+    corpus = {
+        1: "a b a b c",
+        2: "a b",
+        3: "solo",       # 1 token: no bigram positions -> absent
+        4: "c a q c a",  # rare token q: unigram term matters
+    }
+    out = {
+        r.doc_id: r
+        for r in bigram_logppl(
+            _docs(spark, list(corpus.items()))
+        ).collect()
+    }
+    toks = {d: t.split() for d, t in corpus.items()}
+    uni, big = Counter(), Counter()
+    for t in toks.values():
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+    n_corpus = sum(uni.values())
+    ctx = Counter()
+    for (p, _c), n in big.items():
+        ctx[p] += n
+    for d, t in toks.items():
+        ps = list(zip(t, t[1:]))
+        if not ps:
+            assert d not in out
+            continue
+        nlls = [
+            round(
+                -math.log(
+                    0.9 * (big[pc] / ctx[pc[0]])
+                    + (1 - 0.9) * (uni[pc[1]] / n_corpus)
+                ),
+                6,
+            )
+            for pc in ps
+        ]
+        s = sum(Decimal(str(v)) for v in nlls)
+        assert out[d].n_bigrams == len(ps)
+        assert out[d].logppl2 == round(float(s) / len(ps), 4), d
+
+
+def test_bigram_logppl_partitioning_invariant(spark):
+    """Rounded-decimal discipline: bit-identical result at any input
+    partitioning (the repo's determinism bar for oracle-gated scores)."""
+    from exon_spark.operators import bigram_logppl
+
+    rows = [(i, f"tok{i % 7} tok{(i * 3) % 5} tok{i % 7} end") for i in range(40)]
+    a = sorted(
+        bigram_logppl(_docs(spark, rows).repartition(1)).collect()
+    )
+    b = sorted(
+        bigram_logppl(_docs(spark, rows).repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_bigram_logppl_jvm_only_plan(spark):
+    """Pure Column expressions — no Python workers, no window; the token
+    array is Generate-barriered so split() runs once per row."""
+    from exon_spark.operators import bigram_logppl
+
+    df = _docs(spark, [(1, "x y z")])
+    plan = bigram_logppl(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan
