@@ -668,3 +668,129 @@ def semantic_dedup(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def _kmeans_partials_fn(centroids: list[tuple[int, list[float]]], scale: int):
+    """mapInPandas partial-aggregation stage for one Lloyd iteration:
+    per Arrow batch, assign rows to their nearest centroid (6-dp-rounded
+    cosine argmax, ties to the smallest cell id — ``_assign_cluster_udf``'s
+    exact discipline) and emit per-(cell, component) partial sums of the
+    L2-NORMALIZED member vectors as scaled int64 (``round(v * scale)``).
+    Integer partials make the downstream sum exact and order-independent —
+    the accumulation analogue of the decimal-sum rounding discipline the
+    oracle-gated scores use. Defined in a factory so cloudpickle ships the
+    centroid matrix by value (broadcast in the closure)."""
+    import numpy as np
+
+    ids = np.array([cid for cid, _ in centroids], np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    C = np.array([c for _, c in centroids], np.float64)[order]
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    if not (np.isfinite(cn).all() and cn.all()):
+        raise ArithmeticError("zero-norm or non-finite centroid in kmeans_refine")
+    Cn = C / cn
+
+    def f(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, np.float64) for v in pdf["v"]])
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            if not nrm.all():
+                raise ArithmeticError("zero-norm embedding in kmeans_refine")
+            Mn = M / nrm
+            assign = np.argmax(np.round(Mn @ Cn.T, 6), axis=1)
+            dim = Mn.shape[1]
+            for a in np.unique(assign):
+                m = assign == a
+                # per-ROW scaling before the sum: round(v*scale) is the
+                # quantity whose sum must be order-independent; each
+                # partial stays within rows_in_batch * scale — exact int64
+                psum = np.round(Mn[m] * scale).sum(axis=0).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "cell": np.full(dim, ids[a], np.int64),
+                        "pos": np.arange(dim, dtype=np.int64),
+                        "psum": psum,
+                        "cnt": np.full(dim, int(m.sum()), np.int64),
+                    }
+                )
+
+    return f
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical Lloyd refinement over the FULL corpus — the
+    step up from ``ivf_fit_centroids``'s bounded driver sample when the
+    sample under-represents tail modes (the regime where IVF cell quality
+    and SemDeDup blocking actually suffer). Seed with
+    ``ivf_fit_centroids(...)`` and pass the result anywhere centroids go
+    (``ivf_ann_topk(centroids=...)``).
+
+    Each iteration is ONE corpus pass, no corpus shuffle: assignment runs
+    map-side with the centroid matrix broadcast in an Arrow UDF closure
+    (one matmul per batch), and each task emits k x dim partial rows
+    (cell, pos, psum, cnt) — member vectors pre-summed as scaled int64
+    within the task, so the shuffle carries partials, never vectors. The
+    JVM agg sums partials as decimal(38,0) (exact at any corpus size; a
+    long sum would wrap past ~1e9 rows per cell) and the driver turns
+    k x dim exact integer sums into unit-normalized means. Empty cells
+    keep their previous centroid (standard Lloyd).
+
+    DETERMINISTIC at bit level across partitionings and cluster layouts:
+    assignment is 6-dp-rounded-cosine argmax with ties to the smallest
+    cell id (``semantic_dedup``'s regime discipline), and integer partial
+    sums are order-independent where float partials would not be — so the
+    fit reproduces anywhere, the property every other operator here holds
+    (pinned by the partitioning-invariance test).
+
+    Scale: per-task partial state is k x dim int64 (the same bound
+    Spark MLlib's KMeans treeAggregate carries); the shuffle per
+    iteration is tasks x k x dim rows of 32 bytes; driver state is
+    k x dim doubles — the same matrix it must broadcast anyway. Cost is
+    iters corpus passes; seed from the sampled fit so 3-5 refinement
+    passes suffice.
+    """
+    import numpy as np
+
+    scale = 10**9
+    ids = sorted(cid for cid, _ in centroids)
+    cur = {cid: list(map(float, vec)) for cid, vec in centroids}
+    data = corpus.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        fn = _kmeans_partials_fn(sorted(cur.items()), scale)
+        partials = data.mapInPandas(
+            fn, "cell bigint, pos bigint, psum bigint, cnt bigint"
+        )
+        rows = (
+            partials.groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("psum").cast("decimal(38,0)")).alias("s"),
+                F.sum("cnt").alias("n"),
+            )
+            .collect()
+        )
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for r in rows:
+            a = sums.setdefault(int(r.cell), np.zeros(len(next(iter(cur.values()))), np.float64))
+            a[int(r.pos)] = float(r.s)
+            if int(r.pos) == 0:
+                cnts[int(r.cell)] = int(r.n)
+        for cid in ids:
+            if cnts.get(cid, 0) == 0:
+                continue  # empty cell: keep previous centroid
+            v = sums[cid] / (cnts[cid] * scale)
+            nv = np.linalg.norm(v)
+            if nv > 1e-12:
+                cur[cid] = (v / nv).tolist()
+    return [(cid, cur[cid]) for cid in ids]

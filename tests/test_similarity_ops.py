@@ -451,3 +451,97 @@ def test_assign_cluster_udf_zero_norm_centroid_raises():
 
     with pytest.raises(ArithmeticError, match="zero-norm"):
         _assign_cluster_udf([(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])])
+
+
+# ------------------------------------- r8: kmeans_refine
+
+
+def _np_spherical_lloyd(X, centroids, iters):
+    """Pure-numpy reference of the kmeans_refine contract: 6-dp-rounded
+    cosine argmax, ties to smallest cell id, scaled-int-exact means."""
+    import numpy as np
+
+    scale = 10**9
+    ids = sorted(cid for cid, _ in centroids)
+    C = {cid: np.asarray(v, np.float64) for cid, v in centroids}
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for _ in range(iters):
+        M = np.stack([C[c] / np.linalg.norm(C[c]) for c in ids])
+        assign = np.argmax(np.round(Xn @ M.T, 6), axis=1)
+        for j, cid in enumerate(ids):
+            m = assign == j
+            if not m.any():
+                continue
+            s = np.round(Xn[m] * scale).sum(axis=0)
+            v = s / (m.sum() * scale)
+            nv = np.linalg.norm(v)
+            if nv > 1e-12:
+                C[cid] = v / nv
+    return [(cid, C[cid].tolist()) for cid in ids]
+
+
+def test_kmeans_refine_matches_numpy_reference(spark):
+    """Distributed refinement == the numpy reimplementation, bit for bit
+    (exact integer partial sums make the distributed mean reproducible)."""
+    import numpy as np
+
+    from exon_spark.operators import ivf_fit_centroids, kmeans_refine
+
+    em = _emb(spark)
+    seed = ivf_fit_centroids(em, n_cells=6, sample_n=100, iters=2)
+    got = kmeans_refine(em, seed, iters=3)
+    rows = em.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r.embedding, np.float64) for r in rows])
+    exp = _np_spherical_lloyd(X, seed, iters=3)
+    assert [c for c, _ in got] == [c for c, _ in exp]
+    for (_, gv), (_, ev) in zip(got, exp):
+        assert gv == pytest.approx(ev, abs=1e-12)
+
+
+def test_kmeans_refine_partitioning_invariant(spark):
+    """Same fit at any input partitioning — the int64 partial sums are
+    order-independent where float partials would drift."""
+    from exon_spark.operators import ivf_fit_centroids, kmeans_refine
+
+    em = _emb(spark)
+    seed = ivf_fit_centroids(em, n_cells=5, sample_n=80, iters=1)
+    a = kmeans_refine(em.repartition(1), seed, iters=2)
+    b = kmeans_refine(em.repartition(13), seed, iters=2)
+    assert a == b
+
+
+def test_kmeans_refine_improves_inertia_and_plugs_into_ivf(spark):
+    """Refinement must not worsen the seed's quantization quality, and the
+    result drops into ivf_ann_topk(centroids=...)."""
+    import numpy as np
+
+    from exon_spark.operators import (
+        ivf_ann_topk,
+        ivf_fit_centroids,
+        kmeans_refine,
+    )
+
+    em = _emb(spark)
+    rows = em.select("embedding").collect()
+    X = np.stack([np.asarray(r.embedding, np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def mean_max_cos(cents):
+        M = np.stack([np.asarray(v, np.float64) for _, v in cents])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return float(np.max(Xn @ M.T, axis=1).mean())
+
+    seed = ivf_fit_centroids(em, n_cells=8, sample_n=60, iters=1)
+    ref = kmeans_refine(em, seed, iters=4)
+    assert mean_max_cos(ref) >= mean_max_cos(seed) - 1e-9
+    q = em.filter(F.col("vec_id") < 3)
+    out = ivf_ann_topk(em, q, k=5, nprobe=3, centroids=ref).collect()
+    assert len(out) == 3 * 5
+
+
+def test_kmeans_refine_zero_norm_centroid_raises(spark):
+    from exon_spark.operators import kmeans_refine
+
+    em = _emb(spark)
+    with pytest.raises(ArithmeticError, match="zero-norm"):
+        kmeans_refine(em, [(0, [0.0] * 16), (1, [1.0] + [0.0] * 15)], iters=1)
