@@ -506,6 +506,10 @@ def unigram_logppl(
     broadcasts when the vocab fits (AQE decides); corpus_tokens is a
     1-row broadcast.
     """
+    # deliberately NO fanout_repartition: the per-row work here is one
+    # cheap explode (unlike quality_signals' O(g log g) HOF chain) and the
+    # vocab groupBy re-spreads immediately — measured at sf0.1, the extra
+    # exchange costs ~+0.8 s on q42/q52 vs nothing saved (SCALE.md)
     toks = tokens(text_col, lowercase=True)
     tok_rows = df.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
@@ -1000,6 +1004,7 @@ def bigram_logppl(
     window, no Python.
     """
     mu = 1.0 - lam
+    # no fanout_repartition — same negative measurement as unigram_logppl
     toks = tokens(text_col, lowercase=True)
     # token array behind a Generate barrier (shingled_docs idiom): the
     # pair transform references it size(t) times — inlined, that would
