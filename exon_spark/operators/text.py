@@ -891,6 +891,7 @@ def normalize_text(
     strip_control: bool = True,
     collapse_ws: bool = True,
     unify_punct: bool = True,
+    strip_html: bool = False,
 ) -> DataFrame:
     """Text normalization — the first pass of every web-corpus pipeline
     (CCNet/RefinedWeb-style cleanup): strip control + zero-width
@@ -910,6 +911,13 @@ def normalize_text(
         ellipsis char → ``...``, NBSP → space.
       * ``collapse_ws``   — \\r\\n and \\r → \\n, runs of spaces/tabs →
         one space, spaces trimmed at line edges and string edges.
+      * ``strip_html`` (off by default) — drop ``<script>``/``<style>``
+        blocks and HTML comments wholesale, strip remaining tags, then
+        decode the common entities (&amp; &lt; &gt; &quot; &#39; &nbsp;
+        and decimal/hex numeric refs for those). A regexp-level cleanup
+        for tag-bearing web text, NOT an HTML parser — malformed nesting
+        degrades gracefully to "tags removed". Runs FIRST so the
+        whitespace collapse tidies what tag removal leaves behind.
       * ``form`` (``'NFC'|'NFKC'|'NFD'|'NFKD'``) — Unicode normalization.
         Spark has no built-in normalizer, so this one step runs as an
         Arrow-batched pandas UDF (the justified-UDF list); it is applied
@@ -927,6 +935,19 @@ def normalize_text(
         if form not in ("NFC", "NFKC", "NFD", "NFKD"):
             raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
     c: Column = F.col(text_col)
+    if strip_html:
+        # block elements whose CONTENT must go too, then comments, then
+        # any remaining tag; (?si) = dotall + case-insensitive so
+        # multi-line <script>/<STYLE> blocks match
+        c = F.regexp_replace(c, "(?si)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+        c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+        c = F.regexp_replace(c, "(?s)<[^>]+>", " ")
+        c = F.regexp_replace(c, "(?i)&(nbsp|#160|#xa0);", " ")
+        c = F.regexp_replace(c, "(?i)&(lt|#60|#x3c);", "<")
+        c = F.regexp_replace(c, "(?i)&(gt|#62|#x3e);", ">")
+        c = F.regexp_replace(c, "(?i)&(quot|#34|#x22);", "\"")
+        c = F.regexp_replace(c, "(?i)&(apos|#39|#x27);", "'")
+        c = F.regexp_replace(c, "(?i)&(amp|#38|#x26);", "&")
     if form is not None:
         c = _nfc_udf(form)(c)
     if strip_control:

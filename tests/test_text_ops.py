@@ -1127,3 +1127,58 @@ def test_bigram_logppl_jvm_only_plan(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert "Generate" in plan
+
+
+def test_normalize_text_strip_html(spark):
+    """strip_html: script/style/comment content removed wholesale,
+    remaining tags stripped, common entities decoded, whitespace tidied
+    by the standard collapse pass; idempotent on the cleaned output."""
+    from exon_spark.operators import normalize_text
+
+    rows = [
+        (1, "<html><style>p { color: red }</style>"
+            "<p>Hello &amp; welcome!</p><!-- c --><script>var x = '<p>';"
+            "</script>Bye</html>"),
+        (2, "a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; b"),
+        (3, "no markup"),
+        (4, "<SCRIPT TYPE='text/js'>multi\nline\n</script >after"),
+        (5, "&#x26;amp; double-encoded"),
+    ]
+
+    def run(df):
+        return {
+            r.doc_id: (r.text, r.changed)
+            for r in normalize_text(df, strip_html=True).collect()
+        }
+
+    got = run(spark.createDataFrame(rows, "doc_id bigint, text string"))
+    assert got[1] == ("Hello & welcome! Bye", True)
+    assert got[2] == ('a <tag> "q" \'s\' b', True)
+    assert got[3] == ("no markup", False)
+    # case-insensitive tag match, attributes, multiline block, spaced close
+    assert got[4] == ("after", True)
+    # single-pass decode: &#x26;amp; -> "&amp;" and STOPS (no double decode)
+    assert got[5] == ("&amp; double-encoded", True)
+    # idempotence on already-clean text free of markup-meaningful chars —
+    # decoded &lt;tag&gt; intentionally looks like a tag to a second pass
+    # and &#x26;amp; stays one decode behind (single-pass, no double
+    # decode), so outputs holding < or & legitimately change again
+    again = run(
+        spark.createDataFrame(
+            [
+                (d, t)
+                for d, (t, _c) in got.items()
+                if "<" not in t and "&" not in t
+            ],
+            "doc_id bigint, text string",
+        )
+    )
+    assert all(not c for _t, c in again.values())
+    # off by default: tags pass through
+    kept = {
+        r.doc_id: r.text
+        for r in normalize_text(
+            spark.createDataFrame(rows[:1], "doc_id bigint, text string")
+        ).collect()
+    }
+    assert "<html>" in kept[1]
