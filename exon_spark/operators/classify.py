@@ -1,0 +1,172 @@
+"""Model-based quality filtering: a hashed-feature multinomial Naive
+Bayes classifier (fit + score) — the "train a quality classifier on seed
+corpora, score every document" stage of GPT-3/CCNet/DCLM-style pretraining
+pipelines (Brown et al. 2020 Appendix A; Wenzek et al. 2020; Li et al.
+2024 use fastText — NB over hashed unigrams is the same broadcast-model
+apply shape with a closed-form, fully SQL-mirrorable fit).
+
+Beyond-reference layer (no exon counterpart): the reference stops at
+format-level scans; classifier filtering is the standard corpus-curation
+step its users would run next.
+
+100 TB design:
+  * **fit** is ONE shuffle of 8-byte hashed bucket keys with map-side
+    partial aggregation (`groupBy(bucket).agg(sum, sum)`), plus a
+    single 1-row driver collect for the class totals. Model size is
+    bounded by ``buckets`` (default 2^18 rows ~ 4 MB), independent of
+    corpus size.
+  * **score** is a broadcast hash join (model never shuffles the corpus)
+    followed by a map-side-combinable per-doc sum — no wide shuffle of
+    document text, only (doc_id, bucket) rows.
+  * Hashing trick (Weinberger et al. 2009) bounds memory: collisions
+    fold rare features together, the standard trade at corpus scale.
+
+The feature hash is ``h32`` (first 8 md5 hex chars as bigint), the repo's
+portable hash — DuckDB oracles mirror ``('0x' || substr(md5(tok),1,8))::
+bigint % buckets`` exactly, so fit and score are bit-reproducible across
+engines (modulo float-sum order, absorbed by 6-dp rounding).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from exon_spark.operators.dedup import h32, tokens
+
+NB_BUCKETS = 262144  # 2^18 — model stays broadcast-sized (~4 MB)
+NB_ALPHA = 1.0  # Laplace smoothing
+
+
+def _token_rows(
+    df: DataFrame, id_cols: list[str], text_col: str, buckets: int
+) -> DataFrame:
+    """(id_cols..., bucket) — one row per token occurrence (multiset:
+    multinomial NB counts repeats). Empty tokens (whitespace-only or
+    null text) produce no rows."""
+    return (
+        df.select(*id_cols, F.explode(tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .select(
+            *id_cols,
+            F.pmod(h32(F.col("tok")), F.lit(buckets)).alias("bucket"),
+        )
+    )
+
+
+def nb_classifier_fit(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    buckets: int = NB_BUCKETS,
+    alpha: float = NB_ALPHA,
+) -> tuple[DataFrame, dict]:
+    """Fit hashed-unigram multinomial NB on a labeled seed corpus.
+
+    ``label_col`` is boolean (True = positive / "high quality" class).
+
+    Returns ``(model, meta)``:
+      * ``model`` — DataFrame(bucket bigint, log_odds double), at most
+        ``buckets`` rows; broadcast it at score time.
+      * ``meta`` — ``{"log_prior", "default_log_odds", "buckets",
+        "alpha"}``; ``default_log_odds`` is the smoothed odds of a bucket
+        never seen in training.
+
+    The only driver materialization is a 1-row collect of the four class
+    totals (token and document counts per class) — bounded regardless of
+    corpus size. Raises ``ValueError`` if either class has no documents
+    or no tokens (the prior/odds would be degenerate).
+    """
+    labeled = df.select(F.col(label_col).cast("boolean").alias("_pos"), text_col)
+    tok = _token_rows(labeled, ["_pos"], text_col, buckets)
+    counts = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("c0"),
+    )
+    totals = counts.agg(
+        F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
+    ).collect()[0]
+    ndocs = labeled.agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("n0"),
+    ).collect()[0]
+    t1, t0 = float(totals["t1"] or 0), float(totals["t0"] or 0)
+    n1, n0 = int(ndocs["n1"] or 0), int(ndocs["n0"] or 0)
+    if n1 == 0 or n0 == 0 or t1 == 0.0 or t0 == 0.0:
+        raise ValueError(
+            "nb_classifier_fit needs documents AND tokens in both classes "
+            f"(docs pos={n1} neg={n0}, tokens pos={t1} neg={t0})"
+        )
+    import math
+
+    denom1, denom0 = t1 + alpha * buckets, t0 + alpha * buckets
+
+    def _lo(c1: Column, c0: Column) -> Column:
+        return F.log((c1 + F.lit(alpha)) / F.lit(denom1)) - F.log(
+            (c0 + F.lit(alpha)) / F.lit(denom0)
+        )
+
+    model = counts.select(
+        "bucket",
+        _lo(
+            F.col("c1").cast("double"), F.col("c0").cast("double")
+        ).alias("log_odds"),
+    )
+    meta = {
+        "log_prior": math.log(n1 / n0),
+        "default_log_odds": math.log(alpha / denom1) - math.log(alpha / denom0),
+        "buckets": buckets,
+        "alpha": alpha,
+    }
+    return model, meta
+
+
+def nb_classifier_score(
+    df: DataFrame,
+    model: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with the fitted model.
+
+    Output: ``(doc_id, n_toks, nb_logodds, nb_pass)`` — ``nb_logodds`` is
+    the 6-dp-rounded log posterior odds (prior + per-token log-odds sum;
+    buckets unseen at fit time contribute ``meta["default_log_odds"]``),
+    ``nb_pass`` is the unrounded ``score > 0`` decision. Documents with
+    no tokens (null/whitespace text) keep the prior alone.
+
+    Plan shape: ONE broadcast(model) hash join on the token rows (the
+    corpus side never shuffles for the model) and ONE map-side-combinable
+    per-doc sum. Zero-token docs survive via ``explode_outer`` (a single
+    null-token row per empty doc), so there is no corpus-vs-corpus rejoin
+    — the naive "left join the scores back onto the ids" spelling costs a
+    second full doc_id shuffle + SortMergeJoin at 100 TB.
+    """
+    ids = df.select(F.col(id_col).alias("doc_id"), text_col)
+    arr = F.filter(tokens(text_col), lambda x: x != "")
+    tok = ids.select(
+        "doc_id", F.explode_outer(arr).alias("tok")
+    ).select(
+        "doc_id",
+        "tok",
+        F.when(
+            F.col("tok").isNotNull(),
+            F.pmod(h32(F.col("tok")), F.lit(meta["buckets"])),
+        ).alias("bucket"),
+    )
+    term = F.when(F.col("tok").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("log_odds"), F.lit(meta["default_log_odds"]))
+    )
+    per_doc = (
+        tok.join(F.broadcast(model), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.col("tok")).alias("n_toks"), F.sum(term).alias("_s"))
+    )
+    score = F.lit(meta["log_prior"]) + F.coalesce(F.col("_s"), F.lit(0.0))
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        F.round(score, 6).alias("nb_logodds"),
+        (score > 0).alias("nb_pass"),
+    )

@@ -685,10 +685,100 @@ from a
 # ------------------------------------------- quality / coverage / ranking
 
 def _q36_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_signals(table(spark, sf_dir, "documents"))
+    """Gopher repetition signals + fused hashed-NB classifier score
+    (r8: the model-based quality-filter stage). Seed labels are
+    ``doc_id % 2 = 0`` with class-marker trigrams planted into each class
+    (the synthetic corpus shares one vocabulary across all labels, so an
+    unplanted fit would be pure noise and ``nb_pass`` constant — the
+    q34/q37 plant convention); balanced classes keep the shared-token
+    odds near zero so the planted signals decide. The oracle regenerates
+    the closed-form fit from the same h32 bucketing + Laplace constants,
+    so model and scores match across engines at 6 dp."""
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    docs = table(spark, sf_dir, "documents")
+    pos = (F.col("doc_id") % 2) == 0
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(pos, F.lit(_NB_MARKER_POS)).otherwise(
+                F.lit(_NB_MARKER_NEG)
+            ),
+        ).alias("text"),
+        pos.alias("label"),
+    )
+    model, meta = nb_classifier_fit(planted, label_col="label")
+    scored = nb_classifier_score(planted, model, meta)
+    return quality_signals(docs).join(scored, "doc_id")
 
 
-Q36_ORACLE = """
+_NB_MARKER_POS = " hqseed hqseed hqseed"
+_NB_MARKER_NEG = " lqseed lqseed lqseed"
+
+
+def _q36_oracle() -> str:
+    from exon_spark.operators.classify import NB_ALPHA, NB_BUCKETS
+
+    B, A = NB_BUCKETS, NB_ALPHA
+    return f"""
+with q as ({Q36_SIGNALS_ORACLE}),
+pd as (
+  select doc_id, doc_id % 2 = 0 as pos,
+         text || case when doc_id % 2 = 0 then '{_NB_MARKER_POS}'
+                      else '{_NB_MARKER_NEG}' end as text
+  from documents
+),
+tokn as (
+  select doc_id, pos, tok from (
+    select doc_id, pos,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+    from pd
+  ) where tok <> ''
+),
+bk as (
+  select doc_id, pos,
+         ('0x' || substr(md5(tok), 1, 8))::bigint % {B} as bucket
+  from tokn
+),
+cnt as (
+  select bucket,
+         sum(case when pos then 1 else 0 end) as c1,
+         sum(case when pos then 0 else 1 end) as c0
+  from bk group by bucket
+),
+tot as (select sum(c1)::double as t1, sum(c0)::double as t0 from cnt),
+model as (
+  select bucket,
+         ln((c1 + {A}) / (t1 + {A} * {B})) -
+         ln((c0 + {A}) / (t0 + {A} * {B})) as log_odds
+  from cnt cross join tot
+),
+pr as (
+  select ln(sum(case when pos then 1 else 0 end)::double
+            / sum(case when not pos then 1 else 0 end)) as log_prior
+  from pd
+),
+ds as (
+  select b.doc_id, count(*) as n_toks, sum(m.log_odds) as s
+  from bk b join model m using (bucket)
+  group by b.doc_id
+),
+nb as (
+  select d0.doc_id,
+         coalesce(ds.n_toks, 0) as n_toks,
+         round(pr.log_prior + coalesce(ds.s, 0), 6) as nb_logodds,
+         (pr.log_prior + coalesce(ds.s, 0)) > 0 as nb_pass
+  from (select doc_id from documents) d0
+  left join ds using (doc_id)
+  cross join pr
+)
+select q.*, nb.n_toks, nb.nb_logodds, nb.nb_pass
+from q join nb using (doc_id)
+"""
+
+
+Q36_SIGNALS_ORACLE = """
 with d as (
   select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
   from documents
@@ -1446,7 +1536,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q32_corpus_mix", _q32_spark, Q32_ORACLE, "stratified corpus mixing + deterministic training-order shard assignment"),
     QuerySpec("q34_decontaminate", _q34_spark, Q34_ORACLE, "train/eval n-gram overlap check"),
     QuerySpec("q35_pii_stats", _q35_spark, _q35_oracle(), "PII signal counts + fused typed-placeholder redaction (one scan)"),
-    QuerySpec("q36_quality_signals", _q36_spark, Q36_ORACLE, "Gopher-style repetition/quality filters"),
+    QuerySpec("q36_quality_signals", _q36_spark, _q36_oracle(), "Gopher repetition filters + fused hashed-NB quality classifier"),
     QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal + fused keep-one span removal"),
     QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
     QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup"),

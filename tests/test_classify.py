@@ -1,0 +1,168 @@
+"""Unit tests for the hashed-NB quality classifier (fit + score): hand-
+computed closed-form parity, unseen-bucket default odds, degenerate-class
+guards, null/empty-text scoring, and the broadcast-join plan shape the
+100 TB design depends on."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, label boolean")
+
+
+def _h32(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+
+def _py_nb(rows, buckets, alpha):
+    """Pure-Python closed-form NB reference (multiset counts)."""
+    c1, c0 = {}, {}
+    t1 = t0 = n1 = n0 = 0
+    for _id, text, label in rows:
+        toks = [t for t in (text or "").strip().lower().split() if t]
+        if label:
+            n1 += 1
+        else:
+            n0 += 1
+        for t in toks:
+            b = _h32(t) % buckets
+            if label:
+                c1[b] = c1.get(b, 0) + 1
+                t1 += 1
+            else:
+                c0[b] = c0.get(b, 0) + 1
+                t0 += 1
+    d1, d0 = t1 + alpha * buckets, t0 + alpha * buckets
+    model = {
+        b: math.log((c1.get(b, 0) + alpha) / d1)
+        - math.log((c0.get(b, 0) + alpha) / d0)
+        for b in set(c1) | set(c0)
+    }
+    default = math.log(alpha / d1) - math.log(alpha / d0)
+    prior = math.log(n1 / n0)
+
+    def score(text):
+        toks = [t for t in (text or "").strip().lower().split() if t]
+        s = prior
+        for t in toks:
+            s += model.get(_h32(t) % buckets, default)
+        return s, len(toks)
+
+    return model, prior, default, score
+
+
+SEED_ROWS = [
+    (1, "good clean prose with signal tokens", True),
+    (2, "good good crisp signal writing here", True),
+    (3, "bad spam junk noise keyboard mash", False),
+    (4, "bad bad spam spam repeated junk", False),
+    (5, "neutral words shared across both good bad", True),
+    (6, "neutral words shared across both good bad", False),
+]
+
+
+def test_nb_classifier_hand_computed_parity(spark):
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    df = _docs(spark, SEED_ROWS)
+    model, meta = nb_classifier_fit(df, buckets=4096)
+    _pm, prior, default, score = _py_nb(SEED_ROWS, 4096, 1.0)
+    assert meta["log_prior"] == pytest.approx(prior)
+    assert meta["default_log_odds"] == pytest.approx(default)
+    out = {
+        r["doc_id"]: r
+        for r in nb_classifier_score(df, model, meta).collect()
+    }
+    assert len(out) == len(SEED_ROWS)
+    for doc_id, text, _label in SEED_ROWS:
+        exp_s, exp_n = score(text)
+        assert out[doc_id]["n_toks"] == exp_n
+        assert out[doc_id]["nb_logodds"] == pytest.approx(
+            round(exp_s, 6), abs=2e-6
+        )
+        assert out[doc_id]["nb_pass"] == (exp_s > 0)
+
+
+def test_nb_classifier_separates_marked_classes(spark):
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    rows = [
+        (i, ("hq hq hq shared text" if i % 2 == 0 else "lq lq lq shared text"), i % 2 == 0)
+        for i in range(40)
+    ]
+    df = _docs(spark, rows)
+    model, meta = nb_classifier_fit(df)
+    out = nb_classifier_score(df, model, meta).collect()
+    for r in out:
+        assert r["nb_pass"] == (r["doc_id"] % 2 == 0)
+
+
+def test_nb_classifier_unseen_bucket_uses_default(spark):
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    fit_df = _docs(spark, SEED_ROWS)
+    model, meta = nb_classifier_fit(fit_df, buckets=4096)
+    _pm, prior, default, _ = _py_nb(SEED_ROWS, 4096, 1.0)
+    held_out = _docs(spark, [(99, "zzzunseen qqqunseen", None)])
+    (r,) = nb_classifier_score(held_out, model, meta).collect()
+    assert r["n_toks"] == 2
+    assert r["nb_logodds"] == pytest.approx(
+        round(prior + 2 * default, 6), abs=2e-6
+    )
+
+
+def test_nb_classifier_null_and_empty_text_keep_prior(spark):
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    model, meta = nb_classifier_fit(_docs(spark, SEED_ROWS), buckets=4096)
+    df = _docs(spark, [(7, None, None), (8, "   ", None)])
+    out = {r["doc_id"]: r for r in nb_classifier_score(df, model, meta).collect()}
+    for doc_id in (7, 8):
+        assert out[doc_id]["n_toks"] == 0
+        assert out[doc_id]["nb_logodds"] == pytest.approx(
+            round(meta["log_prior"], 6), abs=2e-6
+        )
+
+
+def test_nb_classifier_single_class_raises(spark):
+    from exon_spark.operators import nb_classifier_fit
+
+    df = _docs(spark, [(1, "only positives here", True), (2, "more", True)])
+    with pytest.raises(ValueError, match="both classes"):
+        nb_classifier_fit(df)
+
+
+def test_nb_classifier_partitioning_invariant(spark):
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    df = _docs(spark, SEED_ROWS)
+    base_model, base_meta = nb_classifier_fit(df, buckets=4096)
+    base = sorted(
+        nb_classifier_score(df, base_model, base_meta).collect()
+    )
+    spread = df.repartition(7)
+    model, meta = nb_classifier_fit(spread, buckets=4096)
+    out = sorted(nb_classifier_score(spread, model, meta).collect())
+    assert base == out
+
+
+def test_nb_classifier_score_plan_broadcasts_model(spark):
+    """The corpus side must never shuffle for the model join — the plan
+    the 100 TB apply stage depends on."""
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    df = _docs(spark, SEED_ROWS)
+    model, meta = nb_classifier_fit(df, buckets=4096)
+    plan = (
+        nb_classifier_score(df, model, meta)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
