@@ -530,7 +530,17 @@ from stats join lang using (doc_id) join fp using (doc_id)
 
 
 def _q26_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_media(with_media_payload(table(spark, sf_dir, "documents")))
+    """Decode metadata + fused 64-bit payload perceptual hash (r8:
+    media_phash — aHash over 64 stride-sampled bytes, pure JVM columns;
+    the oracle regenerates every byte term from hex(payload), so the
+    fingerprint matches bit-for-bit). The join is decode-metadata ⋈
+    fingerprint over the same payload frame; AQE broadcasts at gate
+    scale."""
+    from exon_spark.operators import media_phash
+
+    mp = with_media_payload(table(spark, sf_dir, "documents"))
+    fps = media_phash(mp).select("media_id", "phash")
+    return decode_media(mp).join(fps, "media_id")
 
 
 def _q22_oracle() -> str:
@@ -575,7 +585,46 @@ select q_id, vec_id, bucket, score, rnk from ranked where rnk <= 5
 """
 
 
-Q26_ORACLE = """
+def _q26_oracle() -> str:
+    """Append the 64-term aHash regeneration to the decode-stub oracle.
+    Byte j is ``('0x' || substr(hex, 2*((j*n)//64)+1, 2))::int``; the
+    ``|| '00'`` pad makes the empty payload fold to fingerprint 0 without
+    a branch (sampled offsets never reach the pad when n > 0), and the
+    outer coalesce absorbs null payloads — both matching the Spark
+    guard. Bit 63 is Long.MIN_VALUE (two's complement), the simhash
+    packing."""
+    bytes_ = [
+        f"('0x' || substr(h, 2 * (({j} * n) // 64) + 1, 2))::int"
+        for j in range(64)
+    ]
+    total = " + ".join(f"b{j}" for j in range(64))
+    bits = " + ".join(
+        f"case when b{j} * 64 > tot then "
+        + ("(-9223372036854775807 - 1)" if j == 63 else str(1 << j))
+        + "::bigint else 0 end"
+        for j in range(64)
+    )
+    byte_cols = ",\n         ".join(f"{e} as b{j}" for j, e in enumerate(bytes_))
+    return f"""
+with m as ({Q26_DECODE_ORACLE}),
+ph0 as (
+  select doc_id as media_id,
+         octet_length(encode(text)) as n,
+         hex(encode(text)) || '00' as h
+  from documents
+),
+pb as (
+  select media_id,
+         {byte_cols}
+  from ph0
+),
+pt as (select *, ({total}) as tot from pb),
+ph as (select media_id, coalesce({bits}, 0) as phash from pt)
+select m.*, ph.phash from m join ph using (media_id)
+"""
+
+
+Q26_DECODE_ORACLE = """
 with m as (
   select doc_id as media_id,
          (['image', 'audio', 'video'])[cast(doc_id % 3 as int) + 1] as media_type,
@@ -1529,7 +1578,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
         _q23_profile_oracle(),
         "fused token/quality stats + language ID + fingerprints (one scan)",
     ),
-    QuerySpec("q26_multimodal_decode", _q26_spark, Q26_ORACLE, "binary payload + mapInPandas decode stub"),
+    QuerySpec("q26_multimodal_decode", _q26_spark, _q26_oracle(), "binary payload decode stub + fused 64-bit aHash fingerprint"),
     QuerySpec("q27_similarity_ann_ivf", _q27_spark, _q27_oracle(), "IVF-cell ANN top-k"),
     QuerySpec("q28_dedup_embedding_cosine", _q28_spark, _q28_oracle(), "embedding-cosine near-dup"),
     QuerySpec("q31_dedup_clusters", _q31_spark, Q31_ORACLE, "connected components over near-dup pairs"),

@@ -164,3 +164,76 @@ def test_extract_features_real_image_and_audio(spark):
     # constant-amplitude PCM: every RMS window = 16384/32768 = 0.5
     assert len(aud) == 64
     assert all(abs(v - 0.5) < 1e-6 for v in aud)
+
+
+def _py_phash(buf: bytes) -> int:
+    """Pure-Python aHash reference (mirrors media_phash bit-for-bit)."""
+    if not buf:
+        return 0
+    n = len(buf)
+    sample = [buf[(j * n) // 64] for j in range(64)]
+    s = sum(sample)
+    fp = 0
+    for j, x in enumerate(sample):
+        if 64 * x > s:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_media_phash_hand_computed(spark):
+    from exon_spark.operators import media_phash
+
+    payloads = [
+        b"short",  # n < 64: offsets repeat bytes
+        bytes(range(256)),  # monotone ramp
+        b"\x00" * 100,  # constant: no byte above mean -> 0
+        "héllo 世界 payload".encode("utf-8") * 7,  # multi-byte
+        bytes([255] + [0] * 200),  # one hot byte
+        b"",  # empty -> 0
+        None,  # null -> 0
+    ]
+    rows = [(i, bytearray(p) if p is not None else None) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r["media_id"]: r["phash"] for r in media_phash(df).collect()}
+    for i, p in enumerate(payloads):
+        assert out[i] == _py_phash(p or b""), f"payload {i}"
+
+
+def test_media_phash_plan_jvm_only(spark):
+    from exon_spark.operators import media_phash
+
+    df = spark.createDataFrame([(1, bytearray(b"x" * 80))], "media_id bigint, payload binary")
+    plan = media_phash(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Python UDF in the hot path
+
+
+def test_media_dup_pairs_radius(spark):
+    from exon_spark.operators import media_dup_pairs, media_phash
+
+    base = bytes(range(200))
+    # id 2 = exact copy of 1; id 3 = one sampled byte nudged above/below
+    # the mean (small hamming); id 4 = unrelated constant payload
+    near = bytearray(base)
+    near[100] = 255
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),
+        (3, near),
+        (4, bytearray(b"\x07" * 200)),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    fps = media_phash(df).select("media_id", "phash")
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in media_dup_pairs(fps, max_hamming=8).collect()
+    }
+    assert got[(1, 2)] == 0  # exact copy always pairs at hamming 0
+    exp = {}
+    hm = {i: _py_phash(bytes(p)) for i, p in rows}
+    for a in (1, 2, 3, 4):
+        for b in (1, 2, 3, 4):
+            if a < b:
+                d = bin((hm[a] ^ hm[b]) & ((1 << 64) - 1)).count("1")
+                if d <= 8:
+                    exp[(a, b)] = d
+    assert got == exp
