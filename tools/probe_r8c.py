@@ -24,7 +24,7 @@ docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 big = (
     docs.crossJoin(spark.range(100).select(F.col("id").alias("_rep")))
     .select(
-        F.xxhash64("doc_id", "_rep").alias("doc_id"),
+        F.abs(F.xxhash64("doc_id", "_rep")).alias("doc_id"),
         "text",
         "lang",
     )
