@@ -432,47 +432,58 @@ def media_phash(
     """
     payload = F.col(payload_col)
     n = F.length(payload)
-
-    def byte_at(j: int) -> F.Column:
-        # hex a ONE-BYTE binary slice, not the whole payload: hexing a
-        # ~5 KB payload once per row measured 9.2-12.6 s at 500k docs vs
-        # 6.9-7.8 s for 64 single-byte slices (identical fingerprints) —
-        # the full-hex projection materializes a 2n-char string per row.
-        off = F.floor((F.lit(j) * n) / F.lit(64)).cast("int")
-        return F.conv(F.hex(F.substring(payload, off + 1, 1)), 16, 10).cast(
-            "int"
-        )
-
-    # Two Generate barriers (the shingled_docs idiom): without them each
-    # of the 64 bit terms inlines the 64-term byte sum, and every byte
-    # re-expands its substring/conv chain — a ~64x64 expression blowup
-    # (measured: 8.3 MiB task binary inlined vs ~100 KiB pinned,
-    # identical fingerprints).
-    sampled = df.withColumn(
-        "_mb",
-        F.explode(
-            F.array(
-                F.struct(
-                    *[byte_at(j).alias(f"b{j}") for j in range(64)]
+    # Byte j: hex a ONE-BYTE binary slice, not the whole payload (hexing
+    # a ~5 KB payload once per row measured 9.2-12.6 s at 500k docs vs
+    # 6.9-7.8 s for single-byte slices, identical fingerprints — the
+    # full-hex projection materializes a 2n-char string per row).
+    #
+    # HOF formulation over a 64-element sequence, NOT 64 flat columns:
+    # the 64-wide struct spelling measured 2.3 s at 5k docs (pure
+    # Catalyst planning/codegen of a ~1000-node plan) and 4.7 s at 500k,
+    # vs 0.5 s / 1.4 s for this interpreted-HOF plan — the wide plan
+    # falls out of whole-stage codegen while 64 interpreted iterations
+    # per row are trivial. Opposite outcome to simhash's wide-vs-HOF
+    # trade (dedup.py): there the per-row feature count is unbounded,
+    # here it is a fixed 64.
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.conv(
+            F.hex(
+                F.substring(
+                    payload, (F.floor((j * n) / F.lit(64))).cast("int") + 1, 1
                 )
-            )
-        ),
+            ),
+            16,
+            10,
+        ).cast("int"),
     )
-    total = F.col("_mb.b0")
-    for j in range(1, 64):
-        total = total + F.col(f"_mb.b{j}")
-    pinned = sampled.withColumn("_mt", F.explode(F.array(total)))
-    fp = None
-    for j in range(64):
-        weight = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("bigint")
-        term = F.when(
-            F.col(f"_mb.b{j}") * 64 > F.col("_mt"), weight
-        ).otherwise(F.lit(0).cast("bigint"))
-        fp = term if fp is None else fp + term
+    # Two Generate barriers (the shingled_docs idiom): _ba is consumed by
+    # both the total fold and the bit fold, _bt by all 64 bit compares —
+    # unpinned, Catalyst re-derives the sampled array per consumer.
+    sampled = df.withColumn("_ba", F.explode(F.array(arr)))
+    total = F.aggregate(F.col("_ba"), F.lit(0), lambda a, x: a + x)
+    pinned = sampled.withColumn("_bt", F.explode(F.array(total)))
+    weights = F.array(
+        *[
+            F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("bigint")
+            for j in range(64)
+        ]
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            F.col("_ba"),
+            weights,
+            lambda b, w: F.when(b * 64 > F.col("_bt"), w).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
     guarded = F.when(
         payload.isNull() | (n == 0), F.lit(0).cast("bigint")
     ).otherwise(fp)
-    return pinned.withColumn(out_col, guarded).drop("_mb", "_mt")
+    return pinned.withColumn(out_col, guarded).drop("_ba", "_bt")
 
 
 def media_dup_pairs(

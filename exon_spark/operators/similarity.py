@@ -794,3 +794,118 @@ def kmeans_refine(
             if nv > 1e-12:
                 cur[cid] = (v / nv).tolist()
     return [(cid, cur[cid]) for cid in ids]
+
+
+def _max_eval_cos_udf(eval_vecs: list[list[float]]):
+    """Arrow-vectorized max-cosine-vs-eval-set: one numpy matmul per
+    batch against the closure-shipped eval matrix (eval sets are small —
+    benchmark suites, not corpora — so the driver collect is bounded the
+    same way as the centroid collects above). Same 6-dp rounding and
+    zero-norm contract as ``_assign_cluster_udf``."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    E = np.array(eval_vecs, np.float64)
+    en = np.linalg.norm(E, axis=1, keepdims=True)
+    if not (np.isfinite(en).all() and en.all()):
+        raise ArithmeticError(
+            "zero-norm or non-finite eval embedding in semantic_decontaminate"
+        )
+    En = E / en
+
+    @pandas_udf("double")
+    def f(emb):
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        M = np.stack([np.asarray(v, np.float64) for v in emb])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        if not nrm.all():
+            raise ArithmeticError(
+                "zero-norm embedding in semantic_decontaminate"
+            )
+        Mn = M / nrm
+        return pd.Series(np.round(Mn @ En.T, 6).max(axis=1))
+
+    return f
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    eval_emb_col: str | None = None,
+    mode: str = "expr",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus
+    vector whose max cosine against ANY eval-set vector reaches
+    ``threshold`` — the semantic complement to the n-gram
+    ``decontaminate`` (paraphrased eval leakage survives n-gram overlap
+    checks; recent curation pipelines run both, e.g. the hybrid
+    lexical+embedding decontamination in Phi-4 / FineWeb writeups).
+
+    Output: ``(vec_id, max_eval_cos, contaminated)`` — one row per corpus
+    vector, ``max_eval_cos`` rounded to 6 dp (per-pair rounding BEFORE
+    the max, matching the oracle arithmetic).
+
+    ``mode="expr"`` is the Catalyst spelling — broadcast cross join
+    against the eval frame + one max agg (DuckDB-mirrorable, pinned by
+    an in-test oracle); ``mode="udf"`` is the scale spelling — the eval
+    matrix rides in a pandas-UDF closure and each Arrow batch does one
+    matmul, so the corpus NEVER shuffles (no groupBy) and eval-set size
+    only affects the matmul width. Both regimes round 6 dp, so they
+    agree except exactly at a .5-at-the-7th-decimal boundary (the
+    semantic_dedup contract). Zero-norm vectors raise in both regimes
+    (ANSI DIVIDE_BY_ZERO / ArithmeticError).
+
+    100 TB shape: eval sets are benchmark-sized (10²-10⁵ rows) — always
+    the broadcast/closure side; the corpus side is map-only in udf mode
+    and one small-key agg in expr mode. O(corpus x eval) similarity work
+    is inherent to exhaustive screening; the matmul does it at BLAS
+    speed.
+    """
+    if mode not in ("expr", "udf"):
+        raise ValueError(f"mode must be 'expr' or 'udf', got {mode!r}")
+    evc = eval_emb_col or emb_col
+    d = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+        _norm(F.col(emb_col)).alias("_nrm"),
+    )
+    if mode == "udf":
+        eval_rows = [list(r[0]) for r in eval_df.select(evc).collect()]
+        if not eval_rows:
+            raise ValueError("semantic_decontaminate: empty eval set")
+        mx = _max_eval_cos_udf(eval_rows)
+        scored = d.select(
+            "vec_id", mx(F.col("embedding")).alias("max_eval_cos")
+        )
+    else:
+        ev = eval_df.select(
+            F.col(evc).alias("_eemb"), _norm(F.col(evc)).alias("_enrm")
+        )
+        if ev.isEmpty():
+            raise ValueError("semantic_decontaminate: empty eval set")
+        scored = (
+            d.crossJoin(F.broadcast(ev))
+            .select(
+                "vec_id",
+                cosine_pre(
+                    F.col("embedding"),
+                    F.col("_eemb"),
+                    F.col("_nrm"),
+                    F.col("_enrm"),
+                ).alias("cos"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("cos").alias("max_eval_cos"))
+        )
+    return scored.select(
+        "vec_id",
+        "max_eval_cos",
+        (F.col("max_eval_cos") >= threshold).alias("contaminated"),
+    )

@@ -545,3 +545,151 @@ def test_kmeans_refine_zero_norm_centroid_raises(spark):
     em = _emb(spark)
     with pytest.raises(ArithmeticError, match="zero-norm"):
         kmeans_refine(em, [(0, [0.0] * 16), (1, [1.0] + [0.0] * 15)], iters=1)
+
+
+def _vec_rows(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_decontaminate_hand_computed(spark):
+    from exon_spark.operators import semantic_decontaminate
+
+    corpus = _vec_rows(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0]),  # identical to eval A -> 1.0
+            (2, [0.0, 1.0, 0.0]),  # orthogonal to both -> 0.0
+            (3, [2.0, 0.0, 0.0]),  # scaled copy -> cosine 1.0
+            (4, [1.0, 0.0, 1.0]),  # 45 deg to A -> ~0.707107
+        ],
+    )
+    eval_df = _vec_rows(
+        spark, [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, -1.0])]
+    )
+    for mode in ("expr", "udf"):
+        out = {
+            r["vec_id"]: r
+            for r in semantic_decontaminate(
+                corpus, eval_df, threshold=0.9, mode=mode
+            ).collect()
+        }
+        assert out[1]["max_eval_cos"] == 1.0 and out[1]["contaminated"]
+        assert out[2]["max_eval_cos"] == 0.0 and not out[2]["contaminated"]
+        assert out[3]["max_eval_cos"] == 1.0 and out[3]["contaminated"]
+        assert out[4]["max_eval_cos"] == pytest.approx(0.707107)
+        assert not out[4]["contaminated"]
+
+
+def test_semantic_decontaminate_regimes_agree(spark):
+    import random
+
+    from exon_spark.operators import semantic_decontaminate
+
+    rng = random.Random(17)
+    corpus = _vec_rows(
+        spark,
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)],
+    )
+    eval_df = _vec_rows(
+        spark,
+        [(900 + i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(7)],
+    )
+    a = sorted(
+        semantic_decontaminate(corpus, eval_df, mode="expr").collect()
+    )
+    b = sorted(
+        semantic_decontaminate(corpus, eval_df, mode="udf").collect()
+    )
+    assert a == b
+
+
+def test_semantic_decontaminate_duckdb_oracle_parity(spark):
+    import random
+
+    import duckdb
+
+    from exon_spark.operators import semantic_decontaminate
+
+    rng = random.Random(23)
+    crows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    erows = [(500 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(5)]
+    got = sorted(
+        (r["vec_id"], r["max_eval_cos"], r["contaminated"])
+        for r in semantic_decontaminate(
+            _vec_rows(spark, crows), _vec_rows(spark, erows), threshold=0.3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table c (vec_id bigint, v double[])")
+    con.execute("create table e (eid bigint, v double[])")
+    con.executemany("insert into c values (?, ?)", [(i, v) for i, v in crows])
+    con.executemany("insert into e values (?, ?)", [(i, v) for i, v in erows])
+    cos = (
+        "list_sum(list_transform(range(1, 9), i -> c.v[i] * e.v[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, 9), i -> c.v[i] * c.v[i])))"
+        " * sqrt(list_sum(list_transform(range(1, 9), i -> e.v[i] * e.v[i]))))"
+    )
+    exp = sorted(
+        (vid, mx, bool(cont))
+        for vid, mx, cont in con.execute(
+            f"""
+            select c.vec_id, max(round({cos}, 6)) as m, max(round({cos}, 6)) >= 0.3
+            from c cross join e group by c.vec_id
+            """
+        ).fetchall()
+    )
+    # float32 ingestion parity: Spark stores array<float>; duckdb got the
+    # python doubles — cast corpus values through float32 first
+    import numpy as np
+
+    con2 = duckdb.connect()
+    con2.execute("create table c (vec_id bigint, v double[])")
+    con2.execute("create table e (eid bigint, v double[])")
+    con2.executemany(
+        "insert into c values (?, ?)",
+        [(i, [float(np.float32(x)) for x in v]) for i, v in crows],
+    )
+    con2.executemany(
+        "insert into e values (?, ?)",
+        [(i, [float(np.float32(x)) for x in v]) for i, v in erows],
+    )
+    exp32 = sorted(
+        (vid, mx, bool(cont))
+        for vid, mx, cont in con2.execute(
+            f"""
+            select c.vec_id, max(round({cos}, 6)) as m, max(round({cos}, 6)) >= 0.3
+            from c cross join e group by c.vec_id
+            """
+        ).fetchall()
+    )
+    assert got == exp32 or got == exp
+
+
+def test_semantic_decontaminate_guards(spark):
+    from exon_spark.operators import semantic_decontaminate
+
+    corpus = _vec_rows(spark, [(1, [1.0, 0.0])])
+    empty = _vec_rows(spark, [])
+    for mode in ("expr", "udf"):
+        with pytest.raises(ValueError, match="empty eval set"):
+            semantic_decontaminate(corpus, empty, mode=mode)
+    with pytest.raises(ValueError, match="mode must be"):
+        semantic_decontaminate(corpus, corpus, mode="bogus")
+    # zero-norm eval vector raises at plan/factory time (udf) or job time (expr)
+    zero_eval = _vec_rows(spark, [(9, [0.0, 0.0])])
+    with pytest.raises(ArithmeticError):
+        semantic_decontaminate(corpus, zero_eval, mode="udf")
+
+
+def test_semantic_decontaminate_udf_plan_no_corpus_shuffle(spark):
+    from exon_spark.operators import semantic_decontaminate
+
+    corpus = _vec_rows(spark, [(i, [1.0, float(i)]) for i in range(10)])
+    eval_df = _vec_rows(spark, [(99, [1.0, 1.0])])
+    plan = (
+        semantic_decontaminate(corpus, eval_df, mode="udf")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # map-only: no shuffle of the corpus
