@@ -133,8 +133,20 @@ def decode_media(df: DataFrame) -> DataFrame:
     deterministic byte-length stub; ``codec`` records the path
     ('ppm'/'pgm'/'bmp'/'wav'/'stub') so downstream filters can require
     real decodes.
+
+    Extra input columns (anything beyond media_id/media_type/payload,
+    e.g. a ``media_phash`` fingerprint) pass through unchanged — metadata
+    ops compose in ONE mapInPandas pass instead of a re-scan + self-join
+    per derived column.
     """
     pnm_header, _ = _netpbm_helpers()
+    extra_fields = [
+        f
+        for f in df.schema.fields
+        if f.name not in ("media_id", "media_type", "payload")
+    ]
+    extra_names = [f.name for f in extra_fields]
+    out_schema = StructType(DECODED_SCHEMA.fields + extra_fields)
 
     def decode_batches(batches):
         import struct
@@ -190,9 +202,11 @@ def decode_media(df: DataFrame) -> DataFrame:
             out["height"] = [d[1] for d in dims]
             out["n_frames"] = [d[2] for d in dims]
             out["codec"] = codecs
+            for name in extra_names:
+                out[name] = pdf[name]
             yield out
 
-    return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+    return df.mapInPandas(decode_batches, out_schema)
 
 
 RESIZED_SCHEMA = StructType(

@@ -533,14 +533,12 @@ def _q26_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode metadata + fused 64-bit payload perceptual hash (r8:
     media_phash — aHash over 64 stride-sampled bytes, pure JVM columns;
     the oracle regenerates every byte term from hex(payload), so the
-    fingerprint matches bit-for-bit). The join is decode-metadata ⋈
-    fingerprint over the same payload frame; AQE broadcasts at gate
-    scale."""
+    fingerprint matches bit-for-bit). Single pass: the fingerprint column
+    rides through decode_media's passthrough — no re-scan, no self-join."""
     from exon_spark.operators import media_phash
 
     mp = with_media_payload(table(spark, sf_dir, "documents"))
-    fps = media_phash(mp).select("media_id", "phash")
-    return decode_media(mp).join(fps, "media_id")
+    return decode_media(media_phash(mp))
 
 
 def _q22_oracle() -> str:

@@ -237,3 +237,22 @@ def test_media_dup_pairs_radius(spark):
                 if d <= 8:
                     exp[(a, b)] = d
     assert got == exp
+
+
+def test_decode_media_passes_extra_columns_through(spark):
+    from exon_spark.operators import decode_media, media_phash
+
+    rows = [(1, "image", bytearray(b"payload one" * 10)), (2, "audio", bytearray(b"pp" * 40))]
+    df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
+    out = decode_media(media_phash(df))
+    assert "phash" in out.columns  # fingerprint rides through the decode
+    got = {r["media_id"]: r for r in out.collect()}
+    exp = {r["media_id"]: r["phash"] for r in media_phash(df).collect()}
+    for i in (1, 2):
+        assert got[i]["phash"] == exp[i]
+        assert got[i]["codec"] == "stub"
+    # no extra columns -> unchanged legacy schema
+    legacy = decode_media(df)
+    assert legacy.columns == [
+        "media_id", "media_type", "n_bytes", "width", "height", "n_frames", "codec",
+    ]
