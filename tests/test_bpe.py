@@ -1,0 +1,90 @@
+"""Unit tests for BPE induction + segmentation: the Sennrich toy corpus
+hand-check, driver-reference parity for the UDF segmenter, partitioning
+invariance of the learned merges, and degenerate corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _sennrich_corpus(spark):
+    # the classic example: low x5, lower x2, newest x6, widest x3
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return _docs(spark, [(1, " ".join(words))])
+
+
+def test_bpe_train_sennrich_hand_computed(spark):
+    from exon_spark.operators import bpe_train
+
+    merges = bpe_train(_sennrich_corpus(spark), num_merges=5)
+    # e+s (9) -> es+t (9) -> est+</w> (9) -> l+o (7, lexicographic over
+    # the o+w tie) -> lo+w (7)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+
+def test_bpe_segment_matches_driver_reference(spark):
+    from exon_spark.operators import bpe_segment, bpe_train
+    from exon_spark.operators.bpe import _segment_word
+
+    corpus = _sennrich_corpus(spark)
+    merges = bpe_train(corpus, num_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = [
+        (1, "low lower newest"),
+        (2, "wide widest lowest"),  # 'lowest' recombines learned pieces
+        (3, "zzz unseen"),  # chars never merged stay char-split
+        (4, None),
+        (5, "   "),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in bpe_segment(_docs(spark, rows), merges).collect()
+    }
+    for doc_id, text in rows:
+        exp = []
+        for w in (text or "").strip().lower().split():
+            exp.extend(_segment_word(w, ranks))
+        assert out[doc_id]["bpe_tokens"] == exp, doc_id
+        assert out[doc_id]["n_bpe_tokens"] == len(exp)
+    assert out[1]["bpe_tokens"][0] == "low</w>"  # 'low' fully merged
+    assert out[4]["bpe_tokens"] == []
+
+
+def test_bpe_train_partitioning_invariant(spark):
+    from exon_spark.operators import bpe_train
+
+    words = ("banana bandana anagram nanna banner " * 20).split()
+    rows = [(i, " ".join(words[i::7])) for i in range(7)]
+    a = bpe_train(_docs(spark, rows), num_merges=12)
+    b = bpe_train(_docs(spark, rows).repartition(5), num_merges=12)
+    assert a == b and len(a) == 12
+
+
+def test_bpe_train_degenerate_corpora(spark):
+    from exon_spark.operators import bpe_train
+
+    # no pair reaches min_pair_count=2: single doc of disjoint bigrams
+    assert bpe_train(_docs(spark, [(1, "ab cd ef")]), num_merges=5) == []
+    with pytest.raises(ValueError, match="empty corpus"):
+        bpe_train(_docs(spark, [(1, "   "), (2, None)]))
+
+
+def test_bpe_train_max_words_truncates_tail(spark):
+    from exon_spark.operators import bpe_train
+
+    # with max_words=1 only 'aa' (count 3) survives -> merges learned
+    # from 'aa' alone: (a,a) and (a,</w>) tie at 3, lexicographic picks
+    # (a,'</w>') first ('<' < 'a'), then (a, a</w>) merges the rest
+    df = _docs(spark, [(1, "aa aa aa bz bz")])
+    merges = bpe_train(df, num_merges=3, max_words=1, min_pair_count=2)
+    assert merges == [("a", "</w>"), ("a", "a</w>")]
