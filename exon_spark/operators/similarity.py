@@ -909,3 +909,82 @@ def semantic_decontaminate(
         "max_eval_cos",
         (F.col("max_eval_cos") >= threshold).alias("contaminated"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    out_col: str = "qvec",
+    keep_scale: bool = True,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: each vector is
+    scaled by its own max-abs to [-127, 127] and rounded —
+    ``array<float>`` (4 B/dim) becomes ``array<tinyint>`` (1 B/dim), a 4x
+    reduction of ANN shuffle/broadcast bytes.
+
+    Per-VECTOR scaling is the right symmetry for cosine workloads: cosine
+    is invariant to positive per-vector scaling, so ``qcosine`` over the
+    int arrays approximates the float cosine with only rounding error
+    (|err| <~ dim/127 in the worst case, ~1e-2 at dim 64 — enough for
+    LSH/IVF candidate generation; re-rank survivors on the float column).
+    ``keep_scale`` adds a ``<out_col>_scale`` float column (maxabs/127)
+    for dequantization when absolute dot products matter.
+
+    Pure JVM HOF columns — map-only, zero shuffle. Zero vectors quantize
+    to all-zero with scale 0 (dequantizes exactly; ``qcosine`` of a zero
+    vector follows the same ANSI divide-by-zero contract as ``cosine``).
+    """
+    v = F.col(emb_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (maxabs / F.lit(127.0)).cast("float")
+    q = F.transform(
+        v,
+        lambda x: F.when(maxabs == 0, F.lit(0))
+        .otherwise(F.round((x / maxabs) * 127.0, 0).cast("int"))
+        .cast("tinyint"),
+    )
+    out = df.withColumn(out_col, q)
+    if keep_scale:
+        out = out.withColumn(f"{out_col}_scale", scale)
+    return out
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qvec_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: ``x ~ q * scale`` as
+    ``array<float>`` (max error scale/2 per component, pinned by test)."""
+    s = F.col(scale_col)
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(qvec_col), lambda q: (q.cast("float") * s)),
+    )
+
+
+def qcosine(a: Column | str, b: Column | str, digits: int = 6) -> Column:
+    """Cosine over two int8-quantized vectors — integer dot and norms in
+    bigint (no overflow: 127² · dim << 2^63), one double division at the
+    end. Per-vector quantization scales cancel, so no scale columns are
+    needed for ranking."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    to_l = lambda c: F.transform(c, lambda x: x.cast("bigint"))  # noqa: E731
+    la, lb = to_l(ca), to_l(cb)
+    dot = F.aggregate(
+        F.zip_with(la, lb, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return F.round(
+        dot.cast("double")
+        / (F.sqrt(sq(la).cast("double")) * F.sqrt(sq(lb).cast("double"))),
+        digits,
+    )

@@ -693,3 +693,73 @@ def test_semantic_decontaminate_udf_plan_no_corpus_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan  # map-only: no shuffle of the corpus
+
+
+def test_quantize_embeddings_roundtrip_and_schema(spark):
+    import random
+
+    from exon_spark.operators import dequantize_embeddings, quantize_embeddings
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(30)]
+    rows.append((99, [0.0] * 16))  # zero vector
+    df = _vec_rows(spark, rows)
+    q = quantize_embeddings(df)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    assert dict(q.dtypes)["qvec_scale"] == "float"
+    back = dequantize_embeddings(q, out_col="deq")
+    for r in back.collect():
+        orig, deq, scale = r["embedding"], r["deq"], r["qvec_scale"]
+        if r["vec_id"] == 99:
+            assert scale == 0.0 and all(x == 0.0 for x in deq)
+            continue
+        for o, d in zip(orig, deq):
+            assert abs(o - d) <= scale / 2 + 1e-6  # half-step error bound
+        assert max(abs(x) for x in r["qvec"]) == 127  # maxabs pins the range
+
+
+def test_qcosine_approximates_cosine(spark):
+    import random
+
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators import qcosine, quantize_embeddings
+    from exon_spark.operators.similarity import cosine
+
+    rng = random.Random(6)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(40)]
+    df = quantize_embeddings(_vec_rows(spark, rows))
+    a = df.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), F.col("qvec").alias("qa"))
+    b = df.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), F.col("qvec").alias("qb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        cosine("va", "vb").alias("cf"), qcosine("qa", "qb").alias("cq")
+    )
+    for r in pairs.collect():
+        assert abs(r["cf"] - r["cq"]) < 0.02  # int8 rounding error bound
+    # identical vectors -> exactly 1.0 in both
+    same = a.limit(1).select(qcosine("qa", "qa").alias("c")).collect()[0]["c"]
+    assert same == 1.0
+
+
+def test_qcosine_preserves_planted_nearest(spark):
+    import random
+
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators import qcosine, quantize_embeddings
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(32)]
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(2, 50)
+    ]
+    df = quantize_embeddings(_vec_rows(spark, rows))
+    qrow = df.filter("vec_id = 0").select(F.col("qvec").alias("q0"))
+    scored = (
+        df.filter("vec_id != 0")
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", qcosine("qvec", "q0").alias("c"))
+        .orderBy(F.col("c").desc())
+    )
+    assert scored.first()["vec_id"] == 1  # the planted near-dup wins
