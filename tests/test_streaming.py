@@ -205,3 +205,63 @@ def test_stateless_curation_operators_run_on_streams(spark, tmp_path):
         got = sorted(map(tuple, spark.sql(f"select * from cur_{name}").collect()))
         exp = sorted(map(tuple, op(batch_df).collect()))
         assert got == exp, name
+
+
+def test_stateless_r8_operators_run_on_streams(spark, tmp_path):
+    """Same pin for the late-r8 stateless ops: media_phash (HOF columns),
+    quantize_embeddings (HOF columns), and filter_funnel's kept path
+    (pure filters) run unchanged on readStream inputs. The stateful
+    halves (nb fit/score aggs, the funnel report) are batch-side by
+    design."""
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators import (
+        filter_funnel,
+        media_phash,
+        quantize_embeddings,
+        with_media_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta epsilon", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    d = tmp_path / "r8_stream"
+    docs.coalesce(1).write.parquet(str(d / "b0"))
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string"
+    ).parquet(str(d / "*"))
+
+    cases = [
+        ("phash", lambda df: media_phash(with_media_payload(df))),
+        (
+            "funnel_kept",
+            lambda df: filter_funnel(
+                df, [("en_only", F.col("lang") == "en")]
+            )[0],
+        ),
+        (
+            "quant",
+            lambda df: quantize_embeddings(
+                df.select(
+                    "doc_id",
+                    F.array(
+                        F.length("text").cast("float"), F.lit(1.0)
+                    ).alias("embedding"),
+                )
+            ),
+        ),
+    ]
+    for name, op in cases:
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(f"r8_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), f"{name}: stream did not finish"
+        got = sorted(map(tuple, spark.sql(f"select * from r8_{name}").collect()))
+        exp = sorted(map(tuple, op(docs).collect()))
+        assert got == exp, name
