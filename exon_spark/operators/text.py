@@ -1078,3 +1078,55 @@ def bigram_logppl(
             4,
         ).alias("logppl2"),
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    by: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_quantiles: bool = True,
+) -> DataFrame:
+    """Per-group corpus report card — the summary table every curation
+    run publishes per language/source slice: document count, token and
+    char totals, mean/median/p95 tokens per doc.
+
+    Output per ``by`` group: ``(by..., n_docs, n_tokens, n_chars,
+    avg_tokens, p50_tokens, p95_tokens)`` — averages rounded to 6 dp,
+    quantiles exact (``percentile``, linear interpolation — matches
+    DuckDB ``quantile_cont``, pinned by an in-test oracle) or
+    ``percentile_approx`` when ``exact_quantiles=False``.
+
+    Scale: per-doc token counts are one map-only projection (``size`` of
+    the filtered split — no explode, no token rows); the groupBy key is
+    the report dimension (a handful of groups). Sums/counts combine
+    map-side; EXACT percentiles buffer each group's values on one
+    reducer — fine for report cards over bounded groups, but at 10⁹+
+    docs per group switch ``exact_quantiles=False`` (t-digest sketch,
+    map-side combinable, no value buffering).
+
+    Null/whitespace text counts as a 0-token doc (it is still a doc).
+    """
+    ntok = F.size(
+        F.filter(tokens(text_col), lambda x: x != "")
+    )
+    # size(filter(null)) = -1 in Spark's legacy sizeOfNull=false? The
+    # session runs ANSI: size(null) is null — coalesce to 0 either way.
+    per_doc = df.select(
+        *by,
+        F.coalesce(ntok, F.lit(0)).alias("_nt"),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_nc"),
+    )
+    pct = (
+        (lambda c, p: F.percentile(c, F.lit(p)))
+        if exact_quantiles
+        else (lambda c, p: F.percentile_approx(c, F.lit(p), F.lit(10000)))
+    )
+    return per_doc.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        pct(F.col("_nt"), 0.5).alias("p50_tokens"),
+        pct(F.col("_nt"), 0.95).alias("p95_tokens"),
+    )

@@ -12,6 +12,7 @@ import tempfile
 import uuid
 
 import pyspark.sql.functions as F
+import pytest
 
 
 def _docs(spark, rows):
@@ -1182,3 +1183,79 @@ def test_normalize_text_strip_html(spark):
         ).collect()
     }
     assert "<html>" in kept[1]
+
+
+def test_corpus_stats_hand_computed(spark):
+    from exon_spark.operators import corpus_stats
+
+    rows = [
+        (1, "a b c", "en"),
+        (2, "d e", "en"),
+        (3, "f g h i", "en"),
+        (4, "x", "de"),
+        (5, None, "de"),
+        (6, "   ", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r["lang"]: r for r in corpus_stats(df).collect()}
+    en, de = out["en"], out["de"]
+    assert (en["n_docs"], en["n_tokens"], en["n_chars"]) == (3, 9, 15)
+    assert en["avg_tokens"] == 3.0
+    assert en["p50_tokens"] == 3.0  # exact median of [2,3,4]
+    assert en["p95_tokens"] == pytest.approx(3.9)  # linear interp
+    # null/whitespace text -> 0-token docs that still count
+    assert (de["n_docs"], de["n_tokens"]) == (3, 1)
+    assert de["p50_tokens"] == 0.0
+
+
+def test_corpus_stats_duckdb_oracle_parity(spark):
+    import random
+
+    import duckdb
+
+    from exon_spark.operators import corpus_stats
+
+    rng = random.Random(41)
+    rows = [
+        (
+            i,
+            " ".join("tok%d" % rng.randint(0, 30) for _ in range(rng.randint(1, 40))),
+            rng.choice(["en", "de", "fr"]),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = sorted(
+        (
+            r["lang"],
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_chars"],
+            r["avg_tokens"],
+            r["p50_tokens"],
+            r["p95_tokens"],
+        )
+        for r in corpus_stats(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table d (doc_id bigint, text varchar, lang varchar)")
+    con.executemany("insert into d values (?, ?, ?)", rows)
+    exp = sorted(
+        tuple(x)
+        for x in con.execute(
+            """
+            with p as (
+              select lang,
+                     len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) as nt,
+                     length(text) as nc
+              from d
+            )
+            select lang, count(*) as n_docs, sum(nt) as n_tokens,
+                   sum(nc) as n_chars, round(avg(nt), 6) as avg_tokens,
+                   quantile_cont(nt, 0.5) as p50, quantile_cont(nt, 0.95) as p95
+            from p group by lang
+            """
+        ).fetchall()
+    )
+    assert got == exp
