@@ -90,3 +90,78 @@ def test_pipeline_deterministic_under_repartition(spark, docs):
     )
     assert sorted(map(tuple, mixa.collect())) == sorted(map(tuple, mixb.collect()))
     assert sorted(map(tuple, packa.collect())) == sorted(map(tuple, packb.collect()))
+
+
+def _run_r8_pipeline(d):
+    from exon_spark.operators import (
+        bpe_segment,
+        bpe_train,
+        filter_funnel,
+        line_dedup,
+        nb_classifier_fit,
+        nb_classifier_score,
+        normalize_text,
+    )
+
+    # 1. normalize text (JVM-only cleanup; rejoin the metadata columns)
+    d0 = normalize_text(d).select("doc_id", "text").join(
+        d.select("doc_id", "lang", "source"), "doc_id"
+    )
+
+    # 2. model-based quality score (seeds: the 'en' slice)
+    model, meta = nb_classifier_fit(
+        d0.withColumn("label", F.col("lang") == "en")
+    )
+    d1 = d0.join(
+        nb_classifier_score(d0, model, meta).select("doc_id", "nb_logodds"),
+        "doc_id",
+    )
+
+    # 3. one-scan funnel: length gate + known-language gate
+    kept, report = filter_funnel(
+        d1,
+        [
+            ("min_chars", F.length("text") >= 50),
+            ("lang_known", F.col("lang").isin("en", "de", "fr", "es", "zh")),
+        ],
+    )
+
+    # 4. line-level boilerplate removal, then tokenizer induction +
+    #    segmentation over the survivors
+    deduped = line_dedup(kept, min_df=3)
+    survivors = kept.join(deduped.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    merges = bpe_train(survivors, num_merges=30)
+    seg = bpe_segment(survivors, merges)
+    return d0, d1, kept, report, merges, seg
+
+
+def test_pipeline_r8_stages_compose(spark, docs):
+    d0, d1, kept, report, merges, seg = _run_r8_pipeline(docs)
+    rep = report.orderBy("rule_idx").collect()
+    n0 = d1.count()
+    # funnel arithmetic closes: first n_in is the corpus, last n_out is kept
+    assert rep[0]["n_in"] == n0
+    assert rep[-1]["n_out"] == kept.count() > 0
+    assert all(r["n_in"] - r["n_dropped"] == r["n_out"] for r in rep)
+    # classifier column rode through the funnel
+    assert "nb_logodds" in kept.columns
+    # tokenizer learned real merges and every survivor segments
+    assert len(merges) == 30
+    s = seg.agg(
+        F.count(F.lit(1)).alias("n"), F.min("n_bpe_tokens").alias("mn")
+    ).collect()[0]
+    assert s["n"] == kept.count() and s["mn"] > 0
+
+
+def test_pipeline_r8_deterministic_under_repartition(spark, docs):
+    _, _, kepta, _, mergesa, sega = _run_r8_pipeline(docs)
+    _, _, keptb, _, mergesb, segb = _run_r8_pipeline(
+        docs.repartition(7, "doc_id")
+    )
+    assert mergesa == mergesb
+    assert sorted(r.doc_id for r in kepta.select("doc_id").collect()) == sorted(
+        r.doc_id for r in keptb.select("doc_id").collect()
+    )
+    assert sorted(map(tuple, sega.collect())) == sorted(map(tuple, segb.collect()))
