@@ -189,12 +189,24 @@ def _q21_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed over the per-vector-scaled int8 arrays; the oracle
     regenerates the quantization and the integer dot/norm arithmetic, so
     the rescore matches exactly, demonstrating the 4x-smaller ANN
-    representation ranks faithfully)."""
-    from exon_spark.operators import qcosine, quantize_embeddings
+    representation ranks faithfully).
+
+    Also fused: semantic_decontaminate's expr regime with the query
+    vectors as the eval set — each result row carries the corpus
+    vector's max cosine against ANY eval vector and the >= 0.99
+    contamination flag (self-matches make the eval ids contaminated,
+    the rest stay below — mixed output, the plant convention)."""
+    from exon_spark.operators import (
+        qcosine,
+        quantize_embeddings,
+        semantic_decontaminate,
+    )
 
     em = table(spark, sf_dir, "embeddings")
-    topk = cosine_topk(em, em.filter(F.col("vec_id") < 8), k=5)
+    evalq = em.filter(F.col("vec_id") < 8)
+    topk = cosine_topk(em, evalq, k=5)
     qs = quantize_embeddings(em, keep_scale=False).select("vec_id", "qvec")
+    dec = semantic_decontaminate(em, evalq, threshold=0.99)
     return (
         topk.join(
             qs.select(
@@ -203,12 +215,15 @@ def _q21_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
         )
         .join(qs, "vec_id")
+        .join(dec, "vec_id")
         .select(
             "q_id",
             "vec_id",
             "score",
             "rnk",
             qcosine("qvec", "_qq").alias("qscore"),
+            "max_eval_cos",
+            "contaminated",
         )
     )
 
@@ -251,12 +266,25 @@ ranked as (
   select q_id, vec_id, score,
          row_number() over (partition by q_id order by score desc, vec_id) as rnk
   from scored
-)
+),
+allp as (
+  select c.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> cast(q_vec[i] as double) * cast(vec[i] as double)))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> cast(vec[i] as double) * cast(vec[i] as double))))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> cast(q_vec[i] as double) * cast(q_vec[i] as double))))),
+           6) as cos
+  from c cross join q
+),
+dec as (select vec_id, max(cos) as max_eval_cos from allp group by vec_id)
 select r.q_id, r.vec_id, r.score, r.rnk,
-       round({_QCOS_DUCK}, 6) as qscore
+       round({_QCOS_DUCK}, 6) as qscore,
+       d.max_eval_cos,
+       d.max_eval_cos >= 0.99 as contaminated
 from ranked r
 join qq a on a.vec_id = r.vec_id
 join qq b on b.vec_id = r.q_id
+join dec d on d.vec_id = r.vec_id
 where r.rnk <= 5
 """
 
