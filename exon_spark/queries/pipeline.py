@@ -1387,14 +1387,25 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram_logppl, each with its own per-language tertile. Inner join:
     # a doc with < 2 tokens has no bigram score (none exist at sf0.01;
     # the edge is pinned by pytest).
+    # Also fused (r8): corpus_stats per language — each doc row carries
+    # its language slice's report-card columns (lang_ prefix); the
+    # oracle mirrors the exact percentile via quantile_cont.
     from pyspark.sql import Window
 
-    from exon_spark.operators import bigram_logppl, ppl_buckets
+    from exon_spark.operators import bigram_logppl, corpus_stats, ppl_buckets
 
     docs = table(spark, sf_dir, "documents")
     pb = ppl_buckets(docs, by="lang")
     b2 = bigram_logppl(docs)
-    d = pb.join(b2, "doc_id")
+    cs = corpus_stats(docs).select(
+        "lang",
+        F.col("n_docs").alias("lang_n_docs"),
+        F.col("n_tokens").alias("lang_n_tokens"),
+        F.col("avg_tokens").alias("lang_avg_tokens"),
+        F.col("p50_tokens").alias("lang_p50_tokens"),
+        F.col("p95_tokens").alias("lang_p95_tokens"),
+    )
+    d = pb.join(b2, "doc_id").join(F.broadcast(cs), "lang")
     pr2 = F.percent_rank().over(
         Window.partitionBy("lang").orderBy("logppl2", "doc_id")
     )
@@ -1406,6 +1417,8 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", "n_tokens", "logppl", "ppl_bucket",
         "n_bigrams", "logppl2", bucket2.alias("ppl2_bucket"),
+        "lang_n_docs", "lang_n_tokens", "lang_avg_tokens",
+        "lang_p50_tokens", "lang_p95_tokens",
     )
 
 
@@ -1458,16 +1471,30 @@ ranked as (
          percent_rank() over (partition by d.lang
                               order by b.logppl2, d.doc_id) as pr2
   from documents d join ppl p using (doc_id) join ppl2 b using (doc_id)
+),
+cs as (
+  select lang, count(*) as lang_n_docs,
+         cast(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x <> ''))) as bigint) as lang_n_tokens,
+         round(avg(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x <> ''))), 6) as lang_avg_tokens,
+         quantile_cont(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x <> '')), 0.5) as lang_p50_tokens,
+         quantile_cont(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x <> '')), 0.95) as lang_p95_tokens
+  from documents group by lang
 )
-select doc_id, lang, n_tokens, logppl,
+select doc_id, ranked.lang, n_tokens, logppl,
        case when pr < 1.0/3 then 'head'
             when pr < 2.0/3 then 'middle'
             else 'tail' end as ppl_bucket,
        n_bigrams, logppl2,
        case when pr2 < 1.0/3 then 'head'
             when pr2 < 2.0/3 then 'middle'
-            else 'tail' end as ppl2_bucket
-from ranked
+            else 'tail' end as ppl2_bucket,
+       lang_n_docs, lang_n_tokens, lang_avg_tokens,
+       lang_p50_tokens, lang_p95_tokens
+from ranked join cs using (lang)
 """
 
 
