@@ -1,0 +1,103 @@
+"""URL canonicalization and URL-level dedup — stage 1 of a web-crawl
+curation pipeline (CommonCrawl-derived corpora dedup by canonical URL
+before any content pass; see the CCNet/RefinedWeb processing orders).
+
+Beyond-reference layer (no exon counterpart).
+
+Scale: pure JVM expressions — ``parse_url`` (built-in) + HOF query-param
+filtering — so canonicalization is map-only, and the dedup groupBy
+shuffles a 16-byte digest of the canonical form, not the URL string.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# tracking parameters stripped by default: the ad/analytics click ids
+# that make one page infinite URLs (Google/Facebook/Microsoft/Mailchimp
+# conventions)
+TRACKING_PARAMS = (
+    "utm_source utm_medium utm_campaign utm_term utm_content utm_id "
+    "gclid gbraid wbraid fbclid msclkid mc_cid mc_eid igshid ref_src"
+).split()
+
+
+def canonicalize_url(
+    url: Column | str, strip_params: tuple[str, ...] | None = None
+) -> Column:
+    """Canonical form of an http(s) URL as a pure Column:
+
+      * scheme + host lowercased; leading ``www.`` and default ports
+        (``:80``/``:443``) dropped from the host
+      * fragment dropped
+      * tracking query params (``strip_params``, default
+        ``TRACKING_PARAMS``) removed; the survivors sorted by name so
+        param order never splits a URL into two identities
+      * trailing ``/`` dropped from non-root paths; empty path becomes
+        ``/``
+
+    Non-URL strings (no host) canonicalize to NULL — callers treat that
+    as "not a web document". This is identity-normalization for dedup,
+    not resolution: no redirects, no IDN/punycode folding.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    strip = TRACKING_PARAMS if strip_params is None else list(strip_params)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    # AUTHORITY keeps the port (HOST strips it); default ports are
+    # scheme-specific — :443 on plain http is NOT redundant
+    host0 = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    host1 = F.regexp_replace(host0, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host1, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host1, r":443$", ""))
+        .otherwise(host1)
+    )
+    path0 = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path0 == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path0) > 1) & path0.endswith("/"),
+            F.substring(path0, 1, F.length(path0) - 1),
+        ).otherwise(path0)
+    )
+    query0 = F.try_parse_url(u, F.lit("QUERY"))
+    pairs = F.filter(
+        F.split(F.coalesce(query0, F.lit("")), "&"),
+        lambda kv: (kv != "")
+        & ~F.lower(F.split(kv, "=", 2).getItem(0)).isin(
+            [p.lower() for p in strip]
+        ),
+    )
+    query = F.array_join(F.array_sort(pairs), "&")
+    base = F.concat(
+        F.when(scheme == "", F.lit("http")).otherwise(scheme),
+        F.lit("://"),
+        host,
+        path,
+    )
+    out = F.when(
+        query == "", base
+    ).otherwise(F.concat(base, F.lit("?"), query))
+    return F.when(host0.isNull() | (host == ""), F.lit(None)).otherwise(out)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-min-id dedup by canonical URL. Output:
+    ``(canonical_url, keep_id, n_copies)`` — rows whose URL does not
+    canonicalize (NULL) are dropped (they cannot collide by URL).
+
+    Scale: groupBy on ``md5(canonical)`` semantics via the canonical
+    string itself (Spark hashes the key map-side; at petabyte scale
+    pre-hash with ``h32`` if URL strings dominate shuffle bytes)."""
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), canon.alias("canonical_url"))
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

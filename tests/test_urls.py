@@ -1,0 +1,122 @@
+"""Unit tests for URL canonicalization + URL dedup: golden forms, a
+python-urllib randomized oracle, and dedup keep-min semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+    )
+
+
+GOLDEN = [
+    # (input, canonical)
+    ("http://Example.COM/path", "http://example.com/path"),
+    ("https://www.example.com:443/path/", "https://example.com/path"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/a?utm_source=x&b=2&a=1#frag", "http://example.com/a?a=1&b=2"),
+    ("http://example.com/a?gclid=123", "http://example.com/a"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    ("HTTPS://WWW.Example.com/A/B/?fbclid=z", "https://example.com/A/B"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+    ("not a url at all", None),
+    (None, None),
+]
+
+
+def test_canonicalize_url_goldens(spark):
+    from exon_spark.operators import canonicalize_url
+
+    df = _urls(spark, [u for u, _ in GOLDEN])
+    got = [
+        r["c"]
+        for r in df.orderBy("doc_id")
+        .select(canonicalize_url("url").alias("c"))
+        .collect()
+    ]
+    assert got == [c for _, c in GOLDEN]
+
+
+def test_canonicalize_url_idempotent(spark):
+    from exon_spark.operators import canonicalize_url
+
+    df = _urls(spark, [u for u, c in GOLDEN if c is not None])
+    once = df.select(canonicalize_url("url").alias("url"))
+    twice = once.select(canonicalize_url("url").alias("url"))
+    assert sorted(r["url"] for r in once.collect()) == sorted(
+        r["url"] for r in twice.collect()
+    )
+
+
+def test_url_dedup_keep_min(spark):
+    from exon_spark.operators import url_dedup
+
+    urls = [
+        "http://a.com/x?utm_source=1",   # doc 0 \
+        "http://www.a.com/x",            # doc 1  } one identity
+        "http://A.COM/x/",               # doc 2 /
+        "http://b.com/y",                # doc 3 unique
+        "garbage",                       # doc 4 dropped
+    ]
+    out = {r["canonical_url"]: r for r in url_dedup(_urls(spark, urls)).collect()}
+    assert len(out) == 2
+    a = out["http://a.com/x"]
+    assert (a["keep_id"], a["n_copies"]) == (0, 3)
+    assert out["http://b.com/y"]["n_copies"] == 1
+
+
+def test_canonicalize_url_python_oracle(spark):
+    """Randomized parity with a urllib-based reference over generated
+    URLs (host/path/params/fragment/port combinations)."""
+    import random
+    from urllib.parse import urlsplit
+
+    from exon_spark.operators import canonicalize_url
+    from exon_spark.operators.urls import TRACKING_PARAMS
+
+    rng = random.Random(13)
+    hosts = ["Example.com", "www.Test.org", "sub.domain.net:8080", "x.io:443"]
+    paths = ["", "/", "/a", "/a/b/", "/Upper/Case"]
+    params = ["", "b=2&a=1", "utm_source=x&k=v", "gclid=1", "k=v&utm_id=9&c"]
+    urls = []
+    for _ in range(120):
+        u = "http" + rng.choice(["", "s"]) + "://" + rng.choice(hosts)
+        u += rng.choice(paths)
+        q = rng.choice(params)
+        if q:
+            u += "?" + q
+        if rng.random() < 0.3:
+            u += "#frag"
+        urls.append(u)
+
+    def ref(u):
+        s = urlsplit(u)
+        host = s.hostname.lower()
+        host = host[4:] if host.startswith("www.") else host
+        port = s.port
+        default = {"http": 80, "https": 443}[s.scheme.lower()]
+        if port and port != default:
+            host = f"{host}:{port}"
+        path = s.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        keep = sorted(
+            kv
+            for kv in s.query.split("&")
+            if kv and kv.split("=", 1)[0].lower() not in TRACKING_PARAMS
+        )
+        q = "&".join(keep)
+        return f"{s.scheme.lower()}://{host}{path}" + (f"?{q}" if q else "")
+
+    got = [
+        r["c"]
+        for r in _urls(spark, urls)
+        .orderBy("doc_id")
+        .select(canonicalize_url("url").alias("c"))
+        .collect()
+    ]
+    assert got == [ref(u) for u in urls]
