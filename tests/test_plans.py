@@ -174,14 +174,28 @@ def test_bm25_broadcasts_stats_and_dfreq(registered):
 
 
 def test_quality_signals_no_shuffle_no_python(registered):
-    """q36 is per-row arithmetic: at most the ONE fanout_repartition
-    round-robin exchange that spreads a single-row-group input before the
-    per-doc compute (inert on wide inputs) — never a key exchange — and
-    no Python workers."""
-    plan = _plan(_queries()["q36_quality_signals"].spark_fn(registered, SF))
+    """The quality_signals OPERATOR is per-row arithmetic: at most the
+    ONE fanout_repartition round-robin exchange that spreads a
+    single-row-group input before the per-doc compute (inert on wide
+    inputs) — never a key exchange — and no Python workers."""
+    from exon_spark.operators import quality_signals
+    from exon_spark.queries.base import table
+
+    plan = _plan(quality_signals(table(registered, SF, "documents")))
     assert plan.count("Exchange") <= 1, plan[:2000]
     assert "hashpartitioning" not in plan.lower(), plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_q36_fused_gate_plan_shape(registered):
+    """The fused q36 gate adds the NB classifier: its legitimate
+    exchanges are the fit's bucket shuffle and the per-doc score agg —
+    the model join must stay broadcast (never a corpus SortMergeJoin)
+    and the whole gate stays JVM-side."""
+    plan = _plan(_queries()["q36_quality_signals"].spark_fn(registered, SF))
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
 
 
 def test_dup_ngram_coverage_no_cartesian(registered):
