@@ -83,15 +83,19 @@ def nb_classifier_fit(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("c0"),
     )
-    totals = counts.agg(
-        F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
-    ).collect()[0]
-    ndocs = labeled.agg(
+    # ONE eager job for all four class totals: doc counts and token
+    # counts come off the same scan via size(filter(...)) — no explode,
+    # no second pass (the earlier two-collect spelling paid an extra
+    # corpus scan + job launch per fit)
+    ntok = F.size(F.filter(tokens(text_col), lambda x: x != ""))
+    stats = labeled.agg(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("n0"),
+        F.sum(F.when(F.col("_pos"), ntok).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(ntok)).alias("t0"),
     ).collect()[0]
-    t1, t0 = float(totals["t1"] or 0), float(totals["t0"] or 0)
-    n1, n0 = int(ndocs["n1"] or 0), int(ndocs["n0"] or 0)
+    t1, t0 = float(stats["t1"] or 0), float(stats["t0"] or 0)
+    n1, n0 = int(stats["n1"] or 0), int(stats["n0"] or 0)
     if n1 == 0 or n0 == 0 or t1 == 0.0 or t0 == 0.0:
         raise ValueError(
             "nb_classifier_fit needs documents AND tokens in both classes "
