@@ -1105,3 +1105,52 @@ def ngram_containment_pairs(
     return out.filter(
         F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
     )
+
+
+def keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the best member of each duplicate cluster by an arbitrary
+    quality score — production dedup keeps the highest-quality copy
+    (longest, best classifier score, best perplexity), not the smallest
+    id that ``dup_clusters``' cluster_id labeling implies.
+
+    ``clusters`` is dup_clusters' output (doc_id, cluster_id); ``scores``
+    maps doc_id -> score (compose from quality_signals / nb_classifier /
+    unigram_logppl output). Returns ``(cluster_id, keep_id, best_score,
+    n_members)`` — argmax score, ties to the smallest doc_id. Survivors
+    = this frame's keep_ids plus every unclustered doc.
+
+    Scale: one join on doc_id + one struct-max groupBy on cluster_id —
+    both map-side combinable, no window, no driver state.
+    """
+    sc = scores.select(
+        F.col(id_col).alias("_kid"), F.col(score_col).alias("_s")
+    )
+    j = clusters.join(sc, clusters[id_col] == sc["_kid"]).select(
+        clusters["cluster_id"],
+        clusters[id_col].alias("doc_id"),
+        F.col("_s"),
+    )
+    # max((score, -id)) == argmax score with ties to the SMALLEST id
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_s").alias("s"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_m.negid")).alias("keep_id"),
+            F.col("_m.s").alias("best_score"),
+            "n_members",
+        )
+    )

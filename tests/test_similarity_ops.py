@@ -763,3 +763,52 @@ def test_qcosine_preserves_planted_nearest(spark):
         .orderBy(F.col("c").desc())
     )
     assert scored.first()["vec_id"] == 1  # the planted near-dup wins
+
+
+def test_keep_best_argmax_with_ties(spark):
+    from exon_spark.operators import keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.0), (20, 0.7)],
+        "doc_id bigint, score double",
+    )
+    out = {r["cluster_id"]: r for r in keep_best(clusters, scores).collect()}
+    # argmax, tie (2 vs 3 at 0.9) to the SMALLEST doc_id
+    assert (out[1]["keep_id"], out[1]["best_score"], out[1]["n_members"]) == (2, 0.9, 3)
+    assert out[10]["keep_id"] == 10
+    assert out[20]["keep_id"] == 20  # singleton cluster keeps itself
+    # composes with dup_clusters + a quality score into a survivor set
+    survivors = clusters.join(
+        keep_best(clusters, scores).select(
+            F.col("keep_id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [2, 10, 20]
+
+
+def test_keep_best_partitioning_invariant(spark):
+    import random
+
+    from exon_spark.operators import keep_best
+
+    rng = random.Random(3)
+    clusters = spark.createDataFrame(
+        [(i, i % 13) for i in range(200)], "doc_id bigint, cluster_id bigint"
+    )
+    scores = spark.createDataFrame(
+        [(i, rng.choice([0.1, 0.5, 0.9])) for i in range(200)],
+        "doc_id bigint, score double",
+    )
+    a = sorted(map(tuple, keep_best(clusters, scores).collect()))
+    b = sorted(
+        map(
+            tuple,
+            keep_best(clusters.repartition(7), scores.repartition(3)).collect(),
+        )
+    )
+    assert a == b
