@@ -131,6 +131,7 @@ def nb_classifier_score(
     meta: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "join",
 ) -> DataFrame:
     """Score every document with the fitted model.
 
@@ -140,14 +141,59 @@ def nb_classifier_score(
     ``nb_pass`` is the unrounded ``score > 0`` decision. Documents with
     no tokens (null/whitespace text) keep the prior alone.
 
-    Plan shape: ONE broadcast(model) hash join on the token rows (the
-    corpus side never shuffles for the model) and ONE map-side-combinable
-    per-doc sum. Zero-token docs survive via ``explode_outer`` (a single
-    null-token row per empty doc), so there is no corpus-vs-corpus rejoin
-    — the naive "left join the scores back onto the ids" spelling costs a
-    second full doc_id shuffle + SortMergeJoin at 100 TB.
+    Plan shape (``mode="join"``, default): ONE broadcast(model) hash
+    join on the token rows (the corpus side never shuffles for the
+    model) and ONE map-side-combinable per-doc sum. Zero-token docs
+    survive via ``explode_outer`` (a single null-token row per empty
+    doc), so there is no corpus-vs-corpus rejoin — the naive "left join
+    the scores back onto the ids" spelling costs a second full doc_id
+    shuffle + SortMergeJoin at 100 TB.
+
+    ``mode="udf"`` ships the model as a closure dict inside one
+    Arrow-batched pandas UDF — fully map-only (not even the per-doc agg
+    shuffle), so it runs on ``readStream`` inputs in append mode and is
+    the preferred apply once the corpus dwarfs everything else. The
+    model collect is bounded by ``buckets``. Pinned equal to the join
+    regime by test.
     """
+    if mode not in ("join", "udf"):
+        raise ValueError(f"mode must be 'join' or 'udf', got {mode!r}")
     ids = df.select(F.col(id_col).alias("doc_id"), text_col)
+    if mode == "udf":
+        lut = {
+            int(r["bucket"]): float(r["log_odds"]) for r in model.collect()
+        }
+        prior = float(meta["log_prior"])
+        default = float(meta["default_log_odds"])
+        buckets = int(meta["buckets"])
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("struct<n_toks:bigint, nb_logodds:double, nb_pass:boolean>")
+        def score_udf(texts):
+            import hashlib
+
+            import pandas as pd
+
+            def one(t):
+                s, n = prior, 0
+                for w in (t or "").strip().lower().split():
+                    b = (
+                        int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                        % buckets
+                    )
+                    s += lut.get(b, default)
+                    n += 1
+                return (n, round(s, 6), s > 0)
+
+            return pd.DataFrame(
+                [one(t) for t in texts],
+                columns=["n_toks", "nb_logodds", "nb_pass"],
+            )
+
+        return ids.select(
+            "doc_id", score_udf(F.col(text_col)).alias("_r")
+        ).select("doc_id", "_r.n_toks", "_r.nb_logodds", "_r.nb_pass")
     arr = F.filter(tokens(text_col), lambda x: x != "")
     tok = ids.select(
         "doc_id", F.explode_outer(arr).alias("tok")

@@ -166,3 +166,47 @@ def test_nb_classifier_score_plan_broadcasts_model(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nb_classifier_score_regimes_agree(spark):
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    rows = SEED_ROWS + [(7, None, None), (8, "   ", None), (9, "zz unseen", None)]
+    df = _docs(spark, rows)
+    model, meta = nb_classifier_fit(_docs(spark, SEED_ROWS), buckets=4096)
+    a = sorted(map(tuple, nb_classifier_score(df, model, meta).collect()))
+    b = sorted(
+        map(tuple, nb_classifier_score(df, model, meta, mode="udf").collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="mode must be"):
+        nb_classifier_score(df, model, meta, mode="bogus")
+
+
+def test_nb_classifier_udf_mode_runs_on_streams(spark, tmp_path):
+    """The closure-LUT apply is map-only, so it must run on readStream in
+    append mode with batch-identical rows (the join regime's per-doc agg
+    cannot)."""
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    batch = _docs(spark, SEED_ROWS)
+    model, meta = nb_classifier_fit(batch, buckets=4096)
+    d = tmp_path / "nb_stream"
+    batch.coalesce(1).write.parquet(str(d / "b0"))
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, label boolean"
+    ).parquet(str(d / "*"))
+    q = (
+        nb_classifier_score(stream, model, meta, mode="udf")
+        .writeStream.format("memory")
+        .queryName("nb_udf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from nb_udf_stream").collect()))
+    exp = sorted(
+        map(tuple, nb_classifier_score(batch, model, meta, mode="udf").collect())
+    )
+    assert got == exp
