@@ -36,37 +36,92 @@ def _merge_loop(
     word_counts: list[tuple[str, int]], num_merges: int, min_pair_count: int
 ) -> list[tuple[str, str]]:
     """Classic BPE induction over a word->count table (driver-side,
-    bounded input). Returns merges in learned order."""
-    words = [
-        (tuple(w) + (EOW,), int(c)) for w, c in word_counts if w
-    ]
+    bounded input). Returns merges in learned order.
+
+    Incremental formulation (Sennrich's reference trick): a pair->word
+    inverted index plus delta updates to the pair counts, so each merge
+    touches only the words that CONTAIN the merged pair instead of
+    rescanning the whole table — the difference between toy (hundreds of
+    merges) and usable (a 32k-merge tokenizer). Identical output to the
+    naive rescan loop: counts and the (count desc, pair lexicographic)
+    tie-break are exactly preserved (pinned by the hand-check tests)."""
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in word_counts:
+        if w:
+            words.append(list(w) + [EOW])
+            counts.append(int(c))
+    import heapq
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        c = counts[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
+    # lazy-invalidation max-heap: (-count, pair) pops the most frequent
+    # pair with ties to the lexicographically smallest — exactly the
+    # deterministic tie-break; stale entries (count since changed) are
+    # skipped on pop via the equality check
+    heap = [(-n, p) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for syms, c in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
-        if not pair_counts:
+        best_p, best_n = None, 0
+        while heap:
+            negn, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negn:
+                best_p, best_n = p, -negn
+                break
+        if best_p is None or best_n < min_pair_count:
             break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_pair_count:
-            break
-        (a, b), _n = best
+        a, b = best_p
         merged = a + b
-        nxt = []
-        for syms, c in words:
+        for wi in sorted(pair_words.get(best_p, ())):
+            syms = words[wi]
+            c = counts[wi]
             out = []
             i = 0
+            changed = False
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
                     out.append(merged)
                     i += 2
+                    changed = True
                 else:
                     out.append(syms[i])
                     i += 1
-            nxt.append((tuple(out), c))
-        words = nxt
+            if not changed:
+                continue
+
+            def _delta(seq: list[str], sign: int) -> None:
+                for j in range(len(seq) - 1):
+                    p = (seq[j], seq[j + 1])
+                    n = pair_counts.get(p, 0) + sign * c
+                    if n:
+                        pair_counts[p] = n
+                        heapq.heappush(heap, (-n, p))
+                    else:
+                        pair_counts.pop(p, None)
+                    idx = pair_words.setdefault(p, set())
+                    if sign > 0:
+                        idx.add(wi)
+
+            _delta(syms, -1)
+            _delta(out, +1)
+            # drop stale index entries for pairs no longer in this word
+            gone = {
+                (syms[j], syms[j + 1]) for j in range(len(syms) - 1)
+            } - {(out[j], out[j + 1]) for j in range(len(out) - 1)}
+            for p in gone:
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            words[wi] = out
+        pair_counts.pop(best_p, None)
+        pair_words.pop(best_p, None)
         merges.append((a, b))
     return merges
 

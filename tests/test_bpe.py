@@ -88,3 +88,56 @@ def test_bpe_train_max_words_truncates_tail(spark):
     df = _docs(spark, [(1, "aa aa aa bz bz")])
     merges = bpe_train(df, num_merges=3, max_words=1, min_pair_count=2)
     assert merges == [("a", "</w>"), ("a", "a</w>")]
+
+
+def test_bpe_merge_loop_matches_naive_rescan():
+    """The incremental (indexed + lazy-heap) merge loop must produce the
+    EXACT merge sequence of the naive full-rescan formulation on random
+    word tables — counts and tie-breaks preserved."""
+    import random
+
+    from exon_spark.operators.bpe import EOW, _merge_loop
+
+    def naive(word_counts, num_merges, min_pair_count):
+        words = [(tuple(w) + (EOW,), int(c)) for w, c in word_counts if w]
+        merges = []
+        for _ in range(num_merges):
+            pc = {}
+            for syms, c in words:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc[p] = pc.get(p, 0) + c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_pair_count:
+                break
+            (a, b), _n = best
+            nxt = []
+            for syms, c in words:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt.append((tuple(out), c))
+            words = nxt
+            merges.append((a, b))
+        return merges
+
+    rng = random.Random(11)
+    alphabet = "abcdef"
+    for trial in range(8):
+        table = [
+            (
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))),
+                rng.randint(1, 9),
+            )
+            for _ in range(rng.randint(5, 40))
+        ]
+        got = _merge_loop(list(table), 25, 2)
+        exp = naive(list(table), 25, 2)
+        assert got == exp, (trial, table)
