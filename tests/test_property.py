@@ -217,3 +217,26 @@ def test_dsv2_partition_planner_tiles_chunks(n_chunks, n_cuts, target, data):
     expect = tabix_chunks(index, "c")
     assert [tuple(m) for m in merged] == [tuple(c) for c in expect]
     assert len(parts) <= max(1, len(flat))
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    target=st.text(alphabet="abcde", min_size=1, max_size=12),
+)
+def test_bpe_segment_reconstructs_word(words, target):
+    """For ANY learned merge table and ANY word (seen or unseen), the
+    segmentation concatenates back to word + EOW — merges only ever fuse
+    adjacent symbols, so no characters are lost, duplicated, or
+    reordered."""
+    from exon_spark.operators.bpe import EOW, _merge_loop, _segment_word
+
+    merges = _merge_loop([(w, 1 + i % 3) for i, w in enumerate(words)], 20, 2)
+    ranks = {p: i for i, p in enumerate(merges)}
+    segs = _segment_word(target, ranks)
+    assert "".join(segs) == target + EOW
+    assert all(segs)  # no empty pieces
