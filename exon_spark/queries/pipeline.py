@@ -193,9 +193,11 @@ def _q21_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Also fused: semantic_decontaminate's expr regime with the query
     vectors as the eval set — each result row carries the corpus
-    vector's max cosine against ANY eval vector and the >= 0.99
-    contamination flag (self-matches make the eval ids contaminated,
-    the rest stay below — mixed output, the plant convention)."""
+    vector's max cosine against ANY eval vector and a contamination
+    flag at threshold 0.35 — chosen to SPLIT the synthetic corpus's
+    0.26-0.49 max-cosine range at both gate SFs (a real pipeline runs
+    ~0.95+; a constant-False column would verify nothing, the plant
+    convention)."""
     from exon_spark.operators import (
         qcosine,
         quantize_embeddings,
@@ -206,7 +208,7 @@ def _q21_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     evalq = em.filter(F.col("vec_id") < 8)
     topk = cosine_topk(em, evalq, k=5)
     qs = quantize_embeddings(em, keep_scale=False).select("vec_id", "qvec")
-    dec = semantic_decontaminate(em, evalq, threshold=0.99)
+    dec = semantic_decontaminate(em, evalq, threshold=0.35)
     return (
         topk.join(
             qs.select(
@@ -280,7 +282,7 @@ dec as (select vec_id, max(cos) as max_eval_cos from allp group by vec_id)
 select r.q_id, r.vec_id, r.score, r.rnk,
        round({_QCOS_DUCK}, 6) as qscore,
        d.max_eval_cos,
-       d.max_eval_cos >= 0.99 as contaminated
+       d.max_eval_cos >= 0.35 as contaminated
 from ranked r
 join qq a on a.vec_id = r.vec_id
 join qq b on b.vec_id = r.q_id
