@@ -1673,7 +1673,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q18_dedup_ngram_jaccard", _q18_spark, Q18_ORACLE, "n-gram Jaccard near-dup"),
     QuerySpec("q19_dedup_minhash_lsh", _q19_spark, Q19_ORACLE, "MinHash+LSH near-dup"),
     QuerySpec("q20_dedup_simhash", _q20_spark, Q20_ORACLE, "SimHash banding near-dup"),
-    QuerySpec("q21_similarity_cosine_topk", _q21_spark, Q21_ORACLE, "brute-force cosine top-k + fused int8-quantized rescore"),
+    QuerySpec("q21_similarity_cosine_topk", _q21_spark, Q21_ORACLE, "brute-force cosine top-k + fused int8 rescore + semantic decontamination"),
     QuerySpec("q22_similarity_ann_lsh", _q22_spark, _q22_oracle(), "LSH-bucketed ANN similarity join"),
     # q23 gates three operators in one fused scan (text_stats, lang_id,
     # fingerprint) — merged in r6 so the 52-op registry fits the driver's
@@ -1706,5 +1706,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),
     QuerySpec("q50_chunk_documents", _q50_spark, Q50_ORACLE, "overlapping token-window chunking (RAG/embedding prep)"),
     QuerySpec("q51_line_dedup", _q51_spark, Q51_ORACLE, "corpus-level boilerplate line removal (RefinedWeb line-wise dedup)"),
-    QuerySpec("q52_ppl_buckets", _q52_spark, Q52_ORACLE, "CCNet-style per-language perplexity tertiles (unigram + r8 bigram LM)"),
+    QuerySpec("q52_ppl_buckets", _q52_spark, Q52_ORACLE, "per-language perplexity tertiles (unigram + bigram LM) + fused corpus report card"),
 ]
