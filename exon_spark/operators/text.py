@@ -1080,6 +1080,124 @@ def bigram_logppl(
     )
 
 
+def trigram_logppl(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam2: float = 0.7,
+    lam1: float = 0.9,
+) -> DataFrame:
+    """Corpus-trained interpolated trigram log-perplexity — the order-2
+    rung of the CCNet LM ladder (recursive Jelinek-Mercer shrinkage):
+
+        p(cur | p2,p1) = lam2 * c(p2,p1,cur)/c(p2,p1,.)
+                       + (1-lam2) * [ lam1 * c(p1,cur)/c(p1,.)
+                                      + (1-lam1) * c(cur)/N ]
+
+    Every scored trigram has c(p2,p1,cur) >= 1 by construction (trained
+    on the corpus itself), so the interpolation is the LM, not a
+    zero-guard — ``bigram_logppl``'s contract one order up.
+
+    Output: (doc_id, n_trigrams, logppl3); per-position nll rounded to
+    6 dp and exact-decimal averaged (the shared decimal-rounding oracle
+    discipline). Docs with < 3 tokens have no trigram positions and are
+    ABSENT — left-join + coalesce at the call site.
+
+    Scale: one explode into trigram positions feeding the
+    groupBy(p2,p1,cur) fit and the score join; the context tables fold
+    out of the n-gram tables (each one groupBy smaller), vocab is
+    Zipf-bounded, N broadcasts. Same plan family as bigram_logppl — no
+    window, no Python.
+    """
+    mu2, mu1 = 1.0 - lam2, 1.0 - lam1
+    toks = tokens(text_col, lowercase=True)
+    ta = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("t")
+    )
+    t = F.col("t")
+    tris = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("p2"),
+                F.element_at(t, i + 1).alias("p1"),
+                F.element_at(t, i + 2).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p2:string,p1:string,cur:string>>"))
+    tri_rows = ta.select("doc_id", F.explode(tris).alias("g")).select(
+        "doc_id",
+        F.col("g.p2").alias("p2"),
+        F.col("g.p1").alias("p1"),
+        F.col("g.cur").alias("cur"),
+    )
+    tri = tri_rows.groupBy("p2", "p1", "cur").agg(F.count("*").alias("tri_n"))
+    ctx3 = tri.groupBy("p2", "p1").agg(F.sum("tri_n").alias("ctx3_n"))
+    # bigram stats over ALL bigram positions (not just trigram-interior
+    # ones): the backoff distribution is the full-order-1 model, exactly
+    # what bigram_logppl trains
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"),
+                F.element_at(t, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pair_rows = ta.select(F.explode(pairs).alias("pc")).select(
+        F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("bcur")
+    )
+    big = pair_rows.groupBy("prev", "bcur").agg(F.count("*").alias("big_n"))
+    # distinct column name: ctx derives FROM big, so reusing "prev" would
+    # be an ambiguous self-join lineage
+    ctx = (
+        big.groupBy("prev")
+        .agg(F.sum("big_n").alias("ctx_n"))
+        .withColumnRenamed("prev", "cprev")
+    )
+    tok_rows = df.select(F.explode(toks).alias("tok"))
+    vocab = tok_rows.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    total = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
+    p1_term = F.lit(lam1) * (F.col("big_n") / F.col("ctx_n")) + F.lit(mu1) * (
+        F.col("tok_n") / F.col("corpus_tokens")
+    )
+    scored = (
+        tri_rows.join(tri, ["p2", "p1", "cur"])
+        .join(ctx3, ["p2", "p1"])
+        .join(
+            big,
+            (F.col("p1") == F.col("prev")) & (F.col("cur") == F.col("bcur")),
+        )
+        .join(ctx, F.col("p1") == F.col("cprev"))
+        .drop("cprev")
+        .join(vocab, F.col("cur") == F.col("tok"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.lit(lam2) * (F.col("tri_n") / F.col("ctx3_n"))
+                    + F.lit(mu2) * p1_term
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_trigrams"),
+        F.round(
+            (
+                F.sum(F.col("nll").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ),
+            4,
+        ).alias("logppl3"),
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     by: tuple[str, ...] = ("lang",),

@@ -1394,11 +1394,17 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle mirrors the exact percentile via quantile_cont.
     from pyspark.sql import Window
 
-    from exon_spark.operators import bigram_logppl, corpus_stats, ppl_buckets
+    from exon_spark.operators import (
+        bigram_logppl,
+        corpus_stats,
+        ppl_buckets,
+        trigram_logppl,
+    )
 
     docs = table(spark, sf_dir, "documents")
     pb = ppl_buckets(docs, by="lang")
     b2 = bigram_logppl(docs)
+    b3 = trigram_logppl(docs)
     cs = corpus_stats(docs).select(
         "lang",
         F.col("n_docs").alias("lang_n_docs"),
@@ -1407,7 +1413,11 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p50_tokens").alias("lang_p50_tokens"),
         F.col("p95_tokens").alias("lang_p95_tokens"),
     )
-    d = pb.join(b2, "doc_id").join(F.broadcast(cs), "lang")
+    d = (
+        pb.join(b2, "doc_id")
+        .join(b3, "doc_id")
+        .join(F.broadcast(cs), "lang")
+    )
     pr2 = F.percent_rank().over(
         Window.partitionBy("lang").orderBy("logppl2", "doc_id")
     )
@@ -1416,9 +1426,18 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pr2 < 2.0 / 3, "middle")
         .otherwise("tail")
     )
+    pr3 = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("logppl3", "doc_id")
+    )
+    bucket3 = (
+        F.when(pr3 < 1.0 / 3, "head")
+        .when(pr3 < 2.0 / 3, "middle")
+        .otherwise("tail")
+    )
     return d.select(
         "doc_id", "lang", "n_tokens", "logppl", "ppl_bucket",
         "n_bigrams", "logppl2", bucket2.alias("ppl2_bucket"),
+        "n_trigrams", "logppl3", bucket3.alias("ppl3_bucket"),
         "lang_n_docs", "lang_n_tokens", "lang_avg_tokens",
         "lang_p50_tokens", "lang_p95_tokens",
     )
@@ -1466,13 +1485,52 @@ ppl2 as (
            as logppl2
   from scored2 group by doc_id
 ),
+trirows as (
+  select doc_id, s[1] as p2, s[2] as p1, s[3] as tcur from ta,
+    unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> [toks[i], toks[i+1], toks[i+2]])) as t(s)
+),
+trig as (
+  select p2, p1, tcur, count(*) as tri_n from trirows group by p2, p1, tcur
+),
+ctx3 as (select p2, p1, sum(tri_n) as ctx3_n from trig group by p2, p1),
+tribase as materialized (
+  -- staged on purpose: the flat 7-way join (trirows x trig x ctx3 x big
+  -- x ctx x vocab x total) sends DuckDB's join-order optimizer into a
+  -- multi-minute search even at sf0.001; materializing the trigram side
+  -- first (3-way, then 4-way) runs in milliseconds with identical rows
+  select doc_id, p1, tcur, tri_n, ctx3_n
+  from trirows join trig using (p2, p1, tcur) join ctx3 using (p2, p1)
+),
+scored3 as (
+  select doc_id,
+         round(-ln(0.7 * (tri_n / ctx3_n)
+                   + (1 - 0.7) * (0.9 * (big_n / ctx_n)
+                                  + (1 - 0.9) * (tok_n / corpus_tokens))), 6)
+           as nll
+  from tribase
+       join big on big.prev = tribase.p1 and big.cur = tribase.tcur
+       join ctx on ctx.prev = tribase.p1
+       join vocab on vocab.tok = tribase.tcur
+       cross join total
+),
+ppl3 as (
+  select doc_id, cast(count(*) as int) as n_trigrams,
+         round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
+           as logppl3
+  from scored3 group by doc_id
+),
 ranked as (
   select d.doc_id, d.lang, p.n_tokens, p.logppl, b.n_bigrams, b.logppl2,
+         t3.n_trigrams, t3.logppl3,
          percent_rank() over (partition by d.lang
                               order by p.logppl, d.doc_id) as pr,
          percent_rank() over (partition by d.lang
-                              order by b.logppl2, d.doc_id) as pr2
+                              order by b.logppl2, d.doc_id) as pr2,
+         percent_rank() over (partition by d.lang
+                              order by t3.logppl3, d.doc_id) as pr3
   from documents d join ppl p using (doc_id) join ppl2 b using (doc_id)
+       join ppl3 t3 using (doc_id)
 ),
 cs as (
   select lang, count(*) as lang_n_docs,
@@ -1494,6 +1552,10 @@ select doc_id, ranked.lang, n_tokens, logppl,
        case when pr2 < 1.0/3 then 'head'
             when pr2 < 2.0/3 then 'middle'
             else 'tail' end as ppl2_bucket,
+       n_trigrams, logppl3,
+       case when pr3 < 1.0/3 then 'head'
+            when pr3 < 2.0/3 then 'middle'
+            else 'tail' end as ppl3_bucket,
        lang_n_docs, lang_n_tokens, lang_avg_tokens,
        lang_p50_tokens, lang_p95_tokens
 from ranked join cs using (lang)
@@ -1706,5 +1768,5 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),
     QuerySpec("q50_chunk_documents", _q50_spark, Q50_ORACLE, "overlapping token-window chunking (RAG/embedding prep)"),
     QuerySpec("q51_line_dedup", _q51_spark, Q51_ORACLE, "corpus-level boilerplate line removal (RefinedWeb line-wise dedup)"),
-    QuerySpec("q52_ppl_buckets", _q52_spark, Q52_ORACLE, "per-language perplexity tertiles (unigram + bigram LM) + fused corpus report card"),
+    QuerySpec("q52_ppl_buckets", _q52_spark, Q52_ORACLE, "per-language perplexity tertiles (unigram/bigram/trigram LM ladder) + fused corpus report card"),
 ]

@@ -1259,3 +1259,71 @@ def test_corpus_stats_duckdb_oracle_parity(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_trigram_logppl_hand_computed(spark):
+    """Exact parity with a pure-Python reimplementation of the recursive
+    Jelinek-Mercer formula on a corpus with repeated, one-context, and
+    sub-3-token docs."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from exon_spark.operators import trigram_logppl
+
+    corpus = {
+        1: "a b a b c a b",
+        2: "a b c",
+        3: "so lo",        # 2 tokens: no trigram positions -> absent
+        4: "c a q c a b",  # rare token q exercises the unigram backoff
+    }
+    out = {
+        r.doc_id: r
+        for r in trigram_logppl(_docs(spark, list(corpus.items()))).collect()
+    }
+    toks = {d: t.split() for d, t in corpus.items()}
+    uni, big, tri = Counter(), Counter(), Counter()
+    for t in toks.values():
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+        tri.update(zip(t, t[1:], t[2:]))
+    n_corpus = sum(uni.values())
+    ctx = Counter()
+    for (p, _c), n in big.items():
+        ctx[p] += n
+    ctx3 = Counter()
+    for (p2, p1, _c), n in tri.items():
+        ctx3[(p2, p1)] += n
+    lam2, lam1 = 0.7, 0.9
+    for d, t in toks.items():
+        ps = list(zip(t, t[1:], t[2:]))
+        if not ps:
+            assert d not in out
+            continue
+        nlls = []
+        for p2, p1, cur in ps:
+            p1_term = lam1 * (big[(p1, cur)] / ctx[p1]) + (1 - lam1) * (
+                uni[cur] / n_corpus
+            )
+            p = lam2 * (tri[(p2, p1, cur)] / ctx3[(p2, p1)]) + (1 - lam2) * p1_term
+            nlls.append(round(-math.log(p), 6))
+        s = sum(Decimal(str(v)) for v in nlls)
+        assert out[d].n_trigrams == len(ps)
+        assert out[d].logppl3 == round(float(s) / len(ps), 4), d
+
+
+def test_trigram_logppl_partitioning_invariant(spark):
+    from exon_spark.operators import trigram_logppl
+
+    rows = [(i, "the cat sat on the mat and the cat ran " * (1 + i % 3)) for i in range(40)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, trigram_logppl(df).collect()))
+    b = sorted(map(tuple, trigram_logppl(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_trigram_logppl_jvm_only_plan(spark):
+    from exon_spark.operators import trigram_logppl
+
+    df = _docs(spark, [(1, "a b c d"), (2, "b c d e")])
+    plan = trigram_logppl(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
