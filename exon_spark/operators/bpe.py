@@ -236,3 +236,27 @@ def bpe_segment(
         F.col(id_col).alias("doc_id"),
         seg(F.col(text_col)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The subword vocabulary a merge list induces, in deterministic
+    order: base characters (and ``</w>``) that appear in any merge
+    operand, sorted, followed by each merge's product in learned order —
+    the id-assignment convention tokenizer exports use (base alphabet
+    first, then one new symbol per merge). Segment outputs are always a
+    subset of this vocabulary plus unseen base characters."""
+    base: set[str] = set()
+    for a, b in merges:
+        for sym in (a, b):
+            if len(sym) == 1:
+                base.add(sym)
+            elif sym == EOW:
+                base.add(sym)
+    out = sorted(base)
+    seen = set(out)
+    for a, b in merges:
+        m = a + b
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out

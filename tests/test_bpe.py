@@ -141,3 +141,21 @@ def test_bpe_merge_loop_matches_naive_rescan():
         got = _merge_loop(list(table), 25, 2)
         exp = naive(list(table), 25, 2)
         assert got == exp, (trial, table)
+
+
+def test_bpe_vocab_covers_segmentations(spark):
+    from exon_spark.operators.bpe import EOW, _segment_word, bpe_vocab
+    from exon_spark.operators import bpe_train
+
+    merges = bpe_train(_sennrich_corpus(spark), num_merges=10)
+    vocab = bpe_vocab(merges)
+    assert len(vocab) == len(set(vocab))  # no duplicate ids
+    # every merge product present exactly once, after the sorted base
+    for a, b in merges:
+        assert a + b in vocab
+    ranks = {p: i for i, p in enumerate(merges)}
+    vset = set(vocab)
+    for w in ("low", "lower", "newest", "widest", "lowest"):
+        for piece in _segment_word(w, ranks):
+            # pieces are vocab symbols or unseen base chars
+            assert piece in vset or len(piece.replace(EOW, "x")) == 1
