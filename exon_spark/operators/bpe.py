@@ -200,7 +200,16 @@ def bpe_segment(
 
     @pandas_udf("array<string>")
     def seg(texts):
+        import re
+
         import pandas as pd
+
+        # EXACT mirror of the JVM tokens() helper bpe_train counts words
+        # with (F.split(F.trim(F.lower(c)), "\\s+")): Java \s is
+        # ASCII-only and Spark trim strips only ' ' — Python str.split()
+        # would split on Unicode whitespace and segment NBSP-joined
+        # words never seen at train time (r8 advice, bpe.py:224)
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         cache: dict[str, list[str]] = {}
 
@@ -221,7 +230,9 @@ def bpe_segment(
             if t is None:
                 return []
             out = []
-            for w in t.strip().lower().split():
+            for w in ws.split(t.lower().strip(" ")):
+                if not w:
+                    continue
                 hit = cache.get(w)
                 if hit is None:
                     hit = segment_word(w)

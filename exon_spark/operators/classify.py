@@ -172,22 +172,41 @@ def nb_classifier_score(
         @pandas_udf("struct<n_toks:bigint, nb_logodds:double, nb_pass:boolean>")
         def score_udf(texts):
             import hashlib
+            import re
 
             import pandas as pd
 
-            def one(t):
-                s, n = prior, 0
-                for w in (t or "").strip().lower().split():
-                    b = (
-                        int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
-                        % buckets
-                    )
-                    s += lut.get(b, default)
-                    n += 1
-                return (n, round(s, 6), s > 0)
+            # EXACT mirror of the JVM tokens() helper the fit and the
+            # join regime use: F.split(F.trim(F.lower(c)), "\\s+") —
+            # Java \s is ASCII-only ([ \t\n\x0b\f\r]) and Spark trim
+            # strips only ' '. Python str.split() splits on Unicode
+            # whitespace (NBSP etc.), which both mis-tokenizes real web
+            # text relative to fit-time features and diverged from the
+            # join regime (r8 advice, classify.py:180).
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+            def words(t):
+                return [w for w in ws.split((t or "").lower().strip(" ")) if w]
+
+            toks = [words(t) for t in texts]
+            # hash each distinct token of the batch once (Zipf: distinct
+            # << total), instead of md5-ing every occurrence
+            odds: dict[str, float] = {}
+            for ws_ in toks:
+                for w in ws_:
+                    if w not in odds:
+                        b = (
+                            int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                            % buckets
+                        )
+                        odds[w] = lut.get(b, default)
+
+            def one(ws_):
+                s = prior + sum(odds[w] for w in ws_)
+                return (len(ws_), round(s, 6), s > 0)
 
             return pd.DataFrame(
-                [one(t) for t in texts],
+                [one(ws_) for ws_ in toks],
                 columns=["n_toks", "nb_logodds", "nb_pass"],
             )
 

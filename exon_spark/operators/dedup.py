@@ -1122,9 +1122,12 @@ def keep_best(
     maps doc_id -> score (compose from quality_signals / nb_classifier /
     unigram_logppl output). Returns ``(cluster_id, keep_id, best_score,
     n_members)`` — argmax score, ties to the smallest doc_id. Survivors
-    = this frame's keep_ids plus every unclustered doc.
+    = this frame's keep_ids plus every unclustered doc. ``score_col``
+    must be numeric; ``doc_id`` may be any orderable type (string ids
+    and full-range bigints both work — the tie-break negates the SCORE,
+    never the id; NaN scores order worst).
 
-    Scale: one join on doc_id + one struct-max groupBy on cluster_id —
+    Scale: one join on doc_id + one struct-min groupBy on cluster_id —
     both map-side combinable, no window, no driver state.
     """
     sc = scores.select(
@@ -1135,22 +1138,26 @@ def keep_best(
         clusters[id_col].alias("doc_id"),
         F.col("_s"),
     )
-    # max((score, -id)) == argmax score with ties to the SMALLEST id
+    # min((-score, id)) == argmax score with ties to the SMALLEST id.
+    # Negating the score (always numeric) instead of the id keeps string
+    # doc_ids working — the r7 spelling max((score, -id)) raised
+    # CAST_INVALID_INPUT on string ids and lost precision on bigints
+    # above 2^53 via the implicit double path (r8 advice, dedup.py:1145)
     return (
         j.groupBy("cluster_id")
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.col("_s").alias("s"),
-                    (-F.col("doc_id")).alias("negid"),
+                    (-F.col("_s").cast("double")).alias("negs"),
+                    F.col("doc_id").alias("id"),
                 )
             ).alias("_m"),
             F.count(F.lit(1)).alias("n_members"),
         )
         .select(
             "cluster_id",
-            (-F.col("_m.negid")).alias("keep_id"),
-            F.col("_m.s").alias("best_score"),
+            F.col("_m.id").alias("keep_id"),
+            (-F.col("_m.negs")).alias("best_score"),
             "n_members",
         )
     )

@@ -39,20 +39,33 @@ def canonicalize_url(
 
     Non-URL strings (no host) canonicalize to NULL — callers treat that
     as "not a web document". This is identity-normalization for dedup,
-    not resolution: no redirects, no IDN/punycode folding.
+    not resolution: no redirects, no IDN/punycode folding. Userinfo
+    (``user@host``) is DROPPED — ``https://user@example.com/x`` and
+    ``https://example.com/x`` are the same fetch identity, and keeping
+    it split bare-host twins apart (r8 advice, urls.py:49).
     """
     u = F.col(url) if isinstance(url, str) else url
     strip = TRACKING_PARAMS if strip_params is None else list(strip_params)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
-    # AUTHORITY keeps the port (HOST strips it); default ports are
-    # scheme-specific — :443 on plain http is NOT redundant
-    host0 = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
-    host1 = F.regexp_replace(host0, r"^www\.", "")
-    host = (
-        F.when(scheme == "http", F.regexp_replace(host1, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(host1, r":443$", ""))
-        .otherwise(host1)
+    # HOST is the bare hostname (no userinfo, no port) — parsing
+    # AUTHORITY for the name broke ^www\. stripping and lowercased the
+    # case-sensitive userinfo on 'user@host' URLs. The port is
+    # re-extracted from AUTHORITY's tail (digits after the LAST ':' —
+    # never matches inside userinfo or a bracketed IPv6 literal);
+    # default ports are scheme-specific — :443 on plain http is NOT
+    # redundant.
+    hostname = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    auth = F.try_parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(F.coalesce(auth, F.lit("")), r":(\d+)$", 1)
+    host1 = F.regexp_replace(hostname, r"^www\.", "")
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
     )
+    host = F.when(
+        keep_port, F.concat(host1, F.lit(":"), port)
+    ).otherwise(host1)
     path0 = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.when(path0 == "", F.lit("/")).otherwise(
         F.when(
@@ -78,7 +91,9 @@ def canonicalize_url(
     out = F.when(
         query == "", base
     ).otherwise(F.concat(base, F.lit("?"), query))
-    return F.when(host0.isNull() | (host == ""), F.lit(None)).otherwise(out)
+    return F.when(
+        hostname.isNull() | (hostname == ""), F.lit(None)
+    ).otherwise(out)
 
 
 def url_dedup(

@@ -45,15 +45,23 @@ def test_bpe_segment_matches_driver_reference(spark):
         (3, "zzz unseen"),  # chars never merged stay char-split
         (4, None),
         (5, "   "),
+        # NBSP joins ONE word under the shared ASCII-\s tokenizer (r8
+        # advice: Python str.split() used to split it, segmenting words
+        # never seen at train time)
+        (6, "low lower newest\tlow"),
     ]
     out = {
         r["doc_id"]: r
         for r in bpe_segment(_docs(spark, rows), merges).collect()
     }
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     for doc_id, text in rows:
         exp = []
-        for w in (text or "").strip().lower().split():
-            exp.extend(_segment_word(w, ranks))
+        for w in ws.split((text or "").lower().strip(" ")):
+            if w:
+                exp.extend(_segment_word(w, ranks))
         assert out[doc_id]["bpe_tokens"] == exp, doc_id
         assert out[doc_id]["n_bpe_tokens"] == len(exp)
     assert out[1]["bpe_tokens"][0] == "low</w>"  # 'low' fully merged

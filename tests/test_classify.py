@@ -183,6 +183,33 @@ def test_nb_classifier_score_regimes_agree(spark):
         nb_classifier_score(df, model, meta, mode="bogus")
 
 
+def test_nb_classifier_regimes_agree_on_unicode_whitespace(spark):
+    """Java \\s is ASCII-only: NBSP/ideographic-space/NEL must be part of
+    the token in BOTH regimes (r8 advice: the udf's str.split() used to
+    split on them, diverging from fit-time features)."""
+    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+
+    rows = SEED_ROWS + [
+        (20, "good stuff", None),          # NBSP joins one token
+        (21, "tab\tsplit vert\x0bsplit", None),  # ASCII \s DOES split
+        (22, "wide　spacenel", None),  # ideographic + NEL join
+        (23, "   ", None),                  # NBSP-only text
+    ]
+    df = _docs(spark, rows)
+    model, meta = nb_classifier_fit(_docs(spark, SEED_ROWS), buckets=4096)
+    a = sorted(map(tuple, nb_classifier_score(df, model, meta).collect()))
+    b = sorted(
+        map(tuple, nb_classifier_score(df, model, meta, mode="udf").collect())
+    )
+    assert a == b
+    # and the NBSP doc really is ONE token under the shared tokenizer
+    n = {
+        r["doc_id"]: r["n_toks"]
+        for r in nb_classifier_score(df, model, meta, mode="udf").collect()
+    }
+    assert n[20] == 1 and n[21] == 4 and n[22] == 1
+
+
 def test_nb_classifier_udf_mode_runs_on_streams(spark, tmp_path):
     """The closure-LUT apply is map-only, so it must run on readStream in
     append mode with batch-identical rows (the join regime's per-doc agg

@@ -791,6 +791,37 @@ def test_keep_best_argmax_with_ties(spark):
     assert sorted(r["doc_id"] for r in survivors.collect()) == [2, 10, 20]
 
 
+def test_keep_best_string_ids_and_big_ids(spark):
+    from exon_spark.operators import keep_best
+
+    # string doc_ids (r8 advice: the old -doc_id tie-break raised
+    # CAST_INVALID_INPUT here); ties break to the lexicographically
+    # smallest id
+    clusters = spark.createDataFrame(
+        [("doc-a", 1), ("doc-b", 1), ("doc-c", 1), ("zzz", 2)],
+        "doc_id string, cluster_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [("doc-a", 0.4), ("doc-b", 0.8), ("doc-c", 0.8), ("zzz", 0.1)],
+        "doc_id string, score double",
+    )
+    out = {r["cluster_id"]: r for r in keep_best(clusters, scores).collect()}
+    assert (out[1]["keep_id"], out[1]["best_score"]) == ("doc-b", 0.8)
+    assert out[2]["keep_id"] == "zzz"
+
+    # bigint ids above 2^53: the old implicit-double path collapsed
+    # adjacent ids; the struct-min tie-break must keep them distinct
+    lo, hi = (1 << 53) + 1, (1 << 53) + 2
+    clusters2 = spark.createDataFrame(
+        [(hi, 1), (lo, 1)], "doc_id bigint, cluster_id bigint"
+    )
+    scores2 = spark.createDataFrame(
+        [(hi, 0.5), (lo, 0.5)], "doc_id bigint, score double"
+    )
+    row = keep_best(clusters2, scores2).collect()[0]
+    assert row["keep_id"] == lo
+
+
 def test_keep_best_partitioning_invariant(spark):
     import random
 
