@@ -992,6 +992,7 @@ def bigram_logppl(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.9,
+    broadcast_models: bool = True,
 ) -> DataFrame:
     """Corpus-trained interpolated bigram log-perplexity — the order-1
     upgrade of ``unigram_logppl`` and one step closer to the n-gram LM
@@ -1020,9 +1021,14 @@ def bigram_logppl(
     score — pair keys are two tokens (~16 bytes), map-side partial agg
     absorbs Zipf-hot pairs before the shuffle. The context table folds
     out of the bigram table (tiny second agg, vocab-sized), the unigram
-    vocab is Zipf-bounded, N is a 1-row broadcast; AQE broadcasts the
-    model joins when they fit. Same plan family as unigram_logppl — no
-    window, no Python.
+    vocab is Zipf-bounded, N is a 1-row broadcast. The vocab-sized model
+    tables (ctx, vocab) are broadcast-PINNED by default: left to AQE,
+    the ctx join re-shuffles the whole bigram-position fact side on
+    ``prev`` (it was just shuffled on ``(prev, cur)``) before the
+    runtime conversion can fire. ``broadcast_models=False`` reverts to
+    AQE for a corpus whose vocab outgrows the driver (the big table is
+    NEVER pinned — unique-bigram count grows with the corpus). Same
+    plan family as unigram_logppl — no window, no Python.
     """
     mu = 1.0 - lam
     # no fanout_repartition — same negative measurement as unigram_logppl
@@ -1052,6 +1058,8 @@ def bigram_logppl(
     tok_rows = df.select(F.explode(toks).alias("tok"))
     vocab = tok_rows.groupBy("tok").agg(F.count("*").alias("tok_n"))
     total = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
+    if broadcast_models:
+        ctx, vocab = F.broadcast(ctx), F.broadcast(vocab)
     scored = (
         pair_rows.join(big, ["prev", "cur"])
         .join(ctx, "prev")
@@ -1086,6 +1094,7 @@ def trigram_logppl(
     text_col: str = "text",
     lam2: float = 0.7,
     lam1: float = 0.9,
+    broadcast_models: bool = True,
 ) -> DataFrame:
     """Corpus-trained interpolated trigram log-perplexity — the order-2
     rung of the CCNet LM ladder (recursive Jelinek-Mercer shrinkage):
@@ -1106,7 +1115,10 @@ def trigram_logppl(
     Scale: one explode into trigram positions feeding the
     groupBy(p2,p1,cur) fit and the score join; the context tables fold
     out of the n-gram tables (each one groupBy smaller), vocab is
-    Zipf-bounded, N broadcasts. Same plan family as bigram_logppl — no
+    Zipf-bounded, N broadcasts. The vocab-sized tables (ctx, vocab) are
+    broadcast-PINNED by default (``broadcast_models=False`` reverts to
+    AQE — see bigram_logppl); tri/ctx3/big are never pinned, their row
+    counts grow with the corpus. Same plan family as bigram_logppl — no
     window, no Python.
     """
     mu2, mu1 = 1.0 - lam2, 1.0 - lam1
@@ -1164,6 +1176,8 @@ def trigram_logppl(
     p1_term = F.lit(lam1) * (F.col("big_n") / F.col("ctx_n")) + F.lit(mu1) * (
         F.col("tok_n") / F.col("corpus_tokens")
     )
+    if broadcast_models:
+        ctx, vocab = F.broadcast(ctx), F.broadcast(vocab)
     scored = (
         tri_rows.join(tri, ["p2", "p1", "cur"])
         .join(ctx3, ["p2", "p1"])

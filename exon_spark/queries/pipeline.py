@@ -1413,11 +1413,14 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p50_tokens").alias("lang_p50_tokens"),
         F.col("p95_tokens").alias("lang_p95_tokens"),
     )
-    d = (
-        pb.join(b2, "doc_id")
-        .join(b3, "doc_id")
-        .join(F.broadcast(cs), "lang")
-    )
+    # Each rung's tertile is ranked over ITS OWN population (docs with
+    # >= 2 / >= 3 tokens), then LEFT-joined back onto the unigram frame
+    # — short docs keep null bigram/trigram columns instead of silently
+    # vanishing, and no rung's tertile population depends on another
+    # rung's join (r8 advice, pipeline.py:1386; the q42 coalesce
+    # precedent). At gate SFs no short docs exist, so rows are
+    # unchanged; at future SFs this stays well-defined.
+    lang_of = pb.select("doc_id", "lang")
     pr2 = F.percent_rank().over(
         Window.partitionBy("lang").orderBy("logppl2", "doc_id")
     )
@@ -1425,6 +1428,9 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pr2 < 1.0 / 3, "head")
         .when(pr2 < 2.0 / 3, "middle")
         .otherwise("tail")
+    )
+    j2 = lang_of.join(b2, "doc_id").select(
+        "doc_id", "n_bigrams", "logppl2", bucket2.alias("ppl2_bucket")
     )
     pr3 = F.percent_rank().over(
         Window.partitionBy("lang").orderBy("logppl3", "doc_id")
@@ -1434,10 +1440,18 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pr3 < 2.0 / 3, "middle")
         .otherwise("tail")
     )
+    j3 = lang_of.join(b3, "doc_id").select(
+        "doc_id", "n_trigrams", "logppl3", bucket3.alias("ppl3_bucket")
+    )
+    d = (
+        pb.join(j2, "doc_id", "left")
+        .join(j3, "doc_id", "left")
+        .join(F.broadcast(cs), "lang")
+    )
     return d.select(
         "doc_id", "lang", "n_tokens", "logppl", "ppl_bucket",
-        "n_bigrams", "logppl2", bucket2.alias("ppl2_bucket"),
-        "n_trigrams", "logppl3", bucket3.alias("ppl3_bucket"),
+        "n_bigrams", "logppl2", "ppl2_bucket",
+        "n_trigrams", "logppl3", "ppl3_bucket",
         "lang_n_docs", "lang_n_tokens", "lang_avg_tokens",
         "lang_p50_tokens", "lang_p95_tokens",
     )
@@ -1520,17 +1534,36 @@ ppl3 as (
            as logppl3
   from scored3 group by doc_id
 ),
+ranked1 as (
+  -- each rung ranks over ITS OWN population, mirroring the Spark side's
+  -- per-rung windows + left joins
+  select d.doc_id, d.lang, p.n_tokens, p.logppl,
+         percent_rank() over (partition by d.lang
+                              order by p.logppl, d.doc_id) as pr
+  from documents d join ppl p using (doc_id)
+),
+ranked2 as (
+  select d.doc_id, b.n_bigrams, b.logppl2,
+         case when percent_rank() over (partition by d.lang
+                   order by b.logppl2, d.doc_id) < 1.0/3 then 'head'
+              when percent_rank() over (partition by d.lang
+                   order by b.logppl2, d.doc_id) < 2.0/3 then 'middle'
+              else 'tail' end as ppl2_bucket
+  from documents d join ppl2 b using (doc_id)
+),
+ranked3 as (
+  select d.doc_id, t3.n_trigrams, t3.logppl3,
+         case when percent_rank() over (partition by d.lang
+                   order by t3.logppl3, d.doc_id) < 1.0/3 then 'head'
+              when percent_rank() over (partition by d.lang
+                   order by t3.logppl3, d.doc_id) < 2.0/3 then 'middle'
+              else 'tail' end as ppl3_bucket
+  from documents d join ppl3 t3 using (doc_id)
+),
 ranked as (
-  select d.doc_id, d.lang, p.n_tokens, p.logppl, b.n_bigrams, b.logppl2,
-         t3.n_trigrams, t3.logppl3,
-         percent_rank() over (partition by d.lang
-                              order by p.logppl, d.doc_id) as pr,
-         percent_rank() over (partition by d.lang
-                              order by b.logppl2, d.doc_id) as pr2,
-         percent_rank() over (partition by d.lang
-                              order by t3.logppl3, d.doc_id) as pr3
-  from documents d join ppl p using (doc_id) join ppl2 b using (doc_id)
-       join ppl3 t3 using (doc_id)
+  select * from ranked1
+  left join ranked2 using (doc_id)
+  left join ranked3 using (doc_id)
 ),
 cs as (
   select lang, count(*) as lang_n_docs,
@@ -1548,14 +1581,8 @@ select doc_id, ranked.lang, n_tokens, logppl,
        case when pr < 1.0/3 then 'head'
             when pr < 2.0/3 then 'middle'
             else 'tail' end as ppl_bucket,
-       n_bigrams, logppl2,
-       case when pr2 < 1.0/3 then 'head'
-            when pr2 < 2.0/3 then 'middle'
-            else 'tail' end as ppl2_bucket,
-       n_trigrams, logppl3,
-       case when pr3 < 1.0/3 then 'head'
-            when pr3 < 2.0/3 then 'middle'
-            else 'tail' end as ppl3_bucket,
+       n_bigrams, logppl2, ppl2_bucket,
+       n_trigrams, logppl3, ppl3_bucket,
        lang_n_docs, lang_n_tokens, lang_avg_tokens,
        lang_p50_tokens, lang_p95_tokens
 from ranked join cs using (lang)

@@ -1130,6 +1130,49 @@ def test_bigram_logppl_jvm_only_plan(spark):
     assert "Generate" in plan
 
 
+def test_lm_ladder_model_joins_broadcast_pinned(spark):
+    """The vocab-sized model tables (ctx, vocab) are broadcast-pinned by
+    default — left to AQE, the ctx join re-shuffles the whole
+    bigram-position fact side on `prev` (r8 verdict order #3). The big
+    table is never pinned (its row count grows with the corpus)."""
+    from exon_spark.operators import bigram_logppl, trigram_logppl
+
+    df = _docs(spark, [(1, "a b a c a b"), (2, "b c a a b")])
+    for fn in (bigram_logppl, trigram_logppl):
+        plan = fn(df)._jdf.queryExecution().executedPlan().toString()
+        # ctx + vocab hash joins pinned broadcast (total is the cross)
+        assert plan.count("BroadcastHashJoin") >= 2, fn.__name__
+        off = fn(df, broadcast_models=False).collect()
+        on = fn(df).collect()
+        assert sorted(map(tuple, off)) == sorted(map(tuple, on)), fn.__name__
+
+
+def test_q52_short_docs_survive_with_null_rungs(spark, tmp_path):
+    """A 1- or 2-token doc keeps its unigram row with NULL
+    bigram/trigram columns (left-join semantics), and each rung's
+    tertile is ranked over its own population (r8 advice,
+    pipeline.py:1386)."""
+    from exon_spark.queries.pipeline import _q52_spark
+
+    rows = [
+        (1, "alpha beta gamma delta", "en"),
+        (2, "alpha beta gamma", "en"),
+        (3, "alpha beta", "en"),   # no trigram positions
+        (4, "alpha", "en"),        # no bigram or trigram positions
+        (5, "beta gamma delta alpha beta", "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string, lang string") \
+        .coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in _q52_spark(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # nobody vanishes
+    assert out[4]["n_bigrams"] is None and out[4]["ppl2_bucket"] is None
+    assert out[3]["n_bigrams"] == 1 and out[3]["n_trigrams"] is None
+    assert out[3]["ppl3_bucket"] is None
+    assert out[2]["n_trigrams"] == 1 and out[2]["ppl3_bucket"] is not None
+    # unigram tertile still computed over ALL docs (ppl_buckets semantics)
+    assert all(out[i]["ppl_bucket"] in ("head", "middle", "tail") for i in out)
+
+
 def test_normalize_text_strip_html(spark):
     """strip_html: script/style/comment content removed wholesale,
     remaining tags stripped, common entities decoded, whitespace tidied
