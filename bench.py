@@ -124,8 +124,14 @@ def main() -> None:
     def timed(name: str, fn, runs: int = 2) -> None:
         # safety valve: if the run is already long (slow machine, cold
         # caches), fall back to single-run so the whole artifact can never
-        # blow a driver-side timeout — partial methodology beats no data
-        if time.monotonic() - bench_start > 300:
+        # blow a driver-side timeout — partial methodology beats no data.
+        # SPARK_GRAFT_BENCH_BUDGET widens the valve for manual
+        # larger-than-sf0.1 runs (the sf1 superlinearity replica needs
+        # best-of-2 on every query for clean ratios); the driver's
+        # per-round run never sets it, so its behavior is unchanged.
+        if time.monotonic() - bench_start > float(
+            os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300")
+        ):
             runs = 1
         best = None
         try:
@@ -156,6 +162,23 @@ def main() -> None:
     # BASELINE.md §6 bio-format workloads on synthetic fixtures (generation
     # is cached and excluded from timings)
     from exon_spark.queries.formats import FORMAT_BENCH, ensure_format_fixtures
+
+    if os.environ.get("SPARK_GRAFT_SKIP_FORMATS"):
+        # manual scale-replica runs time the 50 table queries only — the
+        # format workloads are baseline-scale fixtures independent of sf
+        total = round(sum(times.values()), 3)
+        out = {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf_dir.rstrip("/").split("sf")[-1],
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     try:
         gen_t0 = time.monotonic()

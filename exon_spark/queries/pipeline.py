@@ -296,6 +296,22 @@ def _q22_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(em, em.filter(F.col("vec_id") < 8), k=5)
 
 
+def _flat_dot(vec: str, plane: list[float]) -> str:
+    """Hyperplane dot as a flat 64-term sum, left-associated like
+    list_sum's fold. The r8 spelling indexed a 64-float LIST LITERAL
+    inside list_transform — DuckDB rebuilds the literal per element, so
+    each dot cost 64x64 list constructions and q28's bk CTE alone ran
+    >9 min at the sf1 replica (vs seconds flat)."""
+    return (
+        "("
+        + " + ".join(
+            f"cast({vec}[{i + 1}] as double) * ({x!r})"
+            for i, x in enumerate(plane)
+        )
+        + ")"
+    )
+
+
 _COS64 = (
     "list_sum(list_transform(range(1, 65), i -> cast({a}[i] as double) * cast({b}[i] as double)))"
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> cast({a}[i] as double) * cast({a}[i] as double))))"
@@ -365,12 +381,7 @@ def _q28_oracle() -> str:
     planes = hyperplanes(64, 64)
     band_bits, n_bands = 16, 4
 
-    def dot(vec: str, plane: list[float]) -> str:
-        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
-        return (
-            "list_sum(list_transform(range(1, 65), "
-            f"i -> cast({vec}[i] as double) * ({lst})[i]))"
-        )
+    dot = _flat_dot
 
     bands = []
     for b in range(n_bands):
@@ -381,21 +392,48 @@ def _q28_oracle() -> str:
         )
         bands.append(f"cast({key} as bigint) as b{b}")
     band_cols = ",\n  ".join(bands)
-    collide = " or ".join(
-        f"bit_count(xor(x.b{b}, y.b{b})) <= 1" for b in range(n_bands)
-    )
     cos = _COS64.format(a="x.embedding", b="y.embedding")
+    # Candidate rule re-spelled as a multi-probe EQUI-join (identical
+    # pairs): xor(kx, ky) <= 1 over a 16-bit band key  <=>  kx is ky or
+    # one of ky's 16 single-bit flips. The r8 theta spelling
+    # (`join ... on x.vec_id < y.vec_id and (bit_count(...) <= 1 or ...)`)
+    # forced DuckDB into an O(n^2) nested-loop — 484M predicate
+    # evaluations at the sf1 replica (>35 min, single-core) vs
+    # milliseconds for the hash join on exploded probe keys. Same
+    # candidate set, same cosine filter, now linear in vectors per
+    # band-bucket like the Spark side's plan.
+    key_selects = "\n  union all\n  ".join(
+        f"select vec_id, {b} as band, b{b} as key from bk"
+        for b in range(n_bands)
+    )
     return f"""
 with base as (
   select vec_id, embedding from embeddings
   union all
   select vec_id + 1000000000 as vec_id, embedding from embeddings where vec_id % 10 = 0
 ),
-bk as (select vec_id, embedding,
+bk as materialized (select vec_id, embedding,
   {band_cols}
-  from base)
+  from base),
+keys as materialized (
+  {key_selects}
+),
+probes as (
+  select vec_id, band,
+         xor(key, case when f = 0 then 0
+                       else cast(1 as bigint) << (f - 1) end) as key
+  from keys, unnest(range(0, 17)) as t(f)
+),
+cand as materialized (
+  -- materialized on purpose (the q52 tribase precedent): DuckDB inlines
+  -- plain CTEs per reference, so bk's 64 hyperplane dots and the
+  -- candidate join would otherwise re-run for every downstream mention
+  select distinct p.vec_id as ia, i.vec_id as ib
+  from keys p join probes i on p.band = i.band and p.key = i.key
+  where p.vec_id < i.vec_id
+)
 select x.vec_id as id_a, y.vec_id as id_b, round({cos}, 6) as score
-from bk x join bk y on x.vec_id < y.vec_id and ({collide})
+from cand join bk x on cand.ia = x.vec_id join bk y on cand.ib = y.vec_id
 where round({cos}, 6) >= 0.95
 """
 
@@ -630,12 +668,7 @@ def _q22_oracle() -> str:
 
     planes = hyperplanes(64, 6)
 
-    def dot(vec: str, plane: list[float]) -> str:
-        lst = "[" + ", ".join(repr(x) for x in plane) + "]"
-        return (
-            "list_sum(list_transform(range(1, 65), "
-            f"i -> cast({vec}[i] as double) * ({lst})[i]))"
-        )
+    dot = _flat_dot
 
     bucket = " + ".join(
         f"(case when {dot('embedding', pl)} > 0 then {1 << i} else 0 end)"
