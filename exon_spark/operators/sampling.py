@@ -542,9 +542,15 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(
             F.sum("m").cast("int").alias("n_feats"),
-            F.round(F.sum(F.col("m") * F.col("lr")).cast("double"), 4).alias(
-                "dsir_w"
-            ),
+            # round the EXACT decimal sum, then cast: rounding after the
+            # double cast diverges between engines at half-way values
+            # (0.63855 -> Spark BigDecimal sees the shortest repr
+            # "0.63855" and rounds up; DuckDB's fp round sees
+            # 6385.4999... and rounds down — hit at the sf1 replica,
+            # doc 12158). Decimal HALF_UP is away-from-zero in both.
+            F.round(F.sum(F.col("m") * F.col("lr")), 4)
+            .cast("double")
+            .alias("dsir_w"),
         )
     )
     out = (

@@ -1248,8 +1248,10 @@ ratio as (
   from stats cross join tot
 ),
 w as (
+  -- round the exact decimal sum BEFORE the double cast (half-way
+  -- values diverge between engines the other way around)
   select db.doc_id, cast(sum(m) as int) as n_feats,
-         round(cast(sum(m * lr) as double), 4) as dsir_w
+         cast(round(sum(m * lr), 4) as double) as dsir_w
   from db join ratio using (b) group by db.doc_id
 ),
 wd as (
