@@ -23,6 +23,45 @@ TRACKING_PARAMS = (
 ).split()
 
 
+def _pct_normalize(c: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as a pure Column:
+    uppercase every escape's hex digits (``%2f`` == ``%2F``) and decode
+    escapes of UNRESERVED characters (``%7Euser`` == ``~user``) —
+    the two spellings crawlers actually mix for one identity. Reserved
+    characters stay encoded (decoding ``%26`` in a query would change
+    its structure), and malformed escapes (``%zz``, trailing ``%``)
+    pass through untouched. Split-on-'%' + transform: every array piece
+    after the first begins with the escape's two hex digits."""
+    pieces = F.split(c, "%", -1)
+
+    def norm(p: Column) -> Column:
+        hex2 = F.upper(F.substring(p, 1, 2))
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 0x41) & (code <= 0x5A))
+            | ((code >= 0x61) & (code <= 0x7A))
+            | ((code >= 0x30) & (code <= 0x39))
+            | code.isin(0x2D, 0x2E, 0x5F, 0x7E)
+        )
+        rest = F.substring(p, 3, 0x7FFFFFFF)
+        return (
+            F.when(~p.rlike("^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), p))
+            .when(unreserved, F.concat(F.char(code), rest))
+            .otherwise(F.concat(F.lit("%"), hex2, rest))
+        )
+
+    return F.concat(
+        F.element_at(pieces, 1),
+        F.array_join(
+            F.transform(
+                F.slice(pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0))),
+                norm,
+            ),
+            "",
+        ),
+    )
+
+
 def canonicalize_url(
     url: Column | str, strip_params: tuple[str, ...] | None = None
 ) -> Column:
@@ -36,6 +75,9 @@ def canonicalize_url(
         param order never splits a URL into two identities
       * trailing ``/`` dropped from non-root paths; empty path becomes
         ``/``
+      * percent-encoding normalized in path and query (RFC 3986
+        §6.2.2): escape hex uppercased, escapes of unreserved
+        characters decoded — ``/a%2fb?x=%7Ey`` == ``/a%2Fb?x=~y``
 
     Non-URL strings (no host) canonicalize to NULL — callers treat that
     as "not a web document". This is identity-normalization for dedup,
@@ -66,16 +108,18 @@ def canonicalize_url(
     host = F.when(
         keep_port, F.concat(host1, F.lit(":"), port)
     ).otherwise(host1)
-    path0 = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path0 = _pct_normalize(
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    )
     path = F.when(path0 == "", F.lit("/")).otherwise(
         F.when(
             (F.length(path0) > 1) & path0.endswith("/"),
             F.substring(path0, 1, F.length(path0) - 1),
         ).otherwise(path0)
     )
-    query0 = F.try_parse_url(u, F.lit("QUERY"))
+    query0 = _pct_normalize(F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit("")))
     pairs = F.filter(
-        F.split(F.coalesce(query0, F.lit("")), "&"),
+        F.split(query0, "&"),
         lambda kv: (kv != "")
         & ~F.lower(F.split(kv, "=", 2).getItem(0)).isin(
             [p.lower() for p in strip]
