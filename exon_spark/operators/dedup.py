@@ -83,11 +83,37 @@ def fanout_repartition(df: DataFrame) -> DataFrame:
     tables never pay a redundant exchange. Deliberately NOT applied in
     the shared table() reader: measured at sf0.1, blanket repartition
     costs +0.3-1.0s on every light query (exchange + task overhead)
-    while only the fan-out operators win."""
+    while only the fan-out operators win.
+
+    The partition COUNT alone is not a safe signal: Spark byte-splits a
+    big single-row-group parquet into many PHANTOM partitions (the split
+    that contains the row-group start gets every row, the rest are
+    empty), which made a 10x-replica fan-out run on one core behind a
+    healthy-looking 23-partition scan (q23: 43x wall-clock at 10x data,
+    SCALE.md r9). When the input is a local parquet scan, a driver-side
+    footer sniff (bounded to 8 files) checks that the claimed
+    parallelism is backed by actual row groups; remote/object-store
+    inputs skip the sniff and trust the partition count (at warehouse
+    scale per-file row groups are plentiful, and footer reads over the
+    network are not free)."""
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, target // 2):
+        floor = max(2, target // 2)
+        if df.rdd.getNumPartitions() < floor:
             return df.repartition(target)
+        files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+        local = [f[7:] for f in files if f.startswith("file:///")]
+        if files and len(files) < floor and len(local) == len(files):
+            import pyarrow.parquet as _pq
+
+            groups = 0
+            for f in local[:8]:
+                groups += _pq.ParquetFile(f).metadata.num_row_groups
+                if groups >= floor:
+                    break
+            est = groups * max(1, len(local) // min(len(local), 8))
+            if est < floor:
+                return df.repartition(target)
     except Exception:
         pass  # connect session / non-file input: leave as-is
     return df

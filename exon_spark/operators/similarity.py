@@ -512,7 +512,7 @@ def _assign_cluster_udf(centroids: list[tuple[int, list[float]]]):
 
 def semantic_dedup(
     df: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -561,6 +561,20 @@ def semantic_dedup(
     """
     if assignment not in ("expr", "udf"):
         raise ValueError(f"assignment must be 'expr' or 'udf', got {assignment!r}")
+    if n_clusters == "auto":
+        # k = ceil(sqrt(n)): balances the two scale terms — assignment
+        # is O(n*k), within-cluster pairs are O(n^2/k) — at O(n^1.5)
+        # each. A FIXED k at growing n is quadratic in the pair stage:
+        # the 10x bench replica measured 19x wall-clock growth for
+        # k=16 at 22k vectors vs ~3x with auto-k (SCALE.md r9). Costs
+        # one count() of the input.
+        import math as _math
+
+        n_clusters = max(16, int(_math.ceil(_math.sqrt(df.count()))))
+    elif not isinstance(n_clusters, int):
+        raise ValueError(
+            f"n_clusters must be an int or 'auto', got {n_clusters!r}"
+        )
     d = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("embedding"),

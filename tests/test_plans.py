@@ -187,6 +187,48 @@ def test_quality_signals_no_shuffle_no_python(registered):
     assert "EvalPython" not in plan
 
 
+def test_fanout_repartition_defeats_phantom_splits(registered, tmp_path):
+    """A big SINGLE-row-group parquet byte-splits into many phantom
+    partitions (all rows in one task, the rest empty) — the partition
+    count alone must not make fanout_repartition inert (caught at the
+    sf1 replica: q23's whole fan-out on one core behind a 23-partition
+    scan). The footer sniff must force the spread."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators.dedup import fanout_repartition
+
+    path = str(tmp_path / "one_rg.parquet")
+    n = 20_000
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # incompressible payloads so the FILE is actually multi-megabyte
+    texts = [rng.bytes(300).hex() for _ in range(n)]
+    tbl = pa.table({"doc_id": list(range(n)), "text": texts})
+    pq.write_table(tbl, path, row_group_size=n)  # ONE row group, ~12 MB
+    old = registered.conf.get("spark.sql.files.maxPartitionBytes")
+    registered.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    try:
+        df = registered.read.parquet(path)
+        target = registered.sparkContext.defaultParallelism
+        # precondition: the scan claims plenty of partitions (phantom
+        # byte-range splits of the one row group)
+        assert df.rdd.getNumPartitions() >= max(2, target // 2)
+        spread = fanout_repartition(df)
+        counts = [
+            r["count"]
+            for r in spread.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        ]
+        assert len(counts) >= max(2, target // 2)  # really spread
+        assert max(counts) < n  # no single task carries the whole table
+    finally:
+        registered.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_q36_fused_gate_plan_shape(registered):
     """The fused q36 gate adds the NB classifier: its legitimate
     exchanges are the fit's bucket shuffle and the per-doc score agg —

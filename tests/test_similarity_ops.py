@@ -352,6 +352,27 @@ def test_semantic_dedup_finds_planted_dup_within_cluster(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_semantic_dedup_auto_k(spark):
+    """n_clusters='auto' picks max(16, ceil(sqrt(n))) — the scale knob
+    the r9 sf1 replica motivated (fixed k grows the within-cluster pair
+    stage quadratically). The auto run must still find the planted dup
+    and equal an explicit k of the same value."""
+    import pytest as _pytest
+
+    from exon_spark.operators import semantic_dedup
+
+    rows = [(i, [float((i * 13 + j * 7) % 11 - 5) for j in range(8)]) for i in range(40)]
+    rows.append((100, rows[7][1]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # n=41 -> ceil(sqrt)=7 -> floor of 16 applies
+    auto = sorted(map(tuple, semantic_dedup(df, n_clusters="auto", threshold=0.999).collect()))
+    explicit = sorted(map(tuple, semantic_dedup(df, n_clusters=16, threshold=0.999).collect()))
+    assert auto == explicit
+    assert any(a == 7 and b == 100 for _, a, b, _s in auto)
+    with _pytest.raises(ValueError, match="n_clusters"):
+        semantic_dedup(df, n_clusters="bogus")
+
+
 def test_ngram_containment_quote_detection(spark):
     """A short doc fully quoted inside a long one must score
     containment_a = 1.0 even though Jaccard is low; hashed=True and the

@@ -58,6 +58,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 ROW_GROUP_ROWS = 262_144
+# row/doc tables with big per-row payloads get proportionally smaller
+# row groups so the file splits at least ~cores ways: a single-row-group
+# file byte-splits into PHANTOM partitions (every row in one task) and
+# defeats partition-count heuristics downstream (measured: q23 ran its
+# whole fan-out on one core at the first sf1 cut, 43x instead of ~4x)
+MIN_ROW_GROUPS = 32
 _TOKEN = re.compile(r"(\S+)")
 
 
@@ -72,8 +78,10 @@ def _shift_base(series: pd.Series) -> int:
 def _write(out_dir: Path, name: str, frames: list[pd.DataFrame], schema: pa.Schema) -> None:
     df = pd.concat(frames, ignore_index=True)
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(table, out_dir / f"{name}.parquet", row_group_size=ROW_GROUP_ROWS)
-    print(f"  {name}: {len(df):,} rows")
+    rg = max(1024, min(ROW_GROUP_ROWS, len(df) // MIN_ROW_GROUPS))
+    table = table.combine_chunks()  # concat chunk bounds must not cap row groups
+    pq.write_table(table, out_dir / f"{name}.parquet", row_group_size=rg)
+    print(f"  {name}: {len(df):,} rows, rg={rg}")
 
 
 def main() -> None:
