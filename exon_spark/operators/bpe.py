@@ -132,6 +132,7 @@ def bpe_train(
     num_merges: int = 200,
     max_words: int = 100_000,
     min_pair_count: int = 2,
+    min_word_count: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -141,6 +142,17 @@ def bpe_train(
     driver for the merge loop. Merges stop early when no pair reaches
     ``min_pair_count``.
 
+    ``min_word_count`` floors the word-frequency table BEFORE the
+    top-``max_words`` cut. At web scale the type population is dominated
+    by hapax noise (ids, hex strings, typos); left in, those singletons
+    both crowd natural words out of the bounded table and are the merge
+    loop's worst case (random character soup makes every character pair
+    appear in a large fraction of the table, so each merge's delta
+    update touches ~half the words — measured 266 s for 500 merges on a
+    hapax-hex-dominated 100k table vs <1 s on the natural-word table;
+    tools/probe_r9_bpe.py). Real tokenizer pipelines drop hapax words
+    for the same reason; default 1 keeps the exact r8 behavior.
+
     Returns the merge list in learned order (feed to ``bpe_segment``).
     """
     wc = (
@@ -148,6 +160,7 @@ def bpe_train(
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_word_count)
         .orderBy(F.col("c").desc(), F.col("w"))
         .limit(max_words)
     )

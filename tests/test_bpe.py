@@ -98,6 +98,20 @@ def test_bpe_train_max_words_truncates_tail(spark):
     assert merges == [("a", "</w>"), ("a", "a</w>")]
 
 
+def test_bpe_train_min_word_count_drops_hapax(spark):
+    from exon_spark.operators import bpe_train
+
+    # 'aa' x3 and one hapax 'ab': with the floor at 2 the hapax never
+    # reaches the merge table, so no (a,b) merge can be learned even
+    # though (a,b)+(a,a) pair stats would otherwise see it
+    df = _docs(spark, [(1, "aa aa aa ab")])
+    floored = bpe_train(df, num_merges=5, min_word_count=2)
+    assert floored == [("a", "</w>"), ("a", "a</w>")]
+    # default keeps r8 behavior: hapax participates in pair counts
+    dflt = bpe_train(df, num_merges=5)
+    assert ("a", "a</w>") in dflt and len(dflt) >= len(floored)
+
+
 def test_bpe_merge_loop_matches_naive_rescan():
     """The incremental (indexed + lazy-heap) merge loop must produce the
     EXACT merge sequence of the naive full-rescan formulation on random
