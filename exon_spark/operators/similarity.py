@@ -220,6 +220,46 @@ def _cell_topk_udf(centroids: list[tuple[int, list[float]]], k: int):
     return f
 
 
+def bounded_hash_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_n: int
+) -> list:
+    """The deterministic bounded sample every fit operator here uses:
+    the ``sample_n`` rows with the smallest ``xxhash64(id)`` —
+    reproducible across runs and partitionings.
+
+    NOT spelled ``orderBy(hash).limit(n)`` directly: TakeOrdered ships
+    each partition's top-n to the driver, so at corpus scale the
+    transient result is ``partitions * n`` rows — measured blowing the
+    1 GB maxResultSize at just 2M x 64-dim vectors with 64 partitions
+    (r9 pq probe). One count job picks a hash threshold keeping ~4n
+    rows corpus-wide; the threshold pre-filter drops before TakeOrdered
+    (plan: Filter -> TakeOrdered), so the driver sees at most ~4n rows
+    per partition-set while the n smallest hashes all survive the
+    filter — the returned sample is IDENTICAL to the direct spelling
+    (pinned by test)."""
+    base = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    n_rows = base.count()
+    sel = base
+    if n_rows > 4 * sample_n:
+        frac = min(1.0, (4.0 * sample_n) / n_rows)
+        # xxhash64 is uniform over signed int64
+        thr = int(-(2**63) + frac * 2**64)
+        sel = base.where(F.xxhash64(F.col("i")) < F.lit(thr))
+    rows = (
+        sel.orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(sample_n)
+        .collect()
+    )
+    if len(rows) < min(sample_n, n_rows):
+        # astronomically unlikely hash-skew underflow: take it exactly
+        rows = (
+            base.orderBy(F.xxhash64(F.col("i")), F.col("i"))
+            .limit(sample_n)
+            .collect()
+        )
+    return rows
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     n_cells: int = 256,
@@ -241,12 +281,7 @@ def ivf_fit_centroids(
     over the corpus."""
     import numpy as np
 
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
-        .limit(sample_n)
-        .collect()
-    )
+    rows = bounded_hash_sample(corpus, id_col, vec_col, sample_n)
     X = np.stack([np.asarray(r.v, np.float64) for r in rows])
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n_cells = min(n_cells, len(X))
