@@ -1120,12 +1120,41 @@ def _q40_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: docs with doc_id % 3 == 0 arrive as the new batch,
     the rest are the accepted corpus; the split crosses enough of the
     corpus's natural near-dup pairs (q19 finds 25 at sf0.01) to give a
-    non-trivial cross-corpus dup set."""
+    non-trivial cross-corpus dup set.
+
+    Fused (r9): each near-dup row also carries ``prefix_dup_of`` — the
+    smallest accepted-corpus doc_id whose 5-token leading prefix equals
+    the new doc's (boilerplate-prefix detection; the corpus has no
+    exact text dups at gate SFs, prefixes collide naturally), computed
+    the way a 100 TB front door would: a Bloom filter built over the
+    index prefixes (bloom_build, fpp 1%) flags candidates map-only and
+    only the flagged residue pays the partner join. The oracle computes
+    the column as a plain correlated min-subquery, so a Bloom false
+    negative (contractually impossible — build and probe share the same
+    JVM hash expressions) would null the partner id and break the hash
+    match; false positives are corrected by the residue join and
+    invisible, as designed. Partner ids vary per row, so the gate
+    checks the bloom+verify pipeline row by row, not a constant."""
+    from exon_spark.operators import bloom_build, bloom_dedup_against
+    from exon_spark.operators.dedup import tokens
+
     docs = table(spark, sf_dir, "documents")
-    return dedup_against(
-        docs.filter(F.col("doc_id") % 3 == 0),
-        docs.filter(F.col("doc_id") % 3 != 0),
-        threshold=0.5,
+    pre = F.array_join(F.slice(tokens("text"), 1, 5), " ").alias("pre")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    index = docs.filter(F.col("doc_id") % 3 != 0)
+    near = dedup_against(new, index, threshold=0.5)
+    idx_pre = index.select(F.col("doc_id").alias("_iid"), pre)
+    bf = bloom_build(idx_pre, text_col="pre", fpp=0.01)
+    flagged = bloom_dedup_against(
+        new.select("doc_id", pre), bf, text_col="pre"
+    ).where(F.col("maybe_dup"))
+    partners = (
+        flagged.join(idx_pre, "pre")
+        .groupBy("doc_id")
+        .agg(F.min("_iid").alias("prefix_dup_of"))
+    )
+    return near.join(partners, "doc_id", "left").select(
+        "doc_id", "dup_of", "jaccard", "prefix_dup_of"
     )
 
 
@@ -1150,7 +1179,15 @@ common as (
   group by c.doc_id, c.dup_of
 )
 select m.doc_id, m.dup_of,
-       round(cast(n_common as double) / (a.n_sh + b.n_sh - n_common), 6) as jaccard
+       round(cast(n_common as double) / (a.n_sh + b.n_sh - n_common), 6) as jaccard,
+       (select min(i.doc_id) from
+          (select doc_id,
+                  array_to_string(regexp_split_to_array(lower(trim(text)),'\\s+')[1:5],' ') as pre
+           from documents) i
+        where i.doc_id % 3 <> 0
+          and i.pre = (select array_to_string(regexp_split_to_array(lower(trim(d.text)),'\\s+')[1:5],' ')
+                       from documents d where d.doc_id = m.doc_id)
+       ) as prefix_dup_of
 from common m
 join cnt a on m.doc_id = a.doc_id
 join cnt b on m.dup_of = b.doc_id
@@ -1825,7 +1862,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q36_quality_signals", _q36_spark, _q36_oracle(), "Gopher repetition filters + fused hashed-NB quality classifier"),
     QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal + fused keep-one span removal"),
     QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
-    QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup"),
+    QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup + fused bloom-prefiltered exact membership"),
     QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),
     QuerySpec("q42_unigram_logppl", _q42_spark, Q42_ORACLE, "unigram log-perplexity + DSIR importance weights (fused)"),
     QuerySpec("q43_zorder_key", _q43_spark, _q43_oracle(), "Morton/Z-order clustering key (OPTIMIZE ZORDER analogue)"),
