@@ -207,6 +207,66 @@ def test_stateless_curation_operators_run_on_streams(spark, tmp_path):
         assert got == exp, name
 
 
+def test_stateless_r9_operators_run_on_streams(spark, tmp_path):
+    """r9 map-only operators on readStream inputs, as their docstrings
+    claim: bloom_dedup_against (broadcast bitmap probe), pq_encode
+    (codebook-closure UDF), and bpe/unigram segmentation (vocab-closure
+    UDFs). The build/fit halves are batch-side by design."""
+    from exon_spark.operators import (
+        bloom_build,
+        bloom_dedup_against,
+        bpe_segment,
+        bpe_train,
+        pq_encode,
+        pq_fit,
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma delta beta")],
+        "doc_id bigint, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    bf = bloom_build(docs, fpp=0.01)
+    merges = bpe_train(docs, num_merges=10)
+    uv = unigram_train(docs, vocab_size=20)
+    cb = pq_fit(vecs, n_sub=2, k=4, iters=2)
+
+    d = tmp_path / "r9_stream"
+    docs.coalesce(1).write.parquet(str(d / "docs"))
+    vecs.coalesce(1).write.parquet(str(d / "vecs"))
+    doc_stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(d / "docs")
+    )
+    vec_stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(str(d / "vecs"))
+
+    cases = [
+        ("bloom", doc_stream, docs, lambda df: bloom_dedup_against(df, bf)),
+        ("bpe", doc_stream, docs, lambda df: bpe_segment(df, merges)),
+        ("uni", doc_stream, docs, lambda df: unigram_segment(df, uv)),
+        ("pq", vec_stream, vecs, lambda df: pq_encode(df, cb)),
+    ]
+    for name, stream, batch, op in cases:
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(f"r9_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), f"{name}: stream did not finish"
+        got = sorted(map(tuple, spark.sql(f"select * from r9_{name}").collect()))
+        exp = sorted(map(tuple, op(batch).collect()))
+        assert got == exp, name
+
+
 def test_stateless_r8_operators_run_on_streams(spark, tmp_path):
     """Same pin for the late-r8 stateless ops: media_phash (HOF columns),
     quantize_embeddings (HOF columns), and filter_funnel's kept path
