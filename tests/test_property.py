@@ -240,3 +240,114 @@ def test_bpe_segment_reconstructs_word(words, target):
     segs = _segment_word(target, ranks)
     assert "".join(segs) == target + EOW
     assert all(segs)  # no empty pieces
+
+
+@settings(**_SETTINGS)
+@given(
+    pieces=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    ),
+    word=st.text(alphabet="abcde", min_size=1, max_size=15),
+)
+def test_unigram_viterbi_reconstructs_word(pieces, word):
+    """For ANY piece vocabulary (random logprobs; 'e' only ever enters
+    via the UNK fallback) and ANY word, Viterbi segmentation covers the
+    word exactly: pieces concatenate back, none empty, and the path
+    respects max_piece_len."""
+    import math
+
+    from exon_spark.operators.unigram import _viterbi
+
+    vocab = {
+        p: math.log((i + 1) / (len(pieces) + 1) / 2)
+        for i, p in enumerate(sorted(set(pieces)))
+    }
+    segs = _viterbi(word, vocab, max_piece_len=4)
+    assert "".join(segs) == word
+    assert all(segs)
+    assert all(len(p) <= 4 for p in segs)
+
+
+@settings(**_SETTINGS)
+@given(
+    pieces=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=4),
+        min_size=1,
+        max_size=10,
+    ),
+    word=st.text(alphabet="ab", min_size=1, max_size=8),
+)
+def test_unigram_forward_backward_consistent_with_viterbi(pieces, word):
+    """The lattice posterior gives every piece on the Viterbi path a
+    strictly positive expected count, and Z upper-bounds the Viterbi
+    path score (sum of all paths >= best path)."""
+    import math
+
+    from exon_spark.operators.unigram import _forward_backward, _viterbi
+
+    vocab = {p: math.log(0.3 / (i + 1)) for i, p in enumerate(sorted(set(pieces)))}
+    exp, Z = _forward_backward(word, vocab, max_piece_len=4)
+    segs = _viterbi(word, vocab, max_piece_len=4)
+    score = sum(
+        vocab.get(p, -20.0) for p in segs
+    )
+    assert Z >= score - 1e-9
+    for p in segs:
+        assert exp.get(p, 0.0) > 0.0
+    assert all(e >= 0.0 for e in exp.values())
+
+
+@settings(**_SETTINGS)
+@given(
+    n_words=st.integers(1, 64),
+    k=st.integers(1, 16),
+    n_items=st.integers(0, 1 << 40),
+    data=st.data(),
+)
+def test_bloom_filter_bytes_roundtrip(n_words, k, n_items, data):
+    import numpy as np
+
+    from exon_spark.operators.bloom import BloomFilter
+
+    bits = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, (1 << 64) - 1),
+                min_size=n_words,
+                max_size=n_words,
+            )
+        ),
+        dtype=np.uint64,
+    )
+    bf = BloomFilter(m=n_words * 64, k=k, n_items=n_items, bits=bits)
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert (bf2.m, bf2.k, bf2.n_items) == (bf.m, bf.k, bf.n_items)
+    assert np.array_equal(bf2.bits, bf.bits)
+
+
+@settings(**_SETTINGS)
+@given(
+    n_sub=st.sampled_from([1, 2, 4, 8]),
+    k=st.integers(1, 32),
+    d_sub=st.integers(1, 8),
+    data=st.data(),
+)
+def test_pq_codebook_bytes_roundtrip(n_sub, k, d_sub, data):
+    import numpy as np
+
+    from exon_spark.operators.pq import PQCodebook
+
+    flat = data.draw(
+        st.lists(
+            st.floats(-1e6, 1e6, width=32),
+            min_size=n_sub * k * d_sub,
+            max_size=n_sub * k * d_sub,
+        )
+    )
+    cents = np.array(flat, dtype=np.float32).reshape(n_sub, k, d_sub)
+    cb = PQCodebook(n_sub=n_sub, k=k, dim=n_sub * d_sub, centroids=cents)
+    cb2 = PQCodebook.from_bytes(cb.to_bytes())
+    assert (cb2.n_sub, cb2.k, cb2.dim) == (cb.n_sub, cb.k, cb.dim)
+    assert np.array_equal(cb2.centroids, cb.centroids)
