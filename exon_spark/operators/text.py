@@ -1262,3 +1262,59 @@ def corpus_stats(
         pct(F.col("_nt"), 0.5).alias("p50_tokens"),
         pct(F.col("_nt"), 0.95).alias("p95_tokens"),
     )
+
+
+def compression_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-compressibility quality signal: repetitive / boilerplate /
+    machine-generated text compresses far better than natural prose, so
+    a LOW ``compression_ratio`` (deflated bytes / raw bytes) is a strong
+    cheap junk indicator, complementary to the gram-based
+    ``quality_signals`` (the classic pre-filter alongside Gopher rules).
+
+    Output: (doc_id, raw_len, zlib_len, compression_ratio) — byte
+    lengths of UTF-8 text and its zlib-deflate at ``level``; ratio
+    rounded to 6 digits, null for null/empty text. One Arrow-batched
+    pandas UDF (zlib is C-speed; the per-doc cost is the same deflate
+    any engine pays) — map-only, zero shuffle, streaming-safe in
+    append mode (pinned by test).
+
+    Determinism: zlib output length for fixed input and level is stable
+    for a given zlib build; the operator stores LENGTHS, not bytes, and
+    the pytest oracle recomputes with the same library.
+    """
+    lvl = int(level)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<raw_len:bigint, zlib_len:bigint>")
+    def comp(texts):
+        import zlib
+
+        import pandas as pd
+
+        def one(t):
+            if not t:
+                return (0, 0)
+            b = t.encode("utf-8")
+            return (len(b), len(zlib.compress(b, lvl)))
+
+        return pd.DataFrame(
+            [one(t) for t in texts], columns=["raw_len", "zlib_len"]
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), comp(F.col(text_col)).alias("_c")
+    ).select(
+        "doc_id",
+        F.col("_c.raw_len").alias("raw_len"),
+        F.col("_c.zlib_len").alias("zlib_len"),
+        F.when(
+            F.col("_c.raw_len") > 0,
+            F.round(F.col("_c.zlib_len") / F.col("_c.raw_len"), 6),
+        ).alias("compression_ratio"),
+    )

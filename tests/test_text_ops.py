@@ -1370,3 +1370,67 @@ def test_trigram_logppl_jvm_only_plan(spark):
     df = _docs(spark, [(1, "a b c d"), (2, "b c d e")])
     plan = trigram_logppl(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_compression_signals_zlib_oracle(spark):
+    import zlib
+
+    from exon_spark.operators import compression_signals
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),
+        (4, ""),
+        (5, "héllo wörld ünïcode"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in compression_signals(_docs(spark, rows)).collect()
+    }
+    for doc_id, text in rows:
+        r = got[doc_id]
+        if not text:
+            assert r["raw_len"] == 0 and r["zlib_len"] == 0
+            assert r["compression_ratio"] is None
+        else:
+            b = text.encode("utf-8")
+            assert r["raw_len"] == len(b)
+            assert r["zlib_len"] == len(zlib.compress(b, 6))
+            assert r["compression_ratio"] == pytest.approx(
+                len(zlib.compress(b, 6)) / len(b), abs=1e-6
+            )
+    # the signal separates repetitive from natural text
+    assert (
+        got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    )
+
+
+def test_compression_signals_map_only_and_on_stream(spark, tmp_path):
+    from exon_spark.operators import compression_signals
+
+    docs = _docs(spark, [(1, "aaa bbb aaa"), (2, "xyz")])
+    plan = (
+        compression_signals(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    d = tmp_path / "comp_stream"
+    docs.coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(d)
+    )
+    q = (
+        compression_signals(stream)
+        .writeStream.format("memory")
+        .queryName("comp_sig")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from comp_sig").collect()))
+    exp = sorted(map(tuple, compression_signals(docs).collect()))
+    assert got == exp
