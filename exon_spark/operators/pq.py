@@ -100,6 +100,13 @@ def pq_fit(
     Lloyd with deterministic first-k init on the normalized sample —
     reproducible across runs and partitionings (pinned by test)."""
     X = _sampled_matrix(corpus, id_col, vec_col, sample_n)
+    return _pq_lloyd(X, n_sub, k, iters)
+
+
+def _pq_lloyd(X: np.ndarray, n_sub: int, k: int, iters: int) -> PQCodebook:
+    """Per-subspace Euclidean Lloyd on an (n, dim) float64 matrix —
+    shared by ``pq_fit`` (raw normalized vectors) and ``ivfpq_fit``
+    (cell residuals)."""
     dim = X.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -287,6 +294,24 @@ def pq_topk(
         )
         .filter(F.col("vec_id") != F.col("q_id"))
     )
+    return _topk_or_rerank(
+        scored, queries, k, rerank_corpus, rerank_mult, id_col, vec_col
+    )
+
+
+def _topk_or_rerank(
+    scored: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_corpus: DataFrame | None,
+    rerank_mult: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the ADC searchers: per-query top-k window over
+    (q_id, vec_id, score), optionally re-ranked exactly (shortlist of
+    k*mult ids fetched from the float corpus with one broadcast
+    semi-join, exact cosine, re-window)."""
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     if rerank_corpus is None:
         return scored.withColumn("rnk", F.row_number().over(w)).filter(
@@ -318,4 +343,198 @@ def pq_topk(
     )
     return exact.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
+    )
+
+
+def ivfpq_fit(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    n_sub: int = 8,
+    k: int = 256,
+    sample_n: int = 100_000,
+    cell_iters: int = 10,
+    pq_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], PQCodebook]:
+    """Fit the IVF-PQ pair (Jégou 2011 IVFADC) from ONE bounded sample:
+    spherical Lloyd for the ``n_cells`` coarse centroids (the
+    ivf_fit_centroids math — cosine assignment, deterministic first-k
+    init), then the PQ codebook on the CELL RESIDUALS ``x - C[cell]``
+    (residuals are what PQ quantizes well: they are small and centered,
+    so the same byte budget buys far less error than on raw vectors).
+
+    Returns ``(centroids, codebook)`` — centroids in the
+    ``ivf_ann_topk(centroids=...)`` shape, the codebook a driver object
+    with ``to_bytes``/``from_bytes``."""
+    X = _sampled_matrix(corpus, id_col, vec_col, sample_n)
+    n_cells = min(n_cells, len(X))
+    C = X[:n_cells].copy()
+    for _ in range(cell_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    C[c] = v / nv
+    assign = np.argmax(X @ C.T, axis=1)
+    cb = _pq_lloyd(X - C[assign], n_sub, k, pq_iters)
+    centroids = [(c, C[c].tolist()) for c in range(n_cells)]
+    return centroids, cb
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    cb: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as (cell, residual PQ codes). Output:
+    (vec_id, cell int, pq_code array<smallint>) — map-only, zero
+    shuffle (plan-pinned). At 100 TB write the result partitioned (or
+    z-ordered) BY CELL: ``ivfpq_topk``'s probe filter is a plain
+    ``cell IN (...)`` predicate, so cell-partitioned storage turns
+    nprobe/n_cells into touched-file fraction, not just row filtering."""
+    cents = cb.centroids
+    n_sub, kc, d_sub = cents.shape
+    dim = cb.dim
+    order = sorted(centroids)
+    cell_ids = np.array([c for c, _ in order], dtype=np.int64)
+    C = np.stack([np.asarray(v, np.float64) for _, v in order])
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell:int, pq_code:array<smallint>>")
+    def enc(vecs):
+        import numpy as np
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.DataFrame({"cell": [], "pq_code": []})
+        bad = [v is None or len(v) != dim for v in vecs]
+        if any(bad):
+            raise ValueError(
+                f"ivfpq_encode: null or non-{dim}-dim vector in batch"
+            )
+        X = np.stack([np.asarray(v, np.float64) for v in vecs])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        a = np.argmax(X @ C.T, axis=1)
+        R = X - C[a]
+        codes = np.empty((len(X), n_sub), dtype=np.int16)
+        for s in range(n_sub):
+            Rs = R[:, s * d_sub : (s + 1) * d_sub]
+            Cs = cents[s].astype(np.float64)
+            d2 = -2.0 * (Rs @ Cs.T) + (Cs * Cs).sum(axis=1)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"cell": cell_ids[a].astype("int32"), "pq_code": list(codes)}
+        )
+
+    return df.select(
+        F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("_e")
+    ).select("vec_id", F.col("_e.cell").alias("cell"), F.col("_e.pq_code").alias("pq_code"))
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    cb: PQCodebook,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_corpus: DataFrame | None = None,
+    rerank_mult: int = 4,
+) -> DataFrame:
+    """IVFADC search: each query probes only its ``nprobe`` closest
+    cells; a corpus row in cell c scores ``<q, C[c]> + ADC(residual
+    codes)`` (the inner product decomposes exactly as centroid bias +
+    residual term, so the LUT is query-only and the bias is one small
+    (query, cell) table). The corpus scan carries a pushdown-friendly
+    ``cell IN (union of probed cells)`` predicate — with
+    cell-partitioned storage that is partition pruning, and the
+    per-query (cell, bias) inner join (broadcast, Q * nprobe rows)
+    drops every unprobed row before scoring reaches the top-k window.
+    Output/semantics match ``pq_topk`` (approximate-cosine scores, or
+    exact with ``rerank_corpus``)."""
+    cents = cb.centroids
+    n_sub, kc, d_sub = cents.shape
+    order = sorted(centroids)
+    cell_ids = [c for c, _ in order]
+    C = np.stack([np.asarray(v, np.float64) for _, v in order])
+    qrows = (
+        queries.select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+        .orderBy("q")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("ivfpq_topk: empty query set")
+    q_ids = [r.q for r in qrows]
+    Q = np.stack([np.asarray(r.v, np.float64) for r in qrows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    nprobe = min(nprobe, len(order))
+    bias = Q @ C.T  # (Q, cells)
+    # deterministic probe order: bias desc, cell asc
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        ranked = sorted(
+            range(len(order)), key=lambda c: (-bias[qi, c], cell_ids[c])
+        )[:nprobe]
+        probe_rows.extend(
+            (qi, int(cell_ids[c]), float(bias[qi, c])) for c in ranked
+        )
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    Q[:, s * d_sub : (s + 1) * d_sub] @ cents[s, c]
+                    for c in range(kc)
+                ]
+            )
+            for s in range(n_sub)
+        ]
+    )  # (n_sub, kc, Q)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def adc(code_arrs):
+        import numpy as np
+        import pandas as pd
+
+        if len(code_arrs) == 0:
+            return pd.Series([], dtype=object)
+        Cd = np.stack([np.asarray(c, np.int64) for c in code_arrs])
+        tot = lut[0, Cd[:, 0], :]
+        for s in range(1, n_sub):
+            tot = tot + lut[s, Cd[:, s], :]
+        return pd.Series(list(tot))
+
+    spark = encoded.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "qi int, cell int, bias double"
+    )
+    all_cells = sorted({c for _, c, _ in probe_rows})
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        encoded.filter(F.col("cell").isin(all_cells))
+        .select(
+            "vec_id",
+            "cell",
+            F.posexplode(adc(F.col("pq_code"))).alias("qi", "_r"),
+        )
+        .join(F.broadcast(probes), ["qi", "cell"])
+        .select(
+            qid_arr[F.col("qi")].alias("q_id"),
+            "vec_id",
+            F.round(F.col("_r") + F.col("bias"), 6).alias("score"),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    return _topk_or_rerank(
+        scored, queries, k, rerank_corpus, rerank_mult, id_col, vec_col
     )

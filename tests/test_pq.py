@@ -142,3 +142,77 @@ def test_pq_encode_plan_is_map_only(spark, emb):
         pq_encode(emb, cb)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivfpq_fit_shapes_and_determinism(spark, emb):
+    from exon_spark.operators import ivfpq_fit
+
+    cents, cb = ivfpq_fit(emb, n_cells=8, n_sub=16, k=32, cell_iters=5, pq_iters=5)
+    cents2, cb2 = ivfpq_fit(
+        emb.repartition(11), n_cells=8, n_sub=16, k=32, cell_iters=5, pq_iters=5
+    )
+    assert [c for c, _ in cents] == list(range(8))
+    assert cents == cents2
+    assert np.array_equal(cb.centroids, cb2.centroids)
+
+
+def test_ivfpq_encode_shape_and_plan(spark, emb):
+    from exon_spark.operators import ivfpq_encode, ivfpq_fit
+
+    cents, cb = ivfpq_fit(emb, n_cells=8, n_sub=16, k=32)
+    enc = ivfpq_encode(emb, cents, cb)
+    assert enc.columns == ["vec_id", "cell", "pq_code"]
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r["cell"] < 8 and len(r["pq_code"]) == 16 for r in rows)
+
+
+def test_ivfpq_topk_recall_and_probe_tradeoff(spark, emb):
+    from exon_spark.operators import (
+        cosine_topk,
+        ivfpq_encode,
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+
+    queries = emb.orderBy("vec_id").limit(8)
+    cents, cb = ivfpq_fit(emb, n_cells=8, n_sub=32, k=64, pq_iters=8)
+    enc = ivfpq_encode(emb, cents, cb)
+    exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=10).collect()}
+
+    def recall(nprobe):
+        got = ivfpq_topk(enc, cents, cb, queries, k=10, nprobe=nprobe)
+        a = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+        return len(a & exact) / len(exact)
+
+    r_all = recall(8)  # all cells probed: pure residual-PQ quality
+    r_few = recall(2)
+    # deterministic on this data: measured r_all=0.80 (matching
+    # pq_topk at identical n_sub/k), r_few=0.4625
+    assert r_all >= 0.8, f"all-cells recall {r_all}"
+    assert r_few <= r_all + 1e-9  # pruning can only lose neighbors
+    assert r_few >= 0.4, f"nprobe=2 recall {r_few}"
+
+
+def test_ivfpq_topk_rerank_and_shape(spark, emb):
+    from exon_spark.operators import (
+        cosine_topk,
+        ivfpq_encode,
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+
+    queries = emb.orderBy("vec_id").limit(8)
+    cents, cb = ivfpq_fit(emb, n_cells=8, n_sub=16, k=64, pq_iters=8)
+    enc = ivfpq_encode(emb, cents, cb)
+    rr = ivfpq_topk(
+        enc, cents, cb, queries, k=10, nprobe=8,
+        rerank_corpus=emb, rerank_mult=6,
+    )
+    assert rr.columns == ["q_id", "vec_id", "score", "rnk"]
+    assert rr.where("q_id = vec_id").count() == 0
+    exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=10).collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in rr.collect()}
+    assert len(a & exact) / len(exact) >= 0.9

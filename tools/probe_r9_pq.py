@@ -78,3 +78,18 @@ for i in range(2):
     t0 = time.time()
     rows = cosine_topk(big, queries, k=10).count()
     print(f"cosine_topk exact run{i}: {time.time() - t0:.1f} s ({rows} rows)")
+
+from exon_spark.operators import ivfpq_encode, ivfpq_fit, ivfpq_topk
+
+t0 = time.time()
+cents, rcb = ivfpq_fit(big, n_cells=64, n_sub=16, k=256, sample_n=100_000)
+print(f"ivfpq_fit(64 cells, 16x256): {time.time() - t0:.1f} s")
+t0 = time.time()
+enc = ivfpq_encode(big, cents, rcb).persist()
+enc.count()
+print(f"ivfpq_encode @{n}: {time.time() - t0:.1f} s")
+for nprobe in (8, 64):
+    for i in range(2):
+        t0 = time.time()
+        rows = ivfpq_topk(enc, cents, rcb, queries, k=10, nprobe=nprobe).count()
+        print(f"ivfpq_topk nprobe={nprobe} run{i}: {time.time() - t0:.1f} s ({rows} rows)")
