@@ -312,6 +312,88 @@ def epoch_mix(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    by: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> dict[str, float]:
+    """Temperature-based mixing weights (the mT5 / XLM-R rule):
+    ``w_s ∝ p_s^alpha`` where ``p_s`` is the group's token share —
+    ``alpha < 1`` flattens the distribution toward low-resource groups,
+    ``alpha = 1`` keeps natural proportions, ``alpha = 0`` is uniform.
+    Feed the result straight to ``epoch_mix`` (or use
+    ``temperature_mix`` for the one-call form).
+
+    Cross-engine determinism (the oracle contract): group totals
+    collect (|groups| rows, bounded by the mix's domain), and the
+    normalizing sum folds in ``by``-sorted order — a left-fold of IEEE
+    doubles, bit-reproducible by any engine that sums the sorted list
+    left-to-right (DuckDB: ``list_sum(list(... order by ...))``).
+
+    Scale: one map-side-combined agg -> |groups| rows; the corpus is
+    scanned once and nothing else moves.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    ntok = (
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        if token_col is None
+        else F.col(token_col)
+    ).cast("long")
+    rows = (
+        df.groupBy(by)
+        .agg(F.sum(ntok).alias("t"))
+        .where(F.col(by).isNotNull() & (F.col("t") > 0))
+        .orderBy(by)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("temperature_weights: no groups with tokens")
+    import math
+
+    # alpha=0.5 spelled as sqrt, not pow: IEEE guarantees sqrt is
+    # correctly rounded, pow(x, 0.5) is not — sqrt is what any SQL
+    # engine (and the DuckDB oracle) computes bit-exactly
+    _pow = math.sqrt if alpha == 0.5 else (lambda t: t**alpha)
+    pows = [(r[by], _pow(float(r["t"]))) for r in rows]
+    z = 0.0
+    for _, p in pows:  # sorted-order left fold, mirrored by the oracle
+        z += p
+    return {g: p / z for g, p in pows}
+
+
+def temperature_mix(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.5,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """``epoch_mix`` with weights derived from the corpus itself by the
+    temperature rule — the standard one-knob recipe for rebalancing a
+    multi-source (or multi-language) corpus without hand-written
+    shares. Same output/repeat semantics and determinism as
+    ``epoch_mix``."""
+    w = temperature_weights(
+        df, by=by, alpha=alpha, text_col=text_col, token_col=token_col
+    )
+    return epoch_mix(
+        df,
+        target_weights=w,
+        total_tokens=total_tokens,
+        by=by,
+        id_col=id_col,
+        text_col=text_col,
+        token_col=token_col,
+        salt=salt,
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     n_shards: int,

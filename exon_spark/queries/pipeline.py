@@ -1398,13 +1398,27 @@ limit 25
 
 
 def _q46_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exon_spark.operators import epoch_mix
+    """Fixed-recipe epoch mixing UNION temperature mixing (r9 fusion):
+    the same budget mixed twice — once with hand-written target weights,
+    once with weights the corpus derives itself via the mT5/XLM-R
+    ``p^alpha`` temperature rule (alpha=0.5 -> sqrt flattening). The
+    ``mix`` column discriminates. The oracle recomputes the temperature
+    weights with the SAME sorted-order left-fold of IEEE doubles
+    (DuckDB ``list_sum(list(sqrt(t) order by source))`` mirrors the
+    driver's sorted Python sum bit-exactly), so the derived weights —
+    not just the repeat mechanics — are hash-gated."""
+    from exon_spark.operators import epoch_mix, temperature_mix
 
-    return epoch_mix(
-        table(spark, sf_dir, "documents"),
+    docs = table(spark, sf_dir, "documents")
+    fixed = epoch_mix(
+        docs,
         target_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
         total_tokens=120_000,
+    ).withColumn("mix", F.lit("target"))
+    temp = temperature_mix(docs, total_tokens=120_000, alpha=0.5).withColumn(
+        "mix", F.lit("temperature")
     )
+    return fixed.unionByName(temp)
 
 
 Q46_ORACLE = """
@@ -1416,21 +1430,33 @@ with d as (
   from documents
 ),
 s as (select source, sum(n_tokens) as src_tokens from d group by source),
+z as (
+  select list_sum(list_transform(list(cast(src_tokens as double) order by source),
+                                 t -> sqrt(t))) as zsum
+  from s where source is not null and src_tokens > 0
+),
 f as (
   select source, src_tokens,
          (120000.0 * case source when 'src0' then 0.5
                                  when 'src1' then 0.3
                                  when 'src2' then 0.2 else 0.0 end)
-           / src_tokens as fac
+           / src_tokens as fac,
+         'target' as mix
   from s
+  union all
+  select source, src_tokens,
+         (120000.0 * (sqrt(cast(src_tokens as double)) / zsum)) / src_tokens
+           as fac,
+         'temperature' as mix
+  from s cross join z where source is not null and src_tokens > 0
 ),
 c as (
-  select d.doc_id, d.source, d.n_tokens,
+  select d.doc_id, d.source, d.n_tokens, f.mix,
          cast(floor(fac) + (case when d.h < floor((fac - floor(fac)) * 1000000)
                                  then 1 else 0 end) as int) as n_copies
   from d join f using (source)
 )
-select doc_id, source, n_tokens, cast(t.i as int) as copy_n
+select doc_id, source, n_tokens, cast(t.i as int) as copy_n, mix
 from c, unnest(range(1, n_copies + 1)) as t(i)
 where n_copies >= 1
 """
@@ -1868,7 +1894,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q43_zorder_key", _q43_spark, _q43_oracle(), "Morton/Z-order clustering key (OPTIMIZE ZORDER analogue)"),
     QuerySpec("q44_pack_sequences", _q44_spark, Q44_ORACLE, "concatenate-and-chop packing via distributed prefix sum"),
     QuerySpec("q45_top_ngrams", _q45_spark, Q45_ORACLE, "corpus n-gram heavy hitters (stop-shingle profiling)"),
-    QuerySpec("q46_epoch_mix", _q46_spark, Q46_ORACLE, "target-weight epoch mixing with deterministic repeats"),
+    QuerySpec("q46_epoch_mix", _q46_spark, Q46_ORACLE, "target-weight + fused corpus-derived temperature mixing, deterministic repeats"),
     QuerySpec("q47_semantic_dedup", _q47_spark, _q47_oracle(), "SemDeDup cluster-blocked embedding dedup"),
     QuerySpec("q48_containment_pairs", _q48_spark, Q48_ORACLE, "shingle containment (quote/partial-copy detection)"),
     QuerySpec("q49_tfidf_keywords", _q49_spark, Q49_ORACLE, "per-doc TF-IDF keyword extraction"),

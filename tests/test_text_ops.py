@@ -349,6 +349,40 @@ def test_corpus_top_ngrams_counts_and_tiebreak(spark):
     assert [r["gram"] for r in out[1:]] == ["be is", "be or"]
 
 
+def test_temperature_weights_math_and_mix(spark):
+    import math
+
+    from exon_spark.operators import temperature_mix, temperature_weights
+
+    # 8000 tokens in 'big', 2000 in 'small' (each doc = 20 tokens)
+    rows = [(i, "w " * 20, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    w1 = temperature_weights(df, alpha=1.0)
+    assert w1["big"] == pytest.approx(0.8) and w1["small"] == pytest.approx(0.2)
+    w0 = temperature_weights(df, alpha=0.0)
+    assert w0["big"] == pytest.approx(0.5) and w0["small"] == pytest.approx(0.5)
+    wh = temperature_weights(df, alpha=0.5)
+    z = math.sqrt(8000.0) + math.sqrt(2000.0)
+    assert wh["big"] == math.sqrt(8000.0) / z  # exact, sqrt spelling
+    assert sum(wh.values()) == pytest.approx(1.0)
+    # flattening: low-resource share strictly grows as alpha drops
+    assert w0["small"] > wh["small"] > w1["small"]
+
+    out = temperature_mix(df, total_tokens=10_000, alpha=0.5)
+    out2 = temperature_mix(df.repartition(13), total_tokens=10_000, alpha=0.5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    tok = out.toPandas().groupby("source")["n_tokens"].sum()
+    # realized shares near the temperature targets (hash jitter bounded)
+    assert abs(tok["big"] / tok.sum() - wh["big"]) < 0.05
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, alpha=-1)
+    empty = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    with pytest.raises(ValueError, match="no groups"):
+        temperature_weights(empty)
+
+
 def test_epoch_mix_hits_target_tokens(spark):
     from exon_spark.operators import epoch_mix
 
