@@ -982,15 +982,58 @@ def remove_dup_spans(
     return out.select("doc_id", text_col, "n_toks", "n_removed")
 
 
+def minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The storable accepted-corpus state ``dedup_against`` needs, one
+    row per doc: ``(doc_id, n_sh, sh_hashes array<bigint>, band_sigs
+    array<string>)`` — shingle-set size, the xxhash64 shingle keys the
+    verify join uses, and the ``bands`` LSH band signatures. In a
+    standing pipeline write this to parquet once (8 bytes per shingle +
+    a few strings per doc — no text retained) and hand it back via
+    ``dedup_against(..., index_state=...)``: each incoming batch then
+    pays only its OWN shingling/hashing, never the corpus's, and new
+    accepted batches append with a parquet-union (the frame is a pure
+    per-doc function, no cross-doc state). Build with the same ``n`` /
+    ``bands`` / ``rows_per_band`` the batches will query with."""
+    d = _materialize(shingled_docs(corpus, id_col, text_col, n), eager=True)
+    sig = minhash_signatures(
+        d.select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return d.select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.transform("sh", lambda x: F.xxhash64(x)).alias("sh_hashes"),
+    ).join(sig.select("doc_id", band_arr.alias("band_sigs")), "doc_id")
+
+
 def dedup_against(
     new: DataFrame,
-    index: DataFrame,
+    index: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
     bands: int = 4,
     rows_per_band: int = 4,
+    index_state: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: flag documents in an incoming batch that
     near-duplicate a document ALREADY IN the accepted corpus — the
@@ -999,43 +1042,51 @@ def dedup_against(
     smaller batch); output is (doc_id, dup_of, jaccard) for every new doc
     whose exact shingle Jaccard against an index doc reaches ``threshold``.
 
-    Scale: the index side's signatures/band rows are a pure function of the
-    index corpus — in a standing pipeline they are computed once and stored
-    (8-byte-per-perm parquet), so each incoming batch pays only its own
-    shingling plus one band-key equi-join against the index (shuffle keys
-    are band signatures, NOT text). The verify stage joins shingles by
-    xxhash64 like jaccard_verify. An incoming batch that is small relative
-    to the index broadcasts its band rows, making the candidate join
-    shuffle-free on the index side.
+    Scale: the index side's signatures/band rows are a pure function of
+    the index corpus — pass a stored ``minhash_index`` frame via
+    ``index_state`` (built with the same n/bands/rows_per_band) and each
+    incoming batch pays only its own shingling plus one band-key
+    equi-join against the index (shuffle keys are band signatures, NOT
+    text); with raw ``index`` docs the state is derived on the fly
+    (identical output, pinned by test). The verify stage joins shingles
+    by xxhash64 like jaccard_verify. An incoming batch that is small
+    relative to the index broadcasts its band rows, making the candidate
+    join shuffle-free on the index side.
     """
-    # one materialized shingle-array frame per corpus: signatures, set
+    if index_state is None:
+        if index is None:
+            raise ValueError(
+                "dedup_against: pass raw `index` docs or a stored "
+                "`index_state` (minhash_index output)"
+            )
+        index_state = _materialize(
+            minhash_index(index, id_col, text_col, n, bands, rows_per_band),
+            eager=True,
+        )
+    idx = index_state.select(
+        F.col("doc_id").alias("dup_of"), "n_sh", "sh_hashes", "band_sigs"
+    )
+    # one materialized shingle-array frame for the batch: signatures, set
     # sizes and verify rows all derive from it (three consumers — without
-    # the persist each would re-shingle the corpus; sizes come map-side
+    # the persist each would re-shingle the batch; sizes come map-side
     # from size(sh), skipping a count aggregation)
     dn = _materialize(shingled_docs(new, id_col, text_col, n), eager=True)
-    di = _materialize(shingled_docs(index, id_col, text_col, n), eager=True)
     sig_n = minhash_signatures(dn.select("doc_id", F.explode("sh").alias("shingle")))
-    sig_i = minhash_signatures(di.select("doc_id", F.explode("sh").alias("shingle")))
     bn = _band_rows(sig_n, bands, rows_per_band)
-    bi = _band_rows(sig_i, bands, rows_per_band).withColumnRenamed(
-        "doc_id", "dup_of"
+    bi = idx.select(
+        "dup_of", F.posexplode("band_sigs").alias("band_id", "sig")
     )
     cand = (
         bn.join(bi, ["band_id", "sig"])
         .select("doc_id", "dup_of")
         .distinct()
         .join(dn.select("doc_id", F.size("sh").alias("n_a")), "doc_id")
-        .join(
-            di.select(F.col("doc_id").alias("dup_of"), F.size("sh").alias("n_b")),
-            "dup_of",
-        )
+        .join(idx.select("dup_of", F.col("n_sh").alias("n_b")), "dup_of")
     )
     kn = dn.select("doc_id", F.explode("sh").alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("hk")
     )
-    ki = di.select(
-        F.col("doc_id").alias("dup_of"), F.explode("sh").alias("shingle")
-    ).select("dup_of", F.xxhash64("shingle").alias("hk"))
+    ki = idx.select("dup_of", F.explode("sh_hashes").alias("hk"))
     common = (
         cand.join(kn, "doc_id")
         .join(ki, ["dup_of", "hk"])

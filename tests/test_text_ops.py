@@ -197,6 +197,39 @@ def test_dedup_against_cross_corpus_only(spark):
     ]
 
 
+def test_dedup_against_prebuilt_index_state_parity(spark, tmp_path):
+    """minhash_index written to parquet and handed back via index_state
+    yields the IDENTICAL result multiset as the raw-docs path — the
+    standing-pipeline contract."""
+    import pytest
+
+    from exon_spark.operators import dedup_against, minhash_index
+
+    rows = [
+        (i, f"shared boiler plate words {i % 4} plus tail {i % 7}")
+        for i in range(60)
+    ]
+    idx = _docs(spark, rows)
+    new = _docs(
+        spark,
+        [(1000 + i, f"shared boiler plate words {i % 4} plus tail {i % 7}")
+         for i in range(12)]
+        + [(2000, "nothing like anything in the accepted corpus at all")],
+    )
+    live = sorted(map(tuple, dedup_against(new, idx, threshold=0.5).collect()))
+    assert live  # non-trivial
+    state = minhash_index(idx)
+    p = str(tmp_path / "mh_index")
+    state.write.parquet(p)
+    stored = spark.read.parquet(p)
+    via_state = sorted(
+        map(tuple, dedup_against(new, index_state=stored, threshold=0.5).collect())
+    )
+    assert via_state == live
+    with pytest.raises(ValueError, match="index_state"):
+        dedup_against(new)
+
+
 def test_token_budget_cap_prefix_and_partitioning_invariance(spark):
     from exon_spark.operators import token_budget_cap
 
