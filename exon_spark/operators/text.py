@@ -1318,3 +1318,39 @@ def compression_signals(
             F.round(F.col("_c.zlib_len") / F.col("_c.raw_len"), 6),
         ).alias("compression_ratio"),
     )
+
+
+def keyword_tag(
+    df: DataFrame,
+    keywords: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tag documents against named keyword lists (topic buckets,
+    blocklists, domain lexicons): one int column per tag counting
+    token occurrences from that list (lowercase whitespace tokens, the
+    shared ``tokens()`` convention), plus ``<tag>_hit`` booleans.
+
+    Scale: pure JVM Column expressions — the lists ship as expression
+    literals inside one whole-stage-codegen'd projection; zero shuffle,
+    zero Python, streaming-safe by construction. The literal-set
+    membership scan is O(tokens x |list|) per doc, the right trade for
+    curation-sized lexicons (10^2-10^3 words); for 10^5+ entries use an
+    explode + broadcast join against a keyword table instead (the
+    bm25_search shape).
+
+    Null/empty text counts 0 everywhere."""
+    if not keywords:
+        raise ValueError("keyword_tag: empty keywords dict")
+    arr = F.filter(tokens(text_col), lambda x: x != "")
+    cols = [F.col(id_col).alias("doc_id")]
+    for tag, words in keywords.items():
+        if not words:
+            raise ValueError(f"keyword_tag: empty list for tag {tag!r}")
+        wl = [w.lower() for w in words]
+        n = F.size(F.filter(arr, lambda x: x.isin(wl)))
+        cols.append(F.coalesce(n, F.lit(0)).alias(f"{tag}_hits"))
+    out = df.select(*cols)
+    for tag in keywords:
+        out = out.withColumn(f"{tag}_hit", F.col(f"{tag}_hits") > 0)
+    return out

@@ -1501,3 +1501,42 @@ def test_compression_signals_map_only_and_on_stream(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("select * from comp_sig").collect()))
     exp = sorted(map(tuple, compression_signals(docs).collect()))
     assert got == exp
+
+
+def test_keyword_tag_counts_and_oracle(spark):
+    import duckdb
+
+    from exon_spark.operators import keyword_tag
+
+    rows = [
+        (1, "Spark hash join beats sort merge JOIN"),
+        (2, "nothing relevant here"),
+        (3, None),
+        (4, "join Join JOIN  extra   spaces"),
+    ]
+    df = _docs(spark, rows)
+    tags = {"joins": ["join", "merge"], "engines": ["spark", "duckdb"]}
+    got = {r["doc_id"]: r for r in keyword_tag(df, tags).collect()}
+    # in-test DuckDB oracle on the same tokenization convention
+    con = duckdb.connect()
+    con.execute("create table d(doc_id bigint, text varchar)")
+    con.executemany("insert into d values (?, ?)", rows)
+    orc = con.execute("""
+      select doc_id,
+        len(list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))),'\\s+'),
+                        t -> t in ('join','merge'))) as joins_hits,
+        len(list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))),'\\s+'),
+                        t -> t in ('spark','duckdb'))) as engines_hits
+      from d
+    """).fetchall()
+    for doc_id, jh, eh in orc:
+        assert got[doc_id]["joins_hits"] == jh, doc_id
+        assert got[doc_id]["engines_hits"] == eh, doc_id
+        assert got[doc_id]["joins_hit"] == (jh > 0)
+    assert got[1]["joins_hits"] == 3 and got[1]["engines_hits"] == 1
+    assert got[3]["joins_hits"] == 0 and got[3]["joins_hit"] is False
+    # pure JVM: no Python eval nodes in the plan
+    plan = keyword_tag(df, tags)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+    with pytest.raises(ValueError, match="empty"):
+        keyword_tag(df, {})
