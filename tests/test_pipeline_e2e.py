@@ -165,3 +165,74 @@ def test_pipeline_r8_deterministic_under_repartition(spark, docs):
         r.doc_id for r in keptb.select("doc_id").collect()
     )
     assert sorted(map(tuple, sega.collect())) == sorted(map(tuple, segb.collect()))
+
+
+def _run_r9_pipeline(d):
+    """The r9 ingestion-and-retrieval chain: bloom front door (drop
+    exact texts already accepted) -> compressibility + keyword gates ->
+    temperature mixing -> unigram segmentation of the mixed corpus;
+    plus the retrieval side over embeddings: ivfpq encode + search."""
+    from exon_spark.operators import (
+        bloom_build,
+        bloom_dedup_against,
+        compression_signals,
+        keyword_tag,
+        temperature_mix,
+        unigram_segment,
+        unigram_train,
+    )
+
+    accepted = d.filter(F.col("doc_id") % 5 == 0)
+    batch = d.filter(F.col("doc_id") % 5 != 0)
+    bf = bloom_build(accepted)
+    fresh = (
+        bloom_dedup_against(batch, bf)
+        .filter(~F.col("maybe_dup"))
+        .drop("maybe_dup")
+    )
+    gated = (
+        fresh.join(compression_signals(fresh).select(
+            "doc_id", "compression_ratio"), "doc_id")
+        .join(keyword_tag(fresh, {"ws": ["the", "a", "of"]}).select(
+            "doc_id", "ws_hits"), "doc_id")
+        .filter((F.col("compression_ratio") > 0.2) & (F.col("ws_hits") >= 0))
+    )
+    mixed = temperature_mix(gated, total_tokens=30_000, alpha=0.5)
+    surv = gated.join(mixed.select("doc_id").distinct(), "doc_id")
+    vocab = unigram_train(surv, vocab_size=80)
+    seg = unigram_segment(surv, vocab)
+    return fresh, gated, mixed, vocab, seg
+
+
+def test_pipeline_r9_stages_compose(spark, docs):
+    fresh, gated, mixed, vocab, seg = _run_r9_pipeline(docs)
+    n_fresh, n_gated = fresh.count(), gated.count()
+    # bloom front door only shrinks, gates only shrink
+    assert 0 < n_gated <= n_fresh
+    # every mixed doc is a gated doc; segmentation covers the survivors
+    surv_ids = {r.doc_id for r in gated.select("doc_id").collect()}
+    assert {r.doc_id for r in mixed.select("doc_id").collect()} <= surv_ids
+    s = seg.agg(
+        F.count(F.lit(1)).alias("n"), F.min("n_pieces").alias("mn")
+    ).collect()[0]
+    assert s["n"] > 0 and s["mn"] > 0
+    assert len(vocab) >= 20
+
+
+def test_pipeline_r9_deterministic_under_repartition(spark, docs):
+    _, _, mixeda, vocaba, sega = _run_r9_pipeline(docs)
+    _, _, mixedb, vocabb, segb = _run_r9_pipeline(docs.repartition(9, "doc_id"))
+    assert vocaba == vocabb
+    assert sorted(map(tuple, mixeda.collect())) == sorted(map(tuple, mixedb.collect()))
+    assert sorted(map(tuple, sega.collect())) == sorted(map(tuple, segb.collect()))
+
+
+def test_pipeline_r9_retrieval_side(spark):
+    from exon_spark.operators import ivfpq_encode, ivfpq_fit, ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents, cb = ivfpq_fit(emb, n_cells=8, n_sub=16, k=32, pq_iters=4)
+    enc = ivfpq_encode(emb, cents, cb)
+    out = ivfpq_topk(enc, cents, cb, emb.orderBy("vec_id").limit(4), k=5, nprobe=3)
+    assert out.count() == 20
+    assert out.groupBy("q_id").count().where("count != 5").count() == 0
