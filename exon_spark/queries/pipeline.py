@@ -1070,9 +1070,24 @@ left join red on nt.doc_id = red.doc_id
 _BM25_TERMS = ("hash", "sort", "spark", "window")
 
 
+_KT_TAGS = {"engine": ["join", "scan", "hash"], "data": ["row", "column"]}
+
+
 def _q38_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bm25_search(
-        table(spark, sf_dir, "documents"), list(_BM25_TERMS), limit=50
+    """BM25 search + fused keyword_tag (r9): each hit row also carries
+    two lexicon hit counts computed by the pure-JVM keyword_tag
+    operator; the oracle recomputes them with list_filter over the
+    same tokenization, so the literal-set membership scan is
+    hash-gated. Counts vary per row at both gate SFs."""
+    from exon_spark.operators import keyword_tag
+
+    docs = table(spark, sf_dir, "documents")
+    base = bm25_search(docs, list(_BM25_TERMS), limit=50)
+    kt = keyword_tag(docs, _KT_TAGS).select(
+        "doc_id", "engine_hits", "data_hits"
+    )
+    return base.join(kt, "doc_id").select(
+        "doc_id", "n_terms_matched", "score", "engine_hits", "data_hits"
     )
 
 
@@ -1108,11 +1123,21 @@ s as (
           / (tf + {_d(k1)} * ({_d(1 - b)} + {_d(b)} * dl
              / (cast(sum_dl as double) / n_docs))), 6) as s_term
   from tf join dfreq using (term) cross join stats
+),
+r as (
+  select doc_id, cast(count(*) as int) as n_terms_matched,
+         round(cast(sum(cast(s_term as decimal(38,10))) as double), 4) as score
+  from s group by doc_id
+  order by score desc, doc_id limit 50
+),
+kt as (
+  select doc_id,
+         cast(len(list_filter(toks, t -> t in ('join','scan','hash'))) as int) as engine_hits,
+         cast(len(list_filter(toks, t -> t in ('row','column'))) as int) as data_hits
+  from d
 )
-select doc_id, cast(count(*) as int) as n_terms_matched,
-       round(cast(sum(cast(s_term as decimal(38,10))) as double), 4) as score
-from s group by doc_id
-order by score desc, doc_id limit 50
+select r.doc_id, n_terms_matched, score, engine_hits, data_hits
+from r join kt on r.doc_id = kt.doc_id
 """
 
 
@@ -1887,7 +1912,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q35_pii_stats", _q35_spark, _q35_oracle(), "PII signal counts + fused typed-placeholder redaction (one scan)"),
     QuerySpec("q36_quality_signals", _q36_spark, _q36_oracle(), "Gopher repetition filters + fused hashed-NB quality classifier"),
     QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal + fused keep-one span removal"),
-    QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25-ranked keyword search top-k"),
+    QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25 ranked keyword search + fused keyword_tag lexicon counts"),
     QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup + fused bloom-prefiltered exact membership"),
     QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),
     QuerySpec("q42_unigram_logppl", _q42_spark, Q42_ORACLE, "unigram log-perplexity + DSIR importance weights (fused)"),
