@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'(?P<path>[^']+)'\s*"
-    r"(?:STORED\s+AS\s+(?P<fmt>FASTA|FASTQ|PARQUET|CSV)\s*)?"
+    r"(?:STORED\s+AS\s+(?P<fmt>FASTA|FASTQ|PARQUET|CSV|JSONL)\s*)?"
     r"(?:OPTIONS\s*\(\s*compression\s+'(?P<comp>\w+)'\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -131,7 +131,8 @@ def maybe_handle_copy(spark: SparkSession, sql: str) -> DataFrame | None:
         # (DataFusion COPY behavior; gff-scan-tests.slt COPY ... TO '*.parquet')
         ext = path.rsplit(".", 1)[-1].lower()
         fmt = {"parquet": "PARQUET", "csv": "CSV", "fasta": "FASTA",
-               "fa": "FASTA", "fastq": "FASTQ", "fq": "FASTQ"}.get(ext)
+               "fa": "FASTA", "fastq": "FASTQ", "fq": "FASTQ",
+               "jsonl": "JSONL", "json": "JSONL"}.get(ext)
         if fmt is None:
             return None
     comp = (m.group("comp") or "").lower() or None
@@ -144,6 +145,14 @@ def maybe_handle_copy(spark: SparkSession, sql: str) -> DataFrame | None:
         _promote_single_file(path + ".__tmp__", path)
     elif fmt == "PARQUET":
         df.write.mode("overwrite").parquet(path)
+    elif fmt == "JSONL":
+        # Spark's json writer is line-delimited JSON — the LLM-corpus
+        # interchange format (beyond-reference extension; gzip/zstd via
+        # the writer codec, distributed)
+        w = df.write.mode("overwrite")
+        if comp:
+            w = w.option("compression", comp)
+        w.json(path)
     else:
         df.write.mode("overwrite").option("header", "true").csv(path)
     return spark.createDataFrame([(n,)], ["count"])

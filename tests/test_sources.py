@@ -295,6 +295,44 @@ def test_copy_sql(spark, fixtures, tmp_path):
     assert maybe_handle_copy(spark, "SELECT 1") is None
 
 
+def test_copy_jsonl_round_trip(spark, tmp_path):
+    import gzip
+    import json
+    import os
+
+    from exon_spark.sinks import maybe_handle_copy
+
+    spark.createDataFrame(
+        [(1, "alpha", 0.5), (2, "beta", None)], "doc_id bigint, text string, w double"
+    ).createOrReplaceTempView("jd")
+    out = tmp_path / "docs_jsonl"
+    res = maybe_handle_copy(
+        spark, f"COPY (SELECT * FROM jd) TO '{out}' STORED AS JSONL"
+    )
+    assert res.collect()[0]["count"] == 2
+    back = spark.read.json(str(out))
+    assert back.count() == 2
+    assert {r["text"] for r in back.collect()} == {"alpha", "beta"}
+    # raw payload is one JSON object per line (jsonl, not a JSON array)
+    lines = [
+        ln
+        for f in os.listdir(out)
+        if f.startswith("part-") and f.endswith(".json")
+        for ln in open(os.path.join(out, f)).read().splitlines()
+        if ln
+    ]
+    assert len(lines) == 2
+    assert all(json.loads(ln)["doc_id"] in (1, 2) for ln in lines)
+    # extension inference + gzip option
+    out2 = tmp_path / "docs.jsonl"
+    maybe_handle_copy(
+        spark, f"COPY jd TO '{out2}' OPTIONS(compression 'gzip')"
+    )
+    gz = next(f for f in os.listdir(out2) if f.endswith(".json.gz"))
+    with gzip.open(os.path.join(out2, gz), "rt") as fh:
+        assert json.loads(fh.readline())["text"] in ("alpha", "beta")
+
+
 def test_vcf_parse_formats(spark, fixtures, tmp_path):
     vcf = tmp_path / "fmt.vcf"
     vcf.write_text(
