@@ -55,6 +55,43 @@ def stratified_mix(
     return df.filter(sample_bucket(key_col, salt) < rate)
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic named splits (train/val/test and friends): each row
+    gets the label whose cumulative-weight interval its key-hash bucket
+    falls in — disjoint, exhaustive, and stable across runs, engines and
+    partitionings (the property RNG-based randomSplit lacks: a doc can
+    never migrate between splits when the corpus grows, so eval sets
+    stay eval). Weights are normalized; interval edges are laid out in
+    dict order over integer millionths, so every row gets exactly one
+    label. Map-side expression, zero shuffle, streaming-safe."""
+    if not weights:
+        raise ValueError("hash_split: empty weights dict")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("hash_split: weights must be >= 0 with a positive sum")
+    tot = sum(weights.values())
+    b = sample_bucket(key_col, salt)
+    cum = 0.0
+    expr: Column | None = None
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / tot
+        edge = int(cum * _BUCKETS)
+        expr = (
+            F.when(b < edge, F.lit(name))
+            if expr is None
+            else expr.when(b < edge, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
 def token_budget_cap(
     df: DataFrame,
     budget_tokens: int,

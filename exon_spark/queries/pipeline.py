@@ -803,6 +803,8 @@ def _q32_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, the q43 convention."""
     from exon_spark.operators.sampling import deterministic_shuffle, stratified_mix
 
+    from exon_spark.operators import hash_split
+
     picked = stratified_mix(
         table(spark, sf_dir, "documents"),
         rates=_MIX_RATES,
@@ -810,10 +812,16 @@ def _q32_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=_MIX_DEFAULT,
     )
     assign = deterministic_shuffle(picked, n_shards=8, salt="epoch0")
+    # fused (r9): deterministic named train/val/test assignment — the
+    # cumulative-interval arithmetic over h32 millionths is mirrored
+    # exactly by the oracle's CASE
+    split = hash_split(
+        picked, {"train": 0.9, "val": 0.05, "test": 0.05}, salt=":sp"
+    )
     return (
-        picked.select("doc_id", "lang", "source", "n_chars")
+        split.select("doc_id", "lang", "source", "n_chars", "split")
         .join(assign, "doc_id")
-        .select("doc_id", "lang", "source", "n_chars", "shard", "pos")
+        .select("doc_id", "lang", "source", "n_chars", "split", "shard", "pos")
     )
 
 
@@ -833,11 +841,16 @@ with picked as (
 ),
 a as (
   select doc_id, lang, source, n_chars,
+         case when ('0x' || substr(md5(doc_id::varchar || ':sp'), 1, 8))::bigint % 1000000 < 900000
+                then 'train'
+              when ('0x' || substr(md5(doc_id::varchar || ':sp'), 1, 8))::bigint % 1000000 < 950000
+                then 'val'
+              else 'test' end as split,
          cast(('0x' || substr(md5(doc_id::varchar || ':epoch0'), 1, 8))::bigint % 8 as int) as shard,
          ('0x' || substr(md5(doc_id::varchar || ':pos:epoch0'), 1, 8))::bigint as _ord
   from picked
 )
-select doc_id, lang, source, n_chars, shard,
+select doc_id, lang, source, n_chars, split, shard,
        cast(row_number() over (partition by shard order by _ord, doc_id) as int) as pos
 from a
 """

@@ -1540,3 +1540,36 @@ def test_keyword_tag_counts_and_oracle(spark):
     assert "EvalPython" not in plan and "Exchange" not in plan
     with pytest.raises(ValueError, match="empty"):
         keyword_tag(df, {})
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from exon_spark.operators import hash_split
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5000)], "doc_id bigint, text string"
+    )
+    out = hash_split(df, {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 5000  # exhaustive, one label per row
+    assert abs(counts["train"] / 5000 - 0.9) < 0.02
+    assert abs(counts["val"] / 5000 - 0.05) < 0.01
+    # stable: same labels on any partitioning
+    out2 = hash_split(df.repartition(17), {"train": 0.9, "val": 0.05, "test": 0.05})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    # growth stability: adding docs never relabels existing ones
+    bigger = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8000)], "doc_id bigint, text string"
+    )
+    out3 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(bigger, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()
+    }
+    for r in out.collect():
+        assert out3[r["doc_id"]] == r["split"]
+    # normalization + errors
+    w = hash_split(df, {"a": 2.0, "b": 2.0}).groupBy("split").count().collect()
+    assert abs(dict((r[0], r[1]) for r in w)["a"] / 5000 - 0.5) < 0.02
+    with pytest.raises(ValueError, match="empty"):
+        hash_split(df, {})
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(df, {"a": 0.0})
