@@ -378,3 +378,38 @@ def test_dsir_weights_plan_shape(registered):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_q40_bloom_fusion_plan_shape(registered):
+    """The fused q40 keeps the scale shape: the bloom probe side is
+    broadcast-joined candidate work, never a cartesian product, and the
+    prefix partner join broadcasts the flagged residue (Q * fpp-sized),
+    not the index."""
+    plan = _plan(_queries()["q40_dedup_incremental"].spark_fn(registered, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q38_keyword_fusion_plan_shape(registered):
+    """keyword_tag's literal-set filters stay JVM-side in the fused q38
+    (no Python eval anywhere in the row: bm25 + keyword counts are all
+    expressions)."""
+    plan = _plan(_queries()["q38_bm25_search"].spark_fn(registered, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q46_temperature_fusion_plan_shape(registered):
+    """Both mixing arms stay expression-only (no Python) and the
+    per-source totals broadcast — the epoch_mix contract holds for the
+    temperature arm too."""
+    plan = _plan(_queries()["q46_epoch_mix"].spark_fn(registered, SF))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q32_split_fusion_stays_expression_only(registered):
+    """hash_split adds one CASE expression to q32 — still no Python
+    workers in the mix/shuffle/split pipeline."""
+    plan = _plan(_queries()["q32_corpus_mix"].spark_fn(registered, SF))
+    assert "EvalPython" not in plan
