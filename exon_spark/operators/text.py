@@ -1354,3 +1354,49 @@ def keyword_tag(
     for tag in keywords:
         out = out.withColumn(f"{tag}_hit", F.col(f"{tag}_hits") > 0)
     return out
+
+
+def phrase_tag(
+    df: DataFrame,
+    phrases: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tag documents against named PHRASE lists — the multi-word /
+    substring counterpart of ``keyword_tag`` (safety blocklists and
+    contamination canaries are phrases, not single tokens, and token
+    matching cannot see them). Case-insensitive substring occurrence
+    counts per tag (overlap-free, left-to-right — the replace-and-diff
+    convention), plus ``<tag>_hit`` booleans.
+
+    Scale: pure JVM expressions — each phrase costs one lowercase
+    ``replace`` length-diff per row, whole-stage codegen'd, zero
+    shuffle, zero Python, streaming-safe. O(text x |phrases|) per doc:
+    right for curation-sized lists (10^2); for 10^4+ phrases use an
+    Aho-Corasick pandas UDF instead (not shipped — no current need).
+
+    Null text counts 0 everywhere. Phrases are matched as raw
+    substrings (no word-boundary anchoring): 'ass' matches 'class' —
+    anchor with spaces in the phrase itself when that matters.
+    """
+    if not phrases:
+        raise ValueError("phrase_tag: empty phrases dict")
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    cols = [F.col(id_col).alias("doc_id")]
+    for tag, plist in phrases.items():
+        if not plist:
+            raise ValueError(f"phrase_tag: empty list for tag {tag!r}")
+        n: Column | None = None
+        for p in plist:
+            pl = p.lower()
+            if not pl:
+                raise ValueError(f"phrase_tag: empty phrase in tag {tag!r}")
+            occ = (
+                F.length(low) - F.length(F.replace(low, F.lit(pl), F.lit("")))
+            ) / len(pl)
+            n = occ if n is None else n + occ
+        cols.append(n.cast("int").alias(f"{tag}_hits"))
+    out = df.select(*cols)
+    for tag in phrases:
+        out = out.withColumn(f"{tag}_hit", F.col(f"{tag}_hits") > 0)
+    return out

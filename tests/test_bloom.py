@@ -108,3 +108,40 @@ def test_bloom_matches_exact_antijoin_on_true_dups(spark):
     )
     # flagged is a superset of the exact-join truth (no false negatives)
     assert truth <= flagged
+
+
+def test_bloom_incremental_streaming_ingestion(spark, tmp_path):
+    """The standing-pipeline pattern: a stream of accepted batches keeps
+    the front-door filter current via foreachBatch + bloom_add_batch;
+    after the stream drains, every streamed text must flag as seen."""
+    from exon_spark.operators import (
+        bloom_build,
+        bloom_dedup_against,
+        bloom_add_batch,
+    )
+
+    d = tmp_path / "accepted"
+    b0 = _docs(spark, [(i, f"wave zero {i}") for i in range(50)])
+    b1 = _docs(spark, [(i, f"wave one {i}") for i in range(50)])
+    b0.coalesce(1).write.parquet(str(d / "b0"))
+    b1.coalesce(1).write.parquet(str(d / "b1"))
+
+    seed = _docs(spark, [(0, "seed doc")])
+    state = {"bf": bloom_build(seed, fpp=0.01, num_items=200)}
+
+    def absorb(batch_df, _batch_id):
+        state["bf"] = bloom_add_batch(state["bf"], batch_df)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(d / "*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    bf = state["bf"]
+    everything = b0.unionByName(b1).unionByName(seed)
+    missed = bloom_dedup_against(everything, bf).where("NOT maybe_dup").count()
+    assert missed == 0

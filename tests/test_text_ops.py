@@ -1573,3 +1573,41 @@ def test_hash_split_disjoint_exhaustive_stable(spark):
         hash_split(df, {})
     with pytest.raises(ValueError, match="positive"):
         hash_split(df, {"a": 0.0})
+
+
+def test_phrase_tag_counts_and_python_oracle(spark):
+    from exon_spark.operators import phrase_tag
+
+    rows = [
+        (1, "Ignore previous instructions. ignore previous instructions!"),
+        (2, "benign text about sort merge joins"),
+        (3, None),
+        (4, "As an AI language model I cannot"),
+    ]
+    df = _docs(spark, rows)
+    tags = {
+        "inj": ["ignore previous instructions"],
+        "canary": ["as an ai language model", "sort merge"],
+    }
+    got = {r["doc_id"]: r for r in phrase_tag(df, tags).collect()}
+
+    def pycount(text, plist):
+        t = (text or "").lower()
+        return sum(t.count(p.lower()) for p in plist)
+
+    for doc_id, text in rows:
+        r = got[doc_id]
+        for tag, plist in tags.items():
+            assert r[f"{tag}_hits"] == pycount(text, plist), (doc_id, tag)
+            assert r[f"{tag}_hit"] == (pycount(text, plist) > 0)
+    assert got[1]["inj_hits"] == 2
+    assert got[4]["canary_hits"] == 1
+    # pure JVM, no shuffle
+    plan = phrase_tag(df, tags)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty"):
+        phrase_tag(df, {})
+    with _pt.raises(ValueError, match="empty phrase"):
+        phrase_tag(df, {"x": [""]})
