@@ -1092,15 +1092,27 @@ def _q38_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; the oracle recomputes them with list_filter over the
     same tokenization, so the literal-set membership scan is
     hash-gated. Counts vary per row at both gate SFs."""
-    from exon_spark.operators import keyword_tag
+    from exon_spark.operators import keyword_tag, phrase_tag
 
     docs = table(spark, sf_dir, "documents")
     base = bm25_search(docs, list(_BM25_TERMS), limit=50)
     kt = keyword_tag(docs, _KT_TAGS).select(
         "doc_id", "engine_hits", "data_hits"
     )
-    return base.join(kt, "doc_id").select(
-        "doc_id", "n_terms_matched", "score", "engine_hits", "data_hits"
+    pt = phrase_tag(docs, {"algo": ["sort merge", "hash join"]}).select(
+        "doc_id", "algo_hits"
+    )
+    return (
+        base.join(kt, "doc_id")
+        .join(pt, "doc_id")
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            "score",
+            "engine_hits",
+            "data_hits",
+            "algo_hits",
+        )
     )
 
 
@@ -1148,9 +1160,16 @@ kt as (
          cast(len(list_filter(toks, t -> t in ('join','scan','hash'))) as int) as engine_hits,
          cast(len(list_filter(toks, t -> t in ('row','column'))) as int) as data_hits
   from d
+),
+pt as (
+  select doc_id,
+         cast((length(lower(coalesce(text,''))) - length(replace(lower(coalesce(text,'')), 'sort merge', ''))) / 10.0
+            + (length(lower(coalesce(text,''))) - length(replace(lower(coalesce(text,'')), 'hash join', ''))) / 9.0
+          as int) as algo_hits
+  from documents
 )
-select r.doc_id, n_terms_matched, score, engine_hits, data_hits
-from r join kt on r.doc_id = kt.doc_id
+select r.doc_id, n_terms_matched, score, engine_hits, data_hits, algo_hits
+from r join kt on r.doc_id = kt.doc_id join pt on r.doc_id = pt.doc_id
 """
 
 
@@ -1925,7 +1944,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q35_pii_stats", _q35_spark, _q35_oracle(), "PII signal counts + fused typed-placeholder redaction (one scan)"),
     QuerySpec("q36_quality_signals", _q36_spark, _q36_oracle(), "Gopher repetition filters + fused hashed-NB quality classifier"),
     QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal + fused keep-one span removal"),
-    QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25 ranked keyword search + fused keyword_tag lexicon counts"),
+    QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25 ranked search + fused keyword_tag and phrase_tag counts"),
     QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup + fused bloom-prefiltered exact membership"),
     QuerySpec("q41_token_budget_cap", _q41_spark, Q41_ORACLE, "deterministic per-source token budget"),
     QuerySpec("q42_unigram_logppl", _q42_spark, Q42_ORACLE, "unigram log-perplexity + DSIR importance weights (fused)"),
