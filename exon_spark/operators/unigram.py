@@ -289,3 +289,16 @@ def unigram_segment(
     return df.select(
         F.col(id_col).alias("doc_id"), seg(F.col(text_col)).alias("pieces")
     ).withColumn("n_pieces", F.size("pieces"))
+
+
+def unigram_vocab(vocab: dict[str, float]) -> list[str]:
+    """The id-ordered piece list a trained unigram vocab induces —
+    single characters first (sorted), then multi-char pieces by
+    descending probability with lexicographic ties (the SentencePiece
+    export convention: stable ids for the base alphabet, frequent
+    pieces get small ids). Deterministic function of the vocab dict."""
+    chars = sorted(p for p in vocab if len(p) == 1)
+    multi = sorted(
+        (p for p in vocab if len(p) > 1), key=lambda p: (-vocab[p], p)
+    )
+    return chars + multi

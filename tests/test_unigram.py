@@ -97,6 +97,25 @@ def test_unigram_segment_null_and_empty(spark):
     assert rows[3]["pieces"] == []
 
 
+def test_unigram_vocab_export_order(spark):
+    from exon_spark.operators import unigram_segment, unigram_train, unigram_vocab
+
+    df = _docs(spark, [(1, "lowlow lowlow lower newer " * 10)])
+    v = unigram_train(df, vocab_size=20)
+    out = unigram_vocab(v)
+    assert len(out) == len(v) and set(out) == set(v)
+    n_chars = sum(1 for p in v if len(p) == 1)
+    assert all(len(p) == 1 for p in out[:n_chars])  # base alphabet first
+    assert out[:n_chars] == sorted(out[:n_chars])
+    # multi-char section ordered by descending probability
+    probs = [v[p] for p in out[n_chars:]]
+    assert probs == sorted(probs, reverse=True)
+    # every segmentation piece has an id (or is a base char / UNK char)
+    seg = unigram_segment(df, v).collect()[0]["pieces"]
+    ids = {p: i for i, p in enumerate(out)}
+    assert all(p in ids or len(p) == 1 for p in seg)
+
+
 def test_unigram_train_vocab_size_bound(spark):
     from exon_spark.operators import unigram_train
 
