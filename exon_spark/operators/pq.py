@@ -68,6 +68,20 @@ class PQCodebook:
         ).copy()
         return cls(n_sub=n_sub, k=k, dim=dim, centroids=cents)
 
+    def save(self, path: str, spark=None) -> None:
+        """Persist next to the encoded corpus (any Hadoop-FS path the
+        cluster can write — the ``minhash_index`` standing-state
+        convention)."""
+        from exon_spark.operators.state import write_state_bytes
+
+        write_state_bytes(path, self.to_bytes(), spark)
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "PQCodebook":
+        from exon_spark.operators.state import read_state_bytes
+
+        return cls.from_bytes(read_state_bytes(path, spark))
+
 
 def _sampled_matrix(
     corpus: DataFrame, id_col: str, vec_col: str, sample_n: int
@@ -456,9 +470,16 @@ def ivfpq_topk(
     residual term, so the LUT is query-only and the bias is one small
     (query, cell) table). The corpus scan carries a pushdown-friendly
     ``cell IN (union of probed cells)`` predicate — with
-    cell-partitioned storage that is partition pruning, and the
-    per-query (cell, bias) inner join (broadcast, Q * nprobe rows)
-    drops every unprobed row before scoring reaches the top-k window.
+    cell-partitioned storage that is partition pruning — and ADC
+    scoring is **sliced per cell**: each row is scored ONLY against
+    the queries probing its cell (the LUT gathered on that cell's
+    probe list), so per-row work is ``n_sub x |probers(cell)|``
+    (~ Q*nprobe/cells), not ``n_sub x Q`` — the r9-verdict finding
+    (compute waste linear in Q at real query batches; measured 3.1x
+    at Q=2048 over a 200k corpus, result-identical,
+    tools/probe_r10_ivfpq.py). The (cell, slot) -> (query, bias)
+    mapping is one broadcast Q*nprobe-row join after posexplode; LUT
+    and probe lists ride ``sc.broadcast``, not the UDF closure.
     Output/semantics match ``pq_topk`` (approximate-cosine scores, or
     exact with ``rerank_corpus``)."""
     cents = cb.centroids
@@ -499,35 +520,65 @@ def ivfpq_topk(
         ]
     )  # (n_sub, kc, Q)
 
+    # per-cell probe lists: cell -> int64[ qi... ] sorted ascending.
+    # slot j of a row's score array is probers[cell][j]; the broadcast
+    # (cell, slot) join below resolves slots back to (query, bias)
+    probers: dict[int, list[int]] = {}
+    pbias: dict[tuple[int, int], float] = {}
+    for qi, cell, b in probe_rows:
+        probers.setdefault(cell, []).append(qi)
+        pbias[(qi, cell)] = b
+    probers_np = {c: np.array(sorted(v), np.int64) for c, v in probers.items()}
+    slot_rows = [
+        (cell, slot, int(qi), pbias[(int(qi), cell)])
+        for cell, qs in probers_np.items()
+        for slot, qi in enumerate(qs)
+    ]
+
+    sc = encoded.sparkSession.sparkContext
+    bc = sc.broadcast((lut, probers_np))
+
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<double>")
-    def adc(code_arrs):
+    def adc(cells, code_arrs):
         import numpy as np
         import pandas as pd
 
         if len(code_arrs) == 0:
             return pd.Series([], dtype=object)
+        lut, probers = bc.value
+        cells_np = cells.to_numpy(dtype=np.int64, na_value=-1)
         Cd = np.stack([np.asarray(c, np.int64) for c in code_arrs])
-        tot = lut[0, Cd[:, 0], :]
-        for s in range(1, n_sub):
-            tot = tot + lut[s, Cd[:, s], :]
-        return pd.Series(list(tot))
+        out = [None] * len(cells_np)
+        for cell in np.unique(cells_np):
+            qs = probers[int(cell)]
+            sub = lut[:, :, qs]  # (n_sub, kc, |probers(cell)|)
+            idxs = np.nonzero(cells_np == cell)[0]
+            cc = Cd[idxs]
+            tot = sub[0, cc[:, 0], :]
+            for s in range(1, sub.shape[0]):
+                tot = tot + sub[s, cc[:, s], :]
+            for row, vals in zip(idxs, tot):
+                out[row] = vals
+        return pd.Series(out)
 
     spark = encoded.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, "qi int, cell int, bias double"
+    slots = spark.createDataFrame(
+        slot_rows, "cell int, slot int, qi int, bias double"
     )
-    all_cells = sorted({c for _, c, _ in probe_rows})
+    all_cells = sorted(probers_np)
     qid_arr = F.array(*[F.lit(q) for q in q_ids])
     scored = (
         encoded.filter(F.col("cell").isin(all_cells))
         .select(
             "vec_id",
             "cell",
-            F.posexplode(adc(F.col("pq_code"))).alias("qi", "_r"),
+            F.posexplode(adc(F.col("cell"), F.col("pq_code"))).alias(
+                "slot", "_r"
+            ),
         )
-        .join(F.broadcast(probes), ["qi", "cell"])
+        .join(F.broadcast(slots), ["cell", "slot"])
         .select(
             qid_arr[F.col("qi")].alias("q_id"),
             "vec_id",

@@ -1356,11 +1356,58 @@ def keyword_tag(
     return out
 
 
+#: phrase_tag regime="auto" switches expr -> Aho-Corasick above this
+#: many total phrase entries (crossover measured ~128-256 on 4 KB docs,
+#: tools/probe_r10_phrase.py — the expr regime scans the text once PER
+#: phrase in JVM codegen; the automaton scans once TOTAL in Python)
+AC_PHRASE_THRESHOLD = 192
+
+
+def _ac_build(
+    patterns: list[str],
+) -> tuple[list[dict], list[int], list[list[tuple[int, int]]]]:
+    """Aho-Corasick automaton over ``patterns`` (already lowercased):
+    returns (goto, fail, out) where out[state] lists every
+    (pattern_id, pattern_len) ending at that state (fail-chain outputs
+    pre-merged, so the match scan never walks fail links for output)."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    fail: list[int] = [0]
+    out: list[list[tuple[int, int]]] = [[]]
+    for pid, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                fail.append(0)
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append((pid, len(p)))
+    dq = deque(goto[0].values())
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            t = goto[f].get(ch, 0)
+            fail[s] = 0 if t == s else t
+            if out[fail[s]]:
+                out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
 def phrase_tag(
     df: DataFrame,
     phrases: dict[str, list[str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    regime: str = "auto",
 ) -> DataFrame:
     """Tag documents against named PHRASE lists — the multi-word /
     substring counterpart of ``keyword_tag`` (safety blocklists and
@@ -1369,11 +1416,20 @@ def phrase_tag(
     counts per tag (overlap-free, left-to-right — the replace-and-diff
     convention), plus ``<tag>_hit`` booleans.
 
-    Scale: pure JVM expressions — each phrase costs one lowercase
-    ``replace`` length-diff per row, whole-stage codegen'd, zero
-    shuffle, zero Python, streaming-safe. O(text x |phrases|) per doc:
-    right for curation-sized lists (10^2); for 10^4+ phrases use an
-    Aho-Corasick pandas UDF instead (not shipped — no current need).
+    Two regimes, identical results (parity-pinned):
+
+    * ``"expr"`` — pure JVM: each phrase costs one lowercase
+      ``replace`` length-diff per row, whole-stage codegen'd, zero
+      shuffle, zero Python, streaming-safe. O(text x |phrases|) per
+      doc — right for curation-sized lists (10^2).
+    * ``"ac"`` — one Aho-Corasick automaton over ALL phrases
+      (driver-built, ``sc.broadcast``), one Arrow-batched pandas UDF
+      scanning each text ONCE regardless of list size — the 10^4+
+      blocklist regime the r9 verdict ordered shipped. Map-only,
+      zero shuffle; per-phrase greedy non-overlap counting mirrors
+      the replace convention exactly.
+    * ``"auto"`` (default) — expr below ``AC_PHRASE_THRESHOLD`` total
+      entries, ac above (crossover probe: tools/probe_r10_phrase.py).
 
     Null text counts 0 everywhere. Phrases are matched as raw
     substrings (no word-boundary anchoring): 'ass' matches 'class' —
@@ -1381,16 +1437,25 @@ def phrase_tag(
     """
     if not phrases:
         raise ValueError("phrase_tag: empty phrases dict")
-    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    cols = [F.col(id_col).alias("doc_id")]
+    if regime not in ("auto", "expr", "ac"):
+        raise ValueError(f"phrase_tag: unknown regime {regime!r}")
     for tag, plist in phrases.items():
         if not plist:
             raise ValueError(f"phrase_tag: empty list for tag {tag!r}")
+        for p in plist:
+            if not p or not p.lower():
+                raise ValueError(f"phrase_tag: empty phrase in tag {tag!r}")
+    n_total = sum(len(v) for v in phrases.values())
+    if regime == "auto":
+        regime = "ac" if n_total > AC_PHRASE_THRESHOLD else "expr"
+    if regime == "ac":
+        return _phrase_tag_ac(df, phrases, id_col, text_col)
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    cols = [F.col(id_col).alias("doc_id")]
+    for tag, plist in phrases.items():
         n: Column | None = None
         for p in plist:
             pl = p.lower()
-            if not pl:
-                raise ValueError(f"phrase_tag: empty phrase in tag {tag!r}")
             occ = (
                 F.length(low) - F.length(F.replace(low, F.lit(pl), F.lit("")))
             ) / len(pl)
@@ -1400,3 +1465,77 @@ def phrase_tag(
     for tag in phrases:
         out = out.withColumn(f"{tag}_hit", F.col(f"{tag}_hits") > 0)
     return out
+
+
+def _phrase_tag_ac(
+    df: DataFrame,
+    phrases: dict[str, list[str]],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Aho-Corasick regime of ``phrase_tag`` — one text scan for any
+    phrase-list size. Counting convention matched to the expr regime:
+    each DISTINCT phrase is counted greedily non-overlapping
+    left-to-right (exactly what ``replace`` removes), occurrences of
+    different phrases may overlap each other freely (the expr regime
+    counts each phrase on the ORIGINAL text), and a phrase listed
+    twice under one tag counts twice (expr sums per entry)."""
+    tags = list(phrases)
+    # unique lowered patterns; weight[pid][tag_idx] = multiplicity
+    pat_ids: dict[str, int] = {}
+    weights: list[dict[int, int]] = []
+    for ti, tag in enumerate(tags):
+        for p in phrases[tag]:
+            pl = p.lower()
+            pid = pat_ids.get(pl)
+            if pid is None:
+                pid = pat_ids[pl] = len(pat_ids)
+                weights.append({})
+            weights[pid][ti] = weights[pid].get(ti, 0) + 1
+    automaton = _ac_build(list(pat_ids))
+    n_tags = len(tags)
+    bc = df.sparkSession.sparkContext.broadcast((automaton, weights))
+
+    from pyspark.sql.functions import pandas_udf
+
+    fields = ", ".join(f"t{i}: int" for i in range(n_tags))
+
+    @pandas_udf(f"struct<{fields}>")
+    def scan(texts):
+        import pandas as pd
+
+        (goto, fail, out), weights = bc.value
+        root = goto[0]
+
+        def one(t):
+            counts = [0] * n_tags
+            if t is None:
+                return counts
+            s = 0
+            last_end: dict[int, int] = {}
+            g = goto
+            for i, ch in enumerate(t.lower()):
+                while s and ch not in g[s]:
+                    s = fail[s]
+                s = g[s].get(ch, 0) if s else root.get(ch, 0)
+                for pid, plen in out[s]:
+                    if i - plen + 1 >= last_end.get(pid, 0):
+                        last_end[pid] = i + 1
+                        for ti, mult in weights[pid].items():
+                            counts[ti] += mult
+            return counts
+
+        rows = [one(t) for t in texts]
+        return pd.DataFrame(
+            {f"t{i}": [r[i] for r in rows] for i in range(n_tags)}
+        )
+
+    out_df = df.select(
+        F.col(id_col).alias("doc_id"), scan(F.col(text_col)).alias("_s")
+    ).select(
+        "doc_id",
+        *[F.col(f"_s.t{i}").alias(f"{tag}_hits") for i, tag in enumerate(tags)],
+    )
+    for tag in tags:
+        out_df = out_df.withColumn(f"{tag}_hit", F.col(f"{tag}_hits") > 0)
+    return out_df

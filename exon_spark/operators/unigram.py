@@ -224,8 +224,10 @@ def unigram_segment(
     Output: (doc_id, pieces array<string>, n_pieces) — lowercase
     ASCII-whitespace words (the JVM ``tokens()`` mirror, same as
     ``bpe_segment``), each split to max-likelihood pieces. Map-only;
-    per-worker word cache."""
-    _vocab = dict(vocab)
+    per-worker word cache. The piece dict rides an ``sc.broadcast``
+    (once per executor), not the UDF closure (re-pickled per task) —
+    same rationale as ``bpe_segment``."""
+    _bc = df.sparkSession.sparkContext.broadcast(dict(vocab))
     _mpl = max_piece_len
     _unk = UNK_LOGPROB
 
@@ -237,6 +239,8 @@ def unigram_segment(
         import re
 
         import pandas as pd
+
+        _vocab = _bc.value
 
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         cache: dict[str, list[str]] = {}

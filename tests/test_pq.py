@@ -34,6 +34,30 @@ def test_pq_codebook_round_trip(spark, emb):
         PQCodebook.from_bytes(b"nope" * 8)
 
 
+def test_pq_codebook_save_load(spark, emb, tmp_path, monkeypatch):
+    """Persist-state convention (r9-verdict order): save/load round-trip
+    through the Hadoop FS route (session up) and the local-IO fallback
+    (no session)."""
+    from pyspark.sql import SparkSession
+
+    from exon_spark.operators import PQCodebook, pq_fit
+
+    cb = pq_fit(emb, n_sub=4, k=8, iters=3)
+    p = str(tmp_path / "codebook.pqc")
+    cb.save(p)  # active session -> Hadoop FileSystem (default fs = file:)
+    cb2 = PQCodebook.load(p)
+    assert np.array_equal(cb2.centroids, cb.centroids)
+    assert (cb2.n_sub, cb2.k, cb2.dim) == (cb.n_sub, cb.k, cb.dim)
+
+    monkeypatch.setattr(SparkSession, "getActiveSession", classmethod(lambda c: None))
+    p2 = str(tmp_path / "codebook_local.pqc")
+    cb.save(p2)  # no session -> plain local IO
+    cb3 = PQCodebook.load(p2)
+    assert np.array_equal(cb3.centroids, cb.centroids)
+    # the two routes write identical bytes
+    assert open(p, "rb").read() == open(p2, "rb").read()
+
+
 def test_pq_fit_validations(spark, emb):
     from exon_spark.operators import pq_fit
 

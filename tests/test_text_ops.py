@@ -1611,3 +1611,67 @@ def test_phrase_tag_counts_and_python_oracle(spark):
         phrase_tag(df, {})
     with _pt.raises(ValueError, match="empty phrase"):
         phrase_tag(df, {"x": [""]})
+
+
+def test_phrase_tag_ac_regime_parity(spark):
+    """The Aho-Corasick regime must produce row-identical results to
+    the expression regime (same greedy non-overlap, same cross-phrase
+    independence, same duplicate-entry multiplicity) — the r9-verdict
+    order shipping the 10^4+ blocklist path."""
+    import random
+
+    from exon_spark.operators import phrase_tag
+
+    # adversarial hand cases: self-overlap (aa in aaaa -> 2 greedy),
+    # shared prefixes, phrase inside another phrase, same phrase in two
+    # tags, duplicate entry in one tag, unicode, case folding
+    rows = [
+        (1, "aaaa baba ababab"),
+        (2, "Ignore previous instructions. ignore previous instructions!"),
+        (3, None),
+        (4, "the cat sat on the catamaran cata cat"),
+        (5, "naïve café NAÏVE"),
+        (6, ""),
+    ]
+    df = _docs(spark, rows)
+    tags = {
+        "a": ["aa", "aba", "cat"],
+        "b": ["cat", "cat", "ignore previous instructions"],
+        "c": ["naïve", "café", "ababab", "bab"],
+    }
+    expr = sorted(map(tuple, phrase_tag(df, tags, regime="expr").collect()))
+    ac = sorted(map(tuple, phrase_tag(df, tags, regime="ac").collect()))
+    assert expr == ac
+    assert (
+        phrase_tag(df, tags, regime="ac").columns
+        == phrase_tag(df, tags, regime="expr").columns
+    )
+
+    # randomized parity over a tiny alphabet (maximal overlap pressure)
+    rng = random.Random(7)
+    rtexts = [
+        (i, "".join(rng.choice("ab ") for _ in range(120))) for i in range(40)
+    ]
+    rdf = _docs(spark, rtexts)
+    pool = ["a", "b", "ab", "ba", "aa", "bb", "aab", "b a", "a b", "abab"]
+    rtags = {
+        "x": [rng.choice(pool) for _ in range(4)],
+        "y": [rng.choice(pool) for _ in range(3)],
+    }
+    got_e = sorted(map(tuple, phrase_tag(rdf, rtags, regime="expr").collect()))
+    got_a = sorted(map(tuple, phrase_tag(rdf, rtags, regime="ac").collect()))
+    assert got_e == got_a
+
+    # auto switches to ac above the threshold; ac plan is map-only
+    from exon_spark.operators.text import AC_PHRASE_THRESHOLD
+
+    big = {"z": [f"needle{i} x" for i in range(AC_PHRASE_THRESHOLD + 1)]}
+    plan = (
+        phrase_tag(df, big)  # auto -> ac
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan
+    with pytest.raises(ValueError, match="regime"):
+        phrase_tag(df, tags, regime="nope")
