@@ -239,3 +239,228 @@ def nb_classifier_score(
         F.round(score, 6).alias("nb_logodds"),
         (score > 0).alias("nb_pass"),
     )
+
+
+def _gram_array(text_col: str) -> Column:
+    """fastText-style feature array: unigrams + word bigrams of the
+    shared ``tokens()`` convention, empties dropped. The SAME expression
+    feeds fit and the join-regime score (bit-identical features), and
+    the udf regime re-states it in Python character-for-character."""
+    toks = tokens(text_col)
+    from exon_spark.operators.dedup import word_ngrams
+
+    return F.filter(
+        F.concat(toks, word_ngrams(toks, 2)), lambda g: g != ""
+    )
+
+
+def logreg_classifier_fit(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    buckets: int = NB_BUCKETS,
+    max_iter: int = 100,
+    reg_param: float = 1e-3,
+) -> tuple[DataFrame, dict]:
+    """Fit a fastText-shape logistic quality classifier (Joulin et al.
+    2016: mean-pooled bag of hashed uni+bigram features -> linear
+    model; Li et al. 2024 / DCLM filter with exactly this shape) on a
+    labeled seed corpus, via Spark ML ``LogisticRegression`` (L2,
+    LBFGS — distributed, so seed corpora need not fit one machine).
+
+    ``label_col`` is boolean/0-1 (True = positive = keep class).
+
+    Returns ``(model, meta)`` in the ``nb_classifier_*`` convention:
+    ``model`` = DataFrame(bucket bigint, weight double) — the nonzero
+    coefficients, broadcast-sized (≤ ``buckets`` rows); ``meta`` =
+    ``{"intercept", "buckets", "reg_param", "max_iter"}``. Features are
+    ``pmod(h32(gram), buckets)`` of unigrams + word bigrams (the
+    ``dsir_weights`` convention), mean-pooled per document
+    (count / n_feats — the fastText normalization, which keeps long
+    documents from dominating the margin).
+
+    100 TB design: the gram pipeline is one shuffle of hashed 8-byte
+    keys; the only per-row Python is the SparseVector assembly UDF,
+    which runs on the SEED corpus (curation-sized by construction),
+    never the scored corpus. Docs with zero features carry no signal
+    and are excluded from the fit. Raises if either class is absent.
+    """
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    labeled = (
+        df.select(F.col(label_col).cast("double").alias("_y"), text_col)
+        .where(F.col("_y").isNotNull())
+        .withColumn("_rid", F.monotonically_increasing_id())
+    )
+    grams = (
+        labeled.select(
+            "_rid", "_y", F.explode(_gram_array(text_col)).alias("gram")
+        )
+        .select(
+            "_rid",
+            "_y",
+            F.pmod(h32(F.col("gram")), F.lit(buckets)).alias("bucket"),
+        )
+        .groupBy("_rid", "_y", "bucket")
+        .count()
+    )
+    pooled = grams.groupBy("_rid", "_y").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "count"))).alias("bc"),
+        F.sum("count").alias("n"),
+    )
+
+    def _assemble(bc, n):
+        return SparseVector(
+            buckets,
+            [int(r["bucket"]) for r in bc],
+            [float(r["count"]) / float(n) for r in bc],
+        )
+
+    assemble = F.udf(_assemble, VectorUDT())
+    train = pooled.select(
+        F.col("_y").alias("label"), assemble("bc", "n").alias("features")
+    )
+    n_by_class = {
+        float(r["label"]): r["cnt"]
+        for r in train.groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+    if n_by_class.get(0.0, 0) == 0 or n_by_class.get(1.0, 0) == 0:
+        raise ValueError(
+            "logreg_classifier_fit needs featured documents in both "
+            f"classes (docs by label: {n_by_class})"
+        )
+    lr = LogisticRegression(
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=0.0,
+        standardization=False,
+        family="binomial",
+    )
+    m = lr.fit(train)
+    w = np.asarray(m.coefficients.toArray())
+    nz = np.nonzero(w)[0]
+    spark = df.sparkSession
+    model = spark.createDataFrame(
+        [(int(b), float(w[b])) for b in nz], "bucket bigint, weight double"
+    )
+    meta = {
+        "intercept": float(m.intercept),
+        "buckets": buckets,
+        "reg_param": reg_param,
+        "max_iter": max_iter,
+    }
+    return model, meta
+
+
+def logreg_classifier_score(
+    df: DataFrame,
+    model: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "join",
+) -> DataFrame:
+    """Score every document with a fitted logistic model.
+
+    Output: ``(doc_id, n_feats, lr_prob, lr_pass)`` — ``lr_prob`` is
+    the 6-dp-rounded sigmoid of ``intercept + mean-pooled feature
+    weight sum``; ``lr_pass`` is the unrounded ``margin > 0`` decision
+    (= prob > 0.5). Zero-feature docs (null/whitespace text) score the
+    intercept alone.
+
+    Same two plan regimes as ``nb_classifier_score``, pinned equal by
+    test: ``mode="join"`` — ONE broadcast(model) hash join on the gram
+    rows + ONE map-side-combinable per-doc sum, ``explode_outer``
+    keeping empty docs without a corpus rejoin; ``mode="udf"`` — the
+    model dict rides ``sc.broadcast`` into one Arrow-batched map-only
+    pandas UDF (streaming-safe, append mode), grams hashed once per
+    DISTINCT gram per batch (Zipf).
+    """
+    if mode not in ("join", "udf"):
+        raise ValueError(f"mode must be 'join' or 'udf', got {mode!r}")
+    intercept = float(meta["intercept"])
+    buckets = int(meta["buckets"])
+    ids = df.select(F.col(id_col).alias("doc_id"), text_col)
+    if mode == "udf":
+        lut = {int(r["bucket"]): float(r["weight"]) for r in model.collect()}
+        bc = df.sparkSession.sparkContext.broadcast(lut)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("struct<n_feats:bigint, lr_prob:double, lr_pass:boolean>")
+        def score_udf(texts):
+            import hashlib
+            import math
+            import re
+
+            import pandas as pd
+
+            lut = bc.value
+            # EXACT Python mirror of _gram_array: ASCII-whitespace
+            # split of lower().strip(' ') KEEPING empty tokens (Java
+            # split yields leading "" on tab-led text), bigrams joined
+            # with ' ' over the RAW token array, then empties dropped —
+            # any deviation diverges from the join regime's JVM grams
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+            def grams_of(t):
+                raw = ws.split((t or "").lower().strip(" "))
+                bi = [f"{a} {b}" for a, b in zip(raw, raw[1:])]
+                return [g for g in raw + bi if g != ""]
+
+            gs = [grams_of(t) for t in texts]
+            wts: dict[str, float] = {}
+            for row in gs:
+                for g in row:
+                    if g not in wts:
+                        b = (
+                            int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                            % buckets
+                        )
+                        wts[g] = lut.get(b, 0.0)
+
+            def one(row):
+                n = len(row)
+                margin = intercept + (
+                    sum(wts[g] for g in row) / n if n else 0.0
+                )
+                p = 1.0 / (1.0 + math.exp(-margin))
+                return (n, round(p, 6), margin > 0)
+
+            return pd.DataFrame(
+                [one(r) for r in gs], columns=["n_feats", "lr_prob", "lr_pass"]
+            )
+
+        return ids.select(
+            "doc_id", score_udf(F.col(text_col)).alias("_r")
+        ).select("doc_id", "_r.n_feats", "_r.lr_prob", "_r.lr_pass")
+    gram = ids.select(
+        "doc_id", F.explode_outer(_gram_array(text_col)).alias("gram")
+    ).select(
+        "doc_id",
+        "gram",
+        F.when(
+            F.col("gram").isNotNull(),
+            F.pmod(h32(F.col("gram")), F.lit(buckets)),
+        ).alias("bucket"),
+    )
+    term = F.when(F.col("gram").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("weight"), F.lit(0.0))
+    )
+    per_doc = (
+        gram.join(F.broadcast(model), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.col("gram")).alias("n_feats"), F.sum(term).alias("_s"))
+    )
+    margin = F.lit(intercept) + F.when(
+        F.col("n_feats") > 0, F.col("_s") / F.col("n_feats")
+    ).otherwise(F.lit(0.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return per_doc.select(
+        "doc_id",
+        "n_feats",
+        F.round(prob, 6).alias("lr_prob"),
+        (margin > 0).alias("lr_pass"),
+    )

@@ -1357,10 +1357,13 @@ def keyword_tag(
 
 
 #: phrase_tag regime="auto" switches expr -> Aho-Corasick above this
-#: many total phrase entries (crossover measured ~128-256 on 4 KB docs,
-#: tools/probe_r10_phrase.py — the expr regime scans the text once PER
-#: phrase in JVM codegen; the automaton scans once TOTAL in Python)
-AC_PHRASE_THRESHOLD = 192
+#: many total phrase entries. Measured crossover ~32-64 on the sf0.1
+#: documents corpus (tools/probe_r10_phrase.py: expr grows linearly,
+#: 0.24s@16 -> 4.9s@1024; ac flat ~0.4s) — the expr regime scans the
+#: text once PER phrase in JVM codegen, the automaton once TOTAL in
+#: Python, and both scale linearly with text length so the crossover
+#: is roughly length-independent.
+AC_PHRASE_THRESHOLD = 64
 
 
 def _ac_build(

@@ -868,7 +868,12 @@ def _q36_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     odds near zero so the planted signals decide. The oracle regenerates
     the closed-form fit from the same h32 bucketing + Laplace constants,
     so model and scores match across engines at 6 dp."""
-    from exon_spark.operators import nb_classifier_fit, nb_classifier_score
+    from exon_spark.operators import (
+        logreg_classifier_score,
+        nb_classifier_fit,
+        nb_classifier_score,
+    )
+    from exon_spark.operators.classify import NB_BUCKETS
 
     docs = table(spark, sf_dir, "documents")
     pos = (F.col("doc_id") % 2) == 0
@@ -884,17 +889,58 @@ def _q36_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model, meta = nb_classifier_fit(planted, label_col="label")
     scored = nb_classifier_score(planted, model, meta)
-    return quality_signals(docs).join(scored, "doc_id")
+    lr_model = spark.createDataFrame(
+        [(b, w) for b, w in _LR_FROZEN_BUCKETS], "bucket bigint, weight double"
+    )
+    lr_scored = logreg_classifier_score(
+        planted, lr_model, {"intercept": _LR_INTERCEPT, "buckets": NB_BUCKETS}
+    )
+    return (
+        quality_signals(docs).join(scored, "doc_id").join(lr_scored, "doc_id")
+    )
 
 
 _NB_MARKER_POS = " hqseed hqseed hqseed"
 _NB_MARKER_NEG = " lqseed lqseed lqseed"
+
+# r10 fused arm: the fastText-shape logistic scorer with FROZEN
+# coefficients (the LBFGS fit itself is not SQL-expressible — it stays
+# pytest-pinned in tests/test_classify.py; what the gate proves is the
+# broadcast-join scoring path, which is the part that touches the full
+# corpus at 100 TB). Weights sit on the planted markers (unigram and
+# bigram) so lr_pass tracks the planted classes, plus a tiny
+# real-vocabulary nudge so unmatched docs exercise the miss path.
+_LR_INTERCEPT = -0.05
+
+
+def _lr_frozen() -> list[tuple[int, float]]:
+    import hashlib
+
+    from exon_spark.operators.classify import NB_BUCKETS as _B
+
+    grams = {
+        "hqseed": 1.6,
+        "lqseed": -1.4,
+        "hqseed hqseed": 0.4,
+        "lqseed lqseed": -0.6,
+        "the": 0.02,
+    }
+    by_bucket: dict[int, float] = {}
+    for g, w in grams.items():
+        b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % _B
+        by_bucket[b] = by_bucket.get(b, 0.0) + w  # bucket must be unique
+    return sorted(by_bucket.items())
+
+
+_LR_FROZEN_BUCKETS = _lr_frozen()
 
 
 def _q36_oracle() -> str:
     from exon_spark.operators.classify import NB_ALPHA, NB_BUCKETS
 
     B, A = NB_BUCKETS, NB_ALPHA
+    I = _LR_INTERCEPT
+    lrw_values = ", ".join(f"({b}, {w!r})" for b, w in _LR_FROZEN_BUCKETS)
     return f"""
 with q as ({Q36_SIGNALS_ORACLE}),
 pd as (
@@ -946,9 +992,44 @@ nb as (
   from (select doc_id from documents) d0
   left join ds using (doc_id)
   cross join pr
+),
+-- r10 fused arm: frozen-coefficient logistic scorer. Grams mirror
+-- classify._gram_array: unigrams + word bigrams over the RAW token
+-- array (empties kept for bigram formation, dropped afterwards).
+lrraw as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as raw
+  from pd
+),
+lrg as (
+  select doc_id, g from (
+    select doc_id,
+           unnest(raw || list_transform(range(1, len(raw)),
+             i -> raw[i] || ' ' || raw[i+1])) as g
+    from lrraw
+  ) where g <> ''
+),
+lrw(bucket, weight) as (values {lrw_values}),
+lrs as (
+  select t.doc_id, count(*) as n_feats, sum(coalesce(w.weight, 0)) as s
+  from (
+    select doc_id, ('0x' || substr(md5(g), 1, 8))::bigint % {B} as bucket
+    from lrg
+  ) t
+  left join lrw w using (bucket)
+  group by t.doc_id
+),
+lr as (
+  select d0.doc_id,
+         coalesce(lrs.n_feats, 0)::bigint as n_feats,
+         round(1.0 / (1.0 + exp(-({I} + coalesce(lrs.s / lrs.n_feats, 0)))), 6)
+           as lr_prob,
+         ({I} + coalesce(lrs.s / lrs.n_feats, 0)) > 0 as lr_pass
+  from (select doc_id from documents) d0
+  left join lrs using (doc_id)
 )
-select q.*, nb.n_toks, nb.nb_logodds, nb.nb_pass
-from q join nb using (doc_id)
+select q.*, nb.n_toks, nb.nb_logodds, nb.nb_pass,
+       lr.n_feats, lr.lr_prob, lr.lr_pass
+from q join nb using (doc_id) join lr using (doc_id)
 """
 
 
@@ -1942,7 +2023,7 @@ PIPELINE_QUERIES: list[QuerySpec] = [
     QuerySpec("q32_corpus_mix", _q32_spark, Q32_ORACLE, "stratified corpus mixing + deterministic training-order shard assignment"),
     QuerySpec("q34_decontaminate", _q34_spark, Q34_ORACLE, "train/eval n-gram overlap check"),
     QuerySpec("q35_pii_stats", _q35_spark, _q35_oracle(), "PII signal counts + fused typed-placeholder redaction (one scan)"),
-    QuerySpec("q36_quality_signals", _q36_spark, _q36_oracle(), "Gopher repetition filters + fused hashed-NB quality classifier"),
+    QuerySpec("q36_quality_signals", _q36_spark, _q36_oracle(), "Gopher repetition filters + fused hashed-NB and frozen-coefficient logistic quality classifiers"),
     QuerySpec("q37_dup_ngram_coverage", _q37_spark, Q37_ORACLE, "cross-doc exact-substring duplication signal + fused keep-one span removal"),
     QuerySpec("q38_bm25_search", _q38_spark, _q38_oracle(), "BM25 ranked search + fused keyword_tag and phrase_tag counts"),
     QuerySpec("q40_dedup_incremental", _q40_spark, Q40_ORACLE, "new-batch-vs-index minhash dedup + fused bloom-prefiltered exact membership"),

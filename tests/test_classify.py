@@ -237,3 +237,140 @@ def test_nb_classifier_udf_mode_runs_on_streams(spark, tmp_path):
         map(tuple, nb_classifier_score(batch, model, meta, mode="udf").collect())
     )
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# fastText-shape logistic classifier (r9-verdict order 6)
+# --------------------------------------------------------------------------
+
+LR_SEED_ROWS = [
+    (1, "good clean prose with signal tokens flowing nicely", True),
+    (2, "good crisp signal writing here with clean structure", True),
+    (3, "clean prose good structure signal flowing text", True),
+    (4, "bad spam junk noise keyboard mash zxqv", False),
+    (5, "bad spam repeated junk noise mash garbage", False),
+    (6, "junk noise spam keyboard garbage zxqv mash", False),
+]
+
+
+def _py_grams(text):
+    """Python mirror of classify._gram_array (uni + word bigrams over
+    the raw ASCII-whitespace token array, empties dropped)."""
+    import re
+
+    raw = re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower().strip(" "))
+    bi = [f"{a} {b}" for a, b in zip(raw, raw[1:])]
+    return [g for g in raw + bi if g != ""]
+
+
+def test_logreg_score_matches_numpy_reference(spark):
+    """With a hand-frozen model (no fit), both score regimes must equal
+    a pure-Python sigmoid over mean-pooled hashed gram weights."""
+    from exon_spark.operators import logreg_classifier_score
+
+    buckets = 4096
+    texts = [
+        (1, "good clean prose", None),
+        (2, "bad spam junk bad spam", None),
+        (3, None, None),
+        (4, "   ", None),
+        (5, "solo", None),
+    ]
+    df = _docs(spark, texts)
+    weights = {"good": 2.0, "bad": -1.5, "good clean": 0.75, "spam": -0.5}
+    model_rows = [(_h32(g) % buckets, w) for g, w in weights.items()]
+    model = spark.createDataFrame(model_rows, "bucket bigint, weight double")
+    meta = {"intercept": 0.25, "buckets": buckets}
+    lut = dict(model_rows)
+
+    def ref(text):
+        gs = _py_grams(text)
+        margin = 0.25 + (
+            sum(lut.get(_h32(g) % buckets, 0.0) for g in gs) / len(gs)
+            if gs
+            else 0.0
+        )
+        return (
+            len(gs),
+            round(1.0 / (1.0 + math.exp(-margin)), 6),
+            margin > 0,
+        )
+
+    for mode in ("join", "udf"):
+        got = {
+            r["doc_id"]: (r["n_feats"], r["lr_prob"], r["lr_pass"])
+            for r in logreg_classifier_score(df, model, meta, mode=mode).collect()
+        }
+        for doc_id, text, _ in texts:
+            assert got[doc_id] == ref(text), (mode, doc_id)
+
+
+def test_logreg_fit_separates_and_regimes_agree(spark):
+    from exon_spark.operators import (
+        logreg_classifier_fit,
+        logreg_classifier_score,
+    )
+
+    df = _docs(spark, LR_SEED_ROWS)
+    model, meta = logreg_classifier_fit(df, buckets=4096, max_iter=50)
+    scored = {
+        r["doc_id"]: r["lr_pass"]
+        for r in logreg_classifier_score(df, model, meta).collect()
+    }
+    for doc_id, _, label in LR_SEED_ROWS:
+        assert scored[doc_id] == label, doc_id
+    # regimes identical row-for-row on held-out text incl. null/empty
+    held = _docs(
+        spark,
+        [
+            (10, "good signal prose", None),
+            (11, "spam junk zxqv", None),
+            (12, None, None),
+            (13, "\tweird  spacing nbsp", None),
+        ],
+    )
+    a = sorted(map(tuple, logreg_classifier_score(held, model, meta, mode="join").collect()))
+    b = sorted(map(tuple, logreg_classifier_score(held, model, meta, mode="udf").collect()))
+    assert a == b
+
+
+def test_logreg_fit_single_class_raises(spark):
+    from exon_spark.operators import logreg_classifier_fit
+
+    df = _docs(spark, [(1, "only positives", True), (2, "more pos", True)])
+    with pytest.raises(ValueError, match="both"):
+        logreg_classifier_fit(df, buckets=1024)
+    with pytest.raises(ValueError, match="mode"):
+        from exon_spark.operators import logreg_classifier_score
+
+        model, meta = None, {"intercept": 0.0, "buckets": 4}
+        import pyspark.sql.functions as F  # noqa: F401
+
+        logreg_classifier_score(df, df, meta, mode="nope")
+
+
+def test_logreg_score_plan_broadcasts_model(spark):
+    """Join regime: ONE BroadcastHashJoin on the model, no corpus-side
+    rejoin; udf regime: map-only (no Exchange at all)."""
+    from exon_spark.operators import (
+        logreg_classifier_fit,
+        logreg_classifier_score,
+    )
+
+    df = _docs(spark, LR_SEED_ROWS)
+    model, meta = logreg_classifier_fit(df, buckets=4096, max_iter=20)
+    plan = (
+        logreg_classifier_score(df, model, meta, mode="join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    uplan = (
+        logreg_classifier_score(df, model, meta, mode="udf")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in uplan and "Exchange" not in uplan

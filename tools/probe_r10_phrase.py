@@ -48,7 +48,7 @@ def main() -> None:
     hits = [f"{a} {b}" for a, b in zip(toks, toks[1:] + toks[:1])]
     misses = [f"zq{i}x nohit{i}" for i in range(600)]
 
-    for np_ in (16, 64, 128, 192, 256, 512, 1024, 4096):
+    for np_ in (16, 32, 64, 128, 256, 512, 1024):
         plist = hits[: np_ // 2] + misses[: np_ - np_ // 2]
         tags = {"t0": plist[: np_ // 2], "t1": plist[np_ // 2 :]}
         out = {}
