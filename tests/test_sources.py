@@ -328,9 +328,17 @@ def test_copy_jsonl_round_trip(spark, tmp_path):
     maybe_handle_copy(
         spark, f"COPY jd TO '{out2}' OPTIONS(compression 'gzip')"
     )
-    gz = next(f for f in os.listdir(out2) if f.endswith(".json.gz"))
-    with gzip.open(os.path.join(out2, gz), "rt") as fh:
-        assert json.loads(fh.readline())["text"] in ("alpha", "beta")
+    # 2 rows spread over N partitions: most part files are empty, and
+    # listdir order is arbitrary — read every gz part, keep real lines
+    gz_lines = [
+        ln
+        for f in sorted(os.listdir(out2))
+        if f.endswith(".json.gz")
+        for ln in gzip.open(os.path.join(out2, f), "rt").read().splitlines()
+        if ln
+    ]
+    assert len(gz_lines) == 2
+    assert all(json.loads(ln)["text"] in ("alpha", "beta") for ln in gz_lines)
 
 
 def test_vcf_parse_formats(spark, fixtures, tmp_path):
