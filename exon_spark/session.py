@@ -181,7 +181,19 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert in exon_spark.queries.base.table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Broadcast decisions come from AQE RUNTIME sizes only. Static
+        # planning sizes joins from scan-bytes x pruning/selectivity
+        # ratios, which lie catastrophically after a Generate: the q18
+        # shingle table (25M rows, ~600 MB) was estimated at 15.9 MiB
+        # because explode's 50x row fan-out is not modeled while the
+        # dropped text column IS — at sf10 three queries OOMed the
+        # driver building 1 GB+ "broadcasts" (r10 scale probe). With
+        # the static threshold off, every non-hinted join starts as a
+        # shuffle plan and AQE promotes it to broadcast from the
+        # ACTUAL map-output size; explicit F.broadcast() hints
+        # (bounded model/query tables) are unaffected by either knob.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.session.timeZone", "UTC")

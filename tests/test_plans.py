@@ -23,6 +23,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """Execute (noop sink) and return the FINAL adaptive plan. Broadcast
+    assertions must use this: the session disables estimate-based static
+    broadcasts (post-Generate size estimates lie — the r10 sf10 probe
+    OOMed three queries on 1 GB "broadcasts" estimated at <64 MB), so
+    every non-hinted broadcast now appears only after AQE promotes the
+    join from the ACTUAL runtime size. collect() (not a noop write —
+    that spawns its own QueryExecution and leaves this one unexecuted)
+    finalizes THIS dataframe's adaptive plan; plan tests run at sf0.01
+    where every result is small."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def _queries():
     from exon_spark.queries import ALL_QUERIES
 
@@ -30,9 +44,12 @@ def _queries():
 
 
 def test_dim_joins_broadcast(registered):
-    """TPC-H-style joins against small dims must broadcast, not shuffle."""
+    """TPC-H-style joins against small dims must broadcast, not shuffle —
+    decided by AQE from runtime sizes (dims are only small until the
+    business grows; customer scales with SF, so a static pin would be
+    wrong at 100 TB)."""
     for q in ("q02_shipping_priority", "q03_local_supplier_volume"):
-        plan = _plan(_queries()[q].spark_fn(registered, SF))
+        plan = _final_plan(_queries()[q].spark_fn(registered, SF))
         assert "BroadcastHashJoin" in plan, q
         assert "CartesianProduct" not in plan, q
 
@@ -230,14 +247,24 @@ def test_fanout_repartition_defeats_phantom_splits(registered, tmp_path):
 
 
 def test_q36_fused_gate_plan_shape(registered):
-    """The fused q36 gate adds the NB classifier: its legitimate
-    exchanges are the fit's bucket shuffle and the per-doc score agg —
-    the model join must stay broadcast (never a corpus SortMergeJoin)
-    and the whole gate stays JVM-side."""
-    plan = _plan(_queries()["q36_quality_signals"].spark_fn(registered, SF))
+    """The fused q36 gate adds the NB + logistic classifiers: the MODEL
+    joins (bucket keys, bounded tables) must be broadcast in the final
+    adaptive plan, and the whole gate stays JVM-side. The corpus-side
+    doc_id joins may be SortMergeJoin — three corpus-sized frames
+    joining each other is exactly where SMJ is the correct plan at
+    scale (statically broadcasting them was the r10-diagnosed OOM
+    class)."""
+    import re
+
+    plan = _final_plan(_queries()["q36_quality_signals"].spark_fn(registered, SF))
     assert "EvalPython" not in plan
-    assert "SortMergeJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+    # every bucket-keyed model join is a broadcast, never shuffled
+    bucket_joins = re.findall(r"(\w+Join) \[bucket#\d+L?\]", plan)
+    assert bucket_joins and all(j == "BroadcastHashJoin" for j in bucket_joins), (
+        bucket_joins,
+        plan[:2000],
+    )
 
 
 def test_dup_ngram_coverage_no_cartesian(registered):
@@ -385,7 +412,7 @@ def test_q40_bloom_fusion_plan_shape(registered):
     broadcast-joined candidate work, never a cartesian product, and the
     prefix partner join broadcasts the flagged residue (Q * fpp-sized),
     not the index."""
-    plan = _plan(_queries()["q40_dedup_incremental"].spark_fn(registered, SF))
+    plan = _final_plan(_queries()["q40_dedup_incremental"].spark_fn(registered, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
 
