@@ -241,17 +241,32 @@ def nb_classifier_score(
     )
 
 
-def _gram_array(text_col: str) -> Column:
-    """fastText-style feature array: unigrams + word bigrams of the
-    shared ``tokens()`` convention, empties dropped. The SAME expression
-    feeds fit and the join-regime score (bit-identical features), and
-    the udf regime re-states it in Python character-for-character."""
-    toks = tokens(text_col)
+def _gram_rows(
+    df: DataFrame, id_cols: list[str], text_col: str, outer: bool
+) -> DataFrame:
+    """fastText-style feature rows: (id_cols..., gram) where gram ranges
+    over unigrams + word bigrams of the shared ``tokens()`` convention,
+    empties dropped; ``outer`` keeps zero-gram docs as one null-gram row
+    (the score path needs every doc; the fit path does not). The SAME
+    expressions feed fit and the join-regime score (bit-identical
+    features), and the udf regime re-states them in Python
+    character-for-character.
+
+    The token array is pinned behind an ``explode(array(...))`` Generate
+    barrier (the shingled_docs idiom): ``word_ngrams`` reads it
+    ``size-1`` times inside a transform lambda — inlined, Catalyst
+    re-runs the whole ``split(trim(lower(text)))`` per element
+    (measured 2.4x on the q36 gate row: 8.5 s -> 3.5 s warmed at
+    sf0.1)."""
     from exon_spark.operators.dedup import word_ngrams
 
-    return F.filter(
-        F.concat(toks, word_ngrams(toks, 2)), lambda g: g != ""
+    ta = df.select(
+        *id_cols, F.explode(F.array(tokens(text_col))).alias("_toks")
     )
+    t = F.col("_toks")
+    grams = F.filter(F.concat(t, word_ngrams(t, 2)), lambda g: g != "")
+    ex = F.explode_outer(grams) if outer else F.explode(grams)
+    return ta.select(*id_cols, ex.alias("gram"))
 
 
 def logreg_classifier_fit(
@@ -295,9 +310,7 @@ def logreg_classifier_fit(
         .withColumn("_rid", F.monotonically_increasing_id())
     )
     grams = (
-        labeled.select(
-            "_rid", "_y", F.explode(_gram_array(text_col)).alias("gram")
-        )
+        _gram_rows(labeled, ["_rid", "_y"], text_col, outer=False)
         .select(
             "_rid",
             "_y",
@@ -436,9 +449,7 @@ def logreg_classifier_score(
         return ids.select(
             "doc_id", score_udf(F.col(text_col)).alias("_r")
         ).select("doc_id", "_r.n_feats", "_r.lr_prob", "_r.lr_pass")
-    gram = ids.select(
-        "doc_id", F.explode_outer(_gram_array(text_col)).alias("gram")
-    ).select(
+    gram = _gram_rows(ids, ["doc_id"], text_col, outer=True).select(
         "doc_id",
         "gram",
         F.when(
