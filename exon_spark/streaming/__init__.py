@@ -98,12 +98,20 @@ def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "complete",
-    timeout_s: float = 120.0,
+    timeout_s: float = 3600.0,
 ):
     """Start the stream into an in-memory table, process everything
     currently available (``availableNow`` trigger), and return the result
     as a batch DataFrame. Test/debug helper — a production job would use a
-    file/Kafka sink with a real trigger."""
+    file/Kafka sink with a real trigger.
+
+    An availableNow stream is guaranteed to terminate once every pending
+    micro-batch is processed, so a timeout here means a real hang — it
+    RAISES rather than returning whatever batches happened to finish.
+    (The r10 sf10 probe caught the old spelling silently ``stop()``-ing
+    a slow 4-batch run at 120 s and returning one batch's worth of rows
+    — a correctness gate must never see partial output pass as the
+    answer.)"""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -111,8 +119,15 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    q.stop()
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow stream {name!r} still running after "
+                f"{timeout_s}s — refusing to return partial results"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
     return stream_df.sparkSession.table(name)
 
 
