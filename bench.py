@@ -80,8 +80,30 @@ HEADLINE = [
 ]
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — None off-Linux. Sampled
+    at bench start/end so the artifact self-documents multi-tenant CPU
+    steal: a 7% steal window measured a false +45% on an unchanged board
+    (see SCALE.md, r10 session 2), and a bare total can't show that."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except Exception:
+        return None
+
+
+def _steal_pct(start: tuple[int, int] | None) -> float | None:
+    end = _cpu_ticks()
+    if start is None or end is None or end[1] <= start[1]:
+        return None
+    return round(100.0 * (end[0] - start[0]) / (end[1] - start[1]), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpu0 = _cpu_ticks()
     from exon_spark import get_spark
     from exon_spark.queries import ALL_QUERIES
 
@@ -176,6 +198,9 @@ def main() -> None:
         }
         if errors:
             out["errors"] = errors
+        steal = _steal_pct(cpu0)
+        if steal is not None:
+            out["cpu_steal_pct"] = steal
         print(json.dumps(out))
         spark.stop()
         return
@@ -231,6 +256,9 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    steal = _steal_pct(cpu0)
+    if steal is not None:
+        out["cpu_steal_pct"] = steal
     print(json.dumps(out))
     spark.stop()
 

@@ -105,13 +105,30 @@ def run_stream_to_memory(
     as a batch DataFrame. Test/debug helper — a production job would use a
     file/Kafka sink with a real trigger.
 
-    An availableNow stream is guaranteed to terminate once every pending
-    micro-batch is processed, so a timeout here means a real hang — it
-    RAISES rather than returning whatever batches happened to finish.
-    (The r10 sf10 probe caught the old spelling silently ``stop()``-ing
-    a slow 4-batch run at 120 s and returning one batch's worth of rows
-    — a correctness gate must never see partial output pass as the
-    answer.)"""
+    Completion = ALL input available at start is committed, proven by
+    either natural termination or a committed ZERO-input micro-batch
+    with no data pending (micro-batches are sequential, so a 0-row
+    batch means the source snapshot was exhausted when it planned).
+    Two prior spellings were both wrong:
+
+    * ``awaitTermination(120); stop()`` silently returned PARTIAL
+      results when processing outran the clock (the r10 sf10 probe
+      caught q33 passing 1 of 4 micro-batches through a correctness
+      gate);
+    * ``awaitTermination(3600)`` + raise-on-timeout assumed every
+      availableNow stream self-terminates — false for timer-carrying
+      state (``streaming_dedup(ttl_minutes=...)`` wires
+      ProcessingTimeTimeout, and Spark keeps the query alive
+      indefinitely running "no new data but cleaning up state"
+      batches to fire evictions; ``processAllAvailable()`` blocks on
+      those too). That turned one TTL test into a 1-hour stall.
+
+    A query that dies mid-run is surfaced via ``exception()``, never
+    returned as a partial table; a stream still showing available
+    data after ``timeout_s`` raises rather than returning partial
+    output."""
+    import time as _time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -120,11 +137,25 @@ def run_stream_to_memory(
         .start()
     )
     try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow stream {name!r} still running after "
-                f"{timeout_s}s — refusing to return partial results"
-            )
+        deadline = _time.monotonic() + timeout_s
+        while q.isActive:
+            lp = q.lastProgress
+            if (
+                lp is not None
+                and lp["numInputRows"] == 0
+                and not q.status["isDataAvailable"]
+            ):
+                break  # input exhausted; only state-eviction timers remain
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"availableNow stream {name!r} still has unprocessed "
+                    f"input after {timeout_s}s — refusing to return "
+                    "partial results"
+                )
+            _time.sleep(0.2)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
     finally:
         if q.isActive:
             q.stop()
