@@ -148,7 +148,16 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
 
 def test_streaming_dedup_ttl_state_bound(spark, tmp_path):
     """ttl_minutes wires ProcessingTimeTimeout (state eviction) — the
-    plumbing must run end-to-end; within one run keys still dedup."""
+    plumbing must run end-to-end; within one run keys still dedup.
+
+    Also pins that the helper RETURNS PROMPTLY: a timer-carrying
+    availableNow query never self-terminates (Spark schedules
+    "no new data but cleaning up state" batches indefinitely to fire
+    evictions), so an awaitTermination/processAllAvailable-based wait
+    stalls until its deadline — the r10 session-2 regression that
+    turned this one test into an hour-long hang."""
+    import time
+
     from exon_spark.streaming import run_stream_to_memory, streaming_dedup
 
     d = tmp_path / "ttl_stream"
@@ -157,12 +166,43 @@ def test_streaming_dedup_ttl_state_bound(spark, tmp_path):
         [("x", 1), ("x", 2), ("y", 3)], "k string, v int"
     ).coalesce(1).write.parquet(str(d / "f0"))
     stream = spark.readStream.schema("k string, v int").parquet(str(d / "*"))
+    t0 = time.monotonic()
     out = run_stream_to_memory(
         streaming_dedup(stream, key_cols=("k",), ttl_minutes=5),
         "sdedup_ttl",
         output_mode="append",
     )
+    elapsed = time.monotonic() - t0
     assert {r.k for r in out.collect()} == {"x", "y"}
+    assert elapsed < 120, f"TTL stream wait took {elapsed:.0f}s — stalled"
+
+
+def test_failing_stream_raises_not_partial(spark, tmp_path):
+    """A stream that dies mid-run must surface its error, never return
+    whatever the sink had — the same no-partial-results contract the
+    sf10 probe enforced for slow streams (streaming/__init__.py)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from exon_spark.streaming import run_stream_to_memory
+
+    d = tmp_path / "bad_stream"
+    d.mkdir()
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"
+    ).coalesce(1).write.parquet(str(d / "f0"))
+    bad = (
+        spark.readStream.schema("k string, v int")
+        .parquet(str(d / "*"))
+        .withColumn(
+            "boom",
+            F.when(
+                F.col("k") == "a", F.raise_error("planted failure")
+            ).otherwise(F.lit("x")),
+        )
+    )
+    with pytest.raises(Exception, match="planted failure|Query .* terminated"):
+        run_stream_to_memory(bad, "sbad_t", output_mode="append")
 
 
 def test_stateless_curation_operators_run_on_streams(spark, tmp_path):
