@@ -335,23 +335,37 @@ def logreg_classifier_fit(
     train = pooled.select(
         F.col("_y").alias("label"), assemble("bc", "n").alias("features")
     )
-    n_by_class = {
-        float(r["label"]): r["cnt"]
-        for r in train.groupBy("label").agg(F.count("*").alias("cnt")).collect()
-    }
-    if n_by_class.get(0.0, 0) == 0 or n_by_class.get(1.0, 0) == 0:
-        raise ValueError(
-            "logreg_classifier_fit needs featured documents in both "
-            f"classes (docs by label: {n_by_class})"
+    # persist across validation + fit: without it the class-presence
+    # collect runs the explode + two shuffles + the per-row assembly
+    # UDF end-to-end and lr.fit then recomputes the identical lineage
+    # from scratch — fit wall-clock doubles. The cached table is one
+    # SparseVector row per featured SEED doc (curation-sized by
+    # construction), so MEMORY_AND_DISK is bounded.
+    from pyspark import StorageLevel
+
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_by_class = {
+            float(r["label"]): r["cnt"]
+            for r in train.groupBy("label")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        if n_by_class.get(0.0, 0) == 0 or n_by_class.get(1.0, 0) == 0:
+            raise ValueError(
+                "logreg_classifier_fit needs featured documents in both "
+                f"classes (docs by label: {n_by_class})"
+            )
+        lr = LogisticRegression(
+            maxIter=max_iter,
+            regParam=reg_param,
+            elasticNetParam=0.0,
+            standardization=False,
+            family="binomial",
         )
-    lr = LogisticRegression(
-        maxIter=max_iter,
-        regParam=reg_param,
-        elasticNetParam=0.0,
-        standardization=False,
-        family="binomial",
-    )
-    m = lr.fit(train)
+        m = lr.fit(train)
+    finally:
+        train.unpersist()
     w = np.asarray(m.coefficients.toArray())
     nz = np.nonzero(w)[0]
     spark = df.sparkSession
@@ -439,7 +453,17 @@ def logreg_classifier_score(
                 margin = intercept + (
                     sum(wts[g] for g in row) / n if n else 0.0
                 )
-                p = 1.0 / (1.0 + math.exp(-margin))
+                # saturate like the join regime's F.exp (which overflows
+                # to inf -> prob 0.0/1.0); bare math.exp raises
+                # OverflowError past |margin| ~ 709 on a hand-frozen
+                # extreme model, crashing the job where the JVM regime
+                # returns a probability
+                if margin < -709.0:
+                    p = 0.0
+                elif margin > 709.0:
+                    p = 1.0
+                else:
+                    p = 1.0 / (1.0 + math.exp(-margin))
                 return (n, round(p, 6), margin > 0)
 
             return pd.DataFrame(

@@ -305,6 +305,33 @@ def test_logreg_score_matches_numpy_reference(spark):
             assert got[doc_id] == ref(text), (mode, doc_id)
 
 
+def test_logreg_score_regimes_agree_on_extreme_margins(spark):
+    """A hand-frozen model can push |margin| past 709, where bare
+    math.exp overflows: the udf regime must saturate to 0.0/1.0 like
+    the join regime's F.exp (inf -> prob 0), not crash the job."""
+    from exon_spark.operators import logreg_classifier_score
+
+    buckets = 4096
+    df = _docs(
+        spark,
+        [(1, "doom", None), (2, "boom", None), (3, "plain words", None)],
+    )
+    model = spark.createDataFrame(
+        [(_h32("doom") % buckets, -50000.0), (_h32("boom") % buckets, 50000.0)],
+        "bucket bigint, weight double",
+    )
+    meta = {"intercept": 0.0, "buckets": buckets}
+    got = {}
+    for mode in ("join", "udf"):
+        got[mode] = {
+            r["doc_id"]: (r["n_feats"], r["lr_prob"], r["lr_pass"])
+            for r in logreg_classifier_score(df, model, meta, mode=mode).collect()
+        }
+    assert got["join"] == got["udf"]
+    assert got["join"][1] == (1, 0.0, False)
+    assert got["join"][2] == (1, 1.0, True)
+
+
 def test_logreg_fit_separates_and_regimes_agree(spark):
     from exon_spark.operators import (
         logreg_classifier_fit,
