@@ -140,6 +140,8 @@ def main() -> None:
     # by construction. Measured swing on the codegen-heavy dedup queries
     # is ±30% cold vs warm.
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    noisy: dict[str, float] = {}  # name -> max steal% seen across its runs
     errors: dict[str, str] = {}
     bench_start = time.monotonic()
 
@@ -158,6 +160,7 @@ def main() -> None:
         best = None
         try:
             for _ in range(runs):
+                run_cpu0 = _cpu_ticks()
                 t0 = time.perf_counter()
                 # noop sink, NOT .count(): Catalyst prunes computed
                 # columns a count never reads, so .count() on the pure
@@ -168,6 +171,13 @@ def main() -> None:
                 # the full projection JVM-side and discards rows.
                 fn().write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
+                # per-run steal sample: a query measured inside a >2%
+                # steal window is flagged in the artifact so attribution
+                # doesn't burn a session re-running it (r9/r10 both did)
+                run_steal = _steal_pct(run_cpu0)
+                if run_steal is not None and run_steal > 2.0:
+                    noisy[name] = max(noisy.get(name, 0.0), run_steal)
+                samples.setdefault(name, []).append(round(dt, 3))
                 best = dt if best is None else min(best, dt)
                 drop_intermediates()
             times[name] = round(best, 3)
@@ -188,20 +198,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_FORMATS"):
         # manual scale-replica runs time the 50 table queries only — the
         # format workloads are baseline-scale fixtures independent of sf
-        total = round(sum(times.values()), 3)
-        out = {
-            "metric": "headline_total",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "sf": sf_dir.rstrip("/").split("sf")[-1],
-        }
-        if errors:
-            out["errors"] = errors
-        steal = _steal_pct(cpu0)
-        if steal is not None:
-            out["cpu_steal_pct"] = steal
-        print(json.dumps(out))
+        print(json.dumps(_artifact(times, samples, noisy, errors, cpu0, sf_dir)))
         spark.stop()
         return
 
@@ -245,22 +242,33 @@ def main() -> None:
         for name, fn in FORMAT_BENCH.items():
             timed(name, lambda fn=fn: fn(spark, fx))
 
-    total = round(sum(times.values()), 3)
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps(_artifact(times, samples, noisy, errors, cpu0, sf_dir)))
+    spark.stop()
+
+
+def _artifact(times, samples, noisy, errors, cpu0, sf_dir) -> dict:
+    """Assemble the one-line JSON artifact. ``samples`` records every
+    per-run wall time (best-of-N is derivable, and spread is visible —
+    the committed artifact is no longer a hand-selected single sample);
+    ``noisy`` lists queries whose runs overlapped a >2% CPU-steal window
+    (multi-tenant host), pre-flagging rows whose raw deltas should not
+    be attributed to code."""
     out = {
         "metric": "headline_total",
-        "value": total,
+        "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "sf": sf,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "samples": samples,
     }
+    if noisy:
+        out["steal_flagged"] = {k: round(v, 2) for k, v in sorted(noisy.items())}
     if errors:
         out["errors"] = errors
     steal = _steal_pct(cpu0)
     if steal is not None:
         out["cpu_steal_pct"] = steal
-    print(json.dumps(out))
-    spark.stop()
+    return out
 
 
 if __name__ == "__main__":

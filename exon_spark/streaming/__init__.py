@@ -94,6 +94,21 @@ def sessionize_stream(
     )
 
 
+def _quiescent(last_progress, data_available: bool) -> bool:
+    """True iff the last committed micro-batch proves the availableNow
+    stream is done emitting: zero input rows, zero output rows, and no
+    data pending. A no-data batch WITH output (timer-driven emission)
+    is not quiescent — more emitting batches may follow. A missing /
+    unknown sink count (some sinks report -1) is treated as no output,
+    matching the pre-r11 behavior for those sinks."""
+    return (
+        last_progress is not None
+        and last_progress["numInputRows"] == 0
+        and last_progress.get("sink", {}).get("numOutputRows", 0) <= 0
+        and not data_available
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -123,6 +138,16 @@ def run_stream_to_memory(
       batches to fire evictions; ``processAllAvailable()`` blocks on
       those too). That turned one TTL test into a 1-hour stall.
 
+    The zero-input break additionally requires the batch to have
+    emitted ZERO output rows: a stateful operator that emits on timer
+    expiry (or chained stateful operators propagating watermark-driven
+    emission across several no-data batches) produces no-data batches
+    WITH output, and breaking on the first of those would truncate the
+    result — the same partial-output class this helper exists to
+    prevent. Only a committed no-input, no-output batch with no data
+    pending proves quiescence; pure state-eviction batches (e.g.
+    ``streaming_dedup`` TTL removals) emit nothing and still break.
+
     A query that dies mid-run is surfaced via ``exception()``, never
     returned as a partial table; a stream still showing available
     data after ``timeout_s`` raises rather than returning partial
@@ -140,12 +165,8 @@ def run_stream_to_memory(
         deadline = _time.monotonic() + timeout_s
         while q.isActive:
             lp = q.lastProgress
-            if (
-                lp is not None
-                and lp["numInputRows"] == 0
-                and not q.status["isDataAvailable"]
-            ):
-                break  # input exhausted; only state-eviction timers remain
+            if _quiescent(lp, q.status["isDataAvailable"]):
+                break  # no-input, no-output batch committed, nothing pending
             if _time.monotonic() > deadline:
                 raise TimeoutError(
                     f"availableNow stream {name!r} still has unprocessed "

@@ -365,3 +365,27 @@ def test_stateless_r8_operators_run_on_streams(spark, tmp_path):
         got = sorted(map(tuple, spark.sql(f"select * from r8_{name}").collect()))
         exp = sorted(map(tuple, op(docs).collect()))
         assert got == exp, name
+
+
+def test_quiescence_predicate():
+    """Pin the availableNow wait-loop break invariant (r11, ADVICE r10):
+    only a committed zero-input, zero-OUTPUT batch with no data pending
+    is quiescent. A no-data batch that still emits rows (timer-driven
+    emission from a stateful operator) must NOT break the wait — that
+    is exactly the partial-output class run_stream_to_memory guards."""
+    from exon_spark.streaming import _quiescent
+
+    # no progress yet → keep waiting
+    assert not _quiescent(None, False)
+    # data batch → keep waiting
+    assert not _quiescent({"numInputRows": 10, "sink": {"numOutputRows": 10}}, False)
+    # zero-input batch that EMITS (timer expiry) → keep waiting
+    assert not _quiescent({"numInputRows": 0, "sink": {"numOutputRows": 3}}, False)
+    # zero-input, zero-output, but source says more data → keep waiting
+    assert not _quiescent({"numInputRows": 0, "sink": {"numOutputRows": 0}}, True)
+    # the one true break: committed no-input no-output batch, nothing pending
+    assert _quiescent({"numInputRows": 0, "sink": {"numOutputRows": 0}}, False)
+    # sinks that report unknown (-1) or omit the count: treated as no
+    # output (pre-r11 behavior preserved for those sinks)
+    assert _quiescent({"numInputRows": 0, "sink": {"numOutputRows": -1}}, False)
+    assert _quiescent({"numInputRows": 0}, False)
