@@ -194,7 +194,9 @@ def bloom_dedup_against(
     (append mode).
     """
     sc = new.sparkSession.sparkContext
-    bc = sc.broadcast(bf.bits)
+    from exon_spark.operators.state import track_broadcast
+
+    bc = track_broadcast(sc.broadcast(bf.bits))
     k = bf.k
 
     from pyspark.sql.functions import pandas_udf

@@ -209,8 +209,12 @@ def bpe_segment(
     # the driver's sys.path; the segment loop is re-stated inside the
     # UDF for the same reason — pinned equal to the module-level
     # _segment_word by test)
-    _bc = df.sparkSession.sparkContext.broadcast(
-        {pair: i for i, pair in enumerate(merges)}
+    from exon_spark.operators.state import track_broadcast
+
+    _bc = track_broadcast(
+        df.sparkSession.sparkContext.broadcast(
+            {pair: i for i, pair in enumerate(merges)}
+        )
     )
     _eow = EOW
 

@@ -422,7 +422,9 @@ def logreg_classifier_score(
     ids = df.select(F.col(id_col).alias("doc_id"), text_col)
     if mode == "udf":
         lut = {int(r["bucket"]): float(r["weight"]) for r in model.collect()}
-        bc = df.sparkSession.sparkContext.broadcast(lut)
+        from exon_spark.operators.state import track_broadcast
+
+        bc = track_broadcast(df.sparkSession.sparkContext.broadcast(lut))
 
         from pyspark.sql.functions import pandas_udf
 

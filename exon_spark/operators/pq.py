@@ -536,7 +536,9 @@ def ivfpq_topk(
     ]
 
     sc = encoded.sparkSession.sparkContext
-    bc = sc.broadcast((lut, probers_np))
+    from exon_spark.operators.state import track_broadcast
+
+    bc = track_broadcast(sc.broadcast((lut, probers_np)))
 
     from pyspark.sql.functions import pandas_udf
 

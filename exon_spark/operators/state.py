@@ -13,7 +13,68 @@ writes. Without a session (offline tooling), plain local file IO.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import SparkSession
+
+# ---------------------------------------------------------------------------
+# Broadcast lifecycle (r11; SCALE.md "Known trade-offs"). Operators that ship
+# pickled state to executors via ``sc.broadcast`` (segmenter vocabs, bloom
+# bitmaps, classifier LUTs, PQ codebook LUTs) bind the handle into a lazy
+# plan and historically never released it — correct for one-shot jobs, but a
+# standing pipeline that re-derives operators per batch accumulates executor
+# broadcast blocks until GC gets around to them. ``broadcast_scope`` makes
+# the lifecycle explicit without changing any operator signature.
+# ---------------------------------------------------------------------------
+
+_ACTIVE_BROADCAST_SCOPES: list[list] = []
+
+
+def track_broadcast(bc):
+    """Register a freshly-created ``sc.broadcast`` handle with the
+    innermost active :func:`broadcast_scope` (no-op when none is active).
+    Every exon operator that creates a pickled broadcast routes through
+    this hook, so callers never need the handle itself."""
+    if _ACTIVE_BROADCAST_SCOPES:
+        _ACTIVE_BROADCAST_SCOPES[-1].append(bc)
+    return bc
+
+
+@contextmanager
+def broadcast_scope(destroy: bool = False):
+    """Scope the executor lifetime of operator-created broadcasts.
+
+    Usage (the per-batch pattern for standing pipelines)::
+
+        with broadcast_scope() as handles:
+            out = bpe_segment(batch_df, vocab)   # broadcasts vocab
+            out.write.parquet(dest)              # evaluate INSIDE the scope
+
+    On exit every broadcast created inside the scope is ``unpersist``-ed
+    (executor blocks dropped eagerly instead of waiting for driver GC).
+    With ``destroy=True`` the handles are destroyed outright — full
+    driver+executor reclamation, but any plan holding the handle becomes
+    unusable, so only destroy when nothing derived in the scope will be
+    re-evaluated. The default is safe either way: an unpersisted
+    broadcast re-ships lazily if a retained plan is re-run.
+
+    The alternative (no scope) remains correct: hoist the operator call
+    OUT of the per-batch loop so one broadcast serves every batch —
+    preferable when the shipped state itself is loop-invariant."""
+    handles: list = []
+    _ACTIVE_BROADCAST_SCOPES.append(handles)
+    try:
+        yield handles
+    finally:
+        _ACTIVE_BROADCAST_SCOPES.pop()
+        for bc in handles:
+            try:
+                if destroy:
+                    bc.destroy(blocking=False)
+                else:
+                    bc.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped; nothing left to reclaim
 
 
 def _session(spark: SparkSession | None) -> SparkSession | None:

@@ -1497,7 +1497,11 @@ def _phrase_tag_ac(
             weights[pid][ti] = weights[pid].get(ti, 0) + 1
     automaton = _ac_build(list(pat_ids))
     n_tags = len(tags)
-    bc = df.sparkSession.sparkContext.broadcast((automaton, weights))
+    from exon_spark.operators.state import track_broadcast
+
+    bc = track_broadcast(
+        df.sparkSession.sparkContext.broadcast((automaton, weights))
+    )
 
     from pyspark.sql.functions import pandas_udf
 

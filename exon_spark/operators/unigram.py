@@ -227,7 +227,9 @@ def unigram_segment(
     per-worker word cache. The piece dict rides an ``sc.broadcast``
     (once per executor), not the UDF closure (re-pickled per task) —
     same rationale as ``bpe_segment``."""
-    _bc = df.sparkSession.sparkContext.broadcast(dict(vocab))
+    from exon_spark.operators.state import track_broadcast
+
+    _bc = track_broadcast(df.sparkSession.sparkContext.broadcast(dict(vocab)))
     _mpl = max_piece_len
     _unk = UNK_LOGPROB
 
