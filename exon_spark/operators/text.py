@@ -1500,37 +1500,78 @@ def _phrase_tag_ac(
     from exon_spark.operators.state import track_broadcast
 
     bc = track_broadcast(
-        df.sparkSession.sparkContext.broadcast((automaton, weights))
+        df.sparkSession.sparkContext.broadcast(
+            (automaton, weights, list(pat_ids))
+        )
     )
 
     from pyspark.sql.functions import pandas_udf
 
     fields = ", ".join(f"t{i}: int" for i in range(n_tags))
+    # per-worker cache for the optional C automaton: closure-captured
+    # mutable dict, so one build serves every batch a task processes
+    _c_cache: dict = {}
 
     @pandas_udf(f"struct<{fields}>")
     def scan(texts):
         import pandas as pd
 
-        (goto, fail, out), weights = bc.value
+        (goto, fail, out), weights, patterns = bc.value
         root = goto[0]
 
-        def one(t):
+        # Optional C fast path (r11, VERDICT r10 order 6): when
+        # `pyahocorasick` is importable on the executors, scan with its
+        # C automaton instead of the per-character Python loop (~10x on
+        # 10^5-phrase blocklists — the Python char loop is the cost
+        # floor at 100 TB). `Automaton.iter` yields (end_index, value)
+        # for EVERY occurrence of every pattern — the same enumeration
+        # as the pure-Python outputs — so the greedy per-pattern
+        # non-overlap counting below is shared verbatim. Parity pinned
+        # (skipped when the lib is absent): tests/test_text_ops.py.
+        cac = _c_cache.get("A", False)
+        if cac is False:
+            try:
+                import ahocorasick as _ahc
+
+                cac = _ahc.Automaton()
+                for pid, pl in enumerate(patterns):
+                    cac.add_word(pl, (pid, len(pl)))
+                cac.make_automaton()
+            except ImportError:
+                cac = None
+            _c_cache["A"] = cac
+
+        def count_hits(matches):
+            # matches: iterable of (end_index, (pid, plen)), any order
+            # within one end position; greedy non-overlap per pattern
             counts = [0] * n_tags
-            if t is None:
-                return counts
-            s = 0
             last_end: dict[int, int] = {}
-            g = goto
-            for i, ch in enumerate(t.lower()):
-                while s and ch not in g[s]:
-                    s = fail[s]
-                s = g[s].get(ch, 0) if s else root.get(ch, 0)
-                for pid, plen in out[s]:
-                    if i - plen + 1 >= last_end.get(pid, 0):
-                        last_end[pid] = i + 1
-                        for ti, mult in weights[pid].items():
-                            counts[ti] += mult
+            for i, (pid, plen) in matches:
+                if i - plen + 1 >= last_end.get(pid, 0):
+                    last_end[pid] = i + 1
+                    for ti, mult in weights[pid].items():
+                        counts[ti] += mult
             return counts
+
+        def one(t):
+            if t is None:
+                return [0] * n_tags
+            tl = t.lower()
+            if cac is not None:
+                return count_hits(cac.iter(tl))
+            s = 0
+            g = goto
+
+            def py_matches():
+                nonlocal s
+                for i, ch in enumerate(tl):
+                    while s and ch not in g[s]:
+                        s = fail[s]
+                    s = g[s].get(ch, 0) if s else root.get(ch, 0)
+                    for hit in out[s]:
+                        yield i, hit
+
+            return count_hits(py_matches())
 
         rows = [one(t) for t in texts]
         return pd.DataFrame(

@@ -1675,3 +1675,30 @@ def test_phrase_tag_ac_regime_parity(spark):
     assert "ArrowEvalPython" in plan and "Exchange" not in plan
     with pytest.raises(ValueError, match="regime"):
         phrase_tag(df, tags, regime="nope")
+
+
+def test_phrase_tag_c_automaton_parity(spark):
+    """Parity pin for the optional pyahocorasick C fast path inside
+    _phrase_tag_ac (r11). Skipped when the library is absent (this
+    container): the pure-Python automaton then serves the scan and is
+    already parity-pinned against the expr regime above."""
+    pytest.importorskip("ahocorasick")
+    from exon_spark.operators.text import phrase_tag
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa AAa aaaa self-overlap aa"),
+            (2, "alpha beta alpha beta gamma"),
+            (3, None),
+            (4, "nested aba abab ababa cases"),
+        ],
+        "doc_id bigint, text string",
+    )
+    phrases = {
+        "a": ["aa", "aaa"],
+        "greek": ["alpha beta", "gamma", "beta"],
+        "nest": ["aba", "ababa"],
+    }
+    got = sorted(map(tuple, phrase_tag(docs, phrases, regime="ac").collect()))
+    exp = sorted(map(tuple, phrase_tag(docs, phrases, regime="expr").collect()))
+    assert got == exp
