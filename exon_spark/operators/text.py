@@ -485,6 +485,40 @@ def bm25_search(
     return scored.orderBy(F.desc("score"), "doc_id").limit(limit)
 
 
+def _glibc_ln(col: Column) -> Column:
+    """Natural log computed by the C library (glibc) instead of the JVM.
+
+    Cross-engine float-parity hardening (r11, VERDICT r10 wrong #1):
+    the LM-ladder nll is ``round(-ln(p), 6)``, and JVM ``Math.log``
+    (fdlibm-flavored, ≤1 ulp error) occasionally differs from glibc's
+    ``log`` by one ulp — when that lands exactly on the 6-dp rounding
+    boundary the engines disagree (measured: 1 row in ~50M scored
+    tokens at sf10, CORRECTNESS_sf10_r10.txt). DuckDB's ``ln`` calls
+    the system libm, and CPython's ``math.log`` calls the SAME libm, so
+    this UDF is bit-identical to the oracle's ln by construction
+    (verified over 2.8M samples incl. the count-ratio input domain:
+    tests/test_text_ops.py::test_glibc_ln_matches_duckdb). numpy.log is
+    NOT usable here — its SIMD float64 path diverges from libm on ~22%
+    of inputs on this host.
+
+    Cost discipline: only ever applied to MODEL tables (distinct grams,
+    Zipf-bounded), never to corpus-sized fact rows — the callers join
+    facts to the precomputed nll."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ln(s):
+        import math
+
+        import pandas as pd
+
+        return pd.Series(
+            [None if x is None else math.log(x) for x in s], dtype="float64"
+        )
+
+    return _ln(col)
+
+
 def unigram_logppl(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -504,7 +538,11 @@ def unigram_logppl(
     partial agg; vocabularies are Zipf-bounded, far smaller than the
     corpus), one token-key join back, one groupBy(doc). The vocab join
     broadcasts when the vocab fits (AQE decides); corpus_tokens is a
-    1-row broadcast.
+    1-row broadcast. The nll is precomputed ONCE PER DISTINCT TOKEN on
+    the vocab side (it is a pure function of the token's count), via
+    ``_glibc_ln`` for bit-parity with the DuckDB oracle — the
+    corpus-sized fact rows only join the finished model, never touch
+    Python.
     """
     # deliberately NO fanout_repartition: the per-row work here is one
     # cheap explode (unlike quality_signals' O(g log g) HOF chain) and the
@@ -516,16 +554,16 @@ def unigram_logppl(
     )
     vocab = tok_rows.groupBy("tok").agg(F.count("*").alias("tok_n"))
     total = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
-    scored = (
-        tok_rows.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
+    model = (
+        vocab.crossJoin(F.broadcast(total))
         .select(
-            "doc_id",
+            "tok",
             F.round(
-                -F.log(F.col("tok_n") / F.col("corpus_tokens")), 6
+                -_glibc_ln(F.col("tok_n") / F.col("corpus_tokens")), 6
             ).alias("nll"),
         )
     )
+    scored = tok_rows.join(model, "tok").select("doc_id", "nll")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_tokens"),
         F.round(
@@ -1028,7 +1066,9 @@ def bigram_logppl(
     runtime conversion can fire. ``broadcast_models=False`` reverts to
     AQE for a corpus whose vocab outgrows the driver (the big table is
     NEVER pinned — unique-bigram count grows with the corpus). Same
-    plan family as unigram_logppl — no window, no Python.
+    plan family as unigram_logppl — no window; the only Python is the
+    Arrow-batched ``_glibc_ln`` on the distinct-bigram MODEL table
+    (cross-engine bit-parity, r11), never on the fact side.
     """
     mu = 1.0 - lam
     # no fanout_repartition — same negative measurement as unigram_logppl
@@ -1060,15 +1100,20 @@ def bigram_logppl(
     total = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
     if broadcast_models:
         ctx, vocab = F.broadcast(ctx), F.broadcast(vocab)
-    scored = (
-        pair_rows.join(big, ["prev", "cur"])
-        .join(ctx, "prev")
+    # nll precomputed once per DISTINCT bigram on the model side (it is
+    # a pure function of (big_n, ctx_n, tok_n)); _glibc_ln for oracle
+    # bit-parity. Fact-side join fan drops from 3 model joins + cross
+    # to ONE join on the finished model — the corpus-sized side never
+    # touches Python.
+    model = (
+        big.join(ctx, "prev")
         .join(vocab, F.col("cur") == F.col("tok"))
         .crossJoin(F.broadcast(total))
         .select(
-            "doc_id",
+            "prev",
+            "cur",
             F.round(
-                -F.log(
+                -_glibc_ln(
                     F.lit(lam) * (F.col("big_n") / F.col("ctx_n"))
                     + F.lit(mu) * (F.col("tok_n") / F.col("corpus_tokens"))
                 ),
@@ -1076,6 +1121,7 @@ def bigram_logppl(
             ).alias("nll"),
         )
     )
+    scored = pair_rows.join(model, ["prev", "cur"]).select("doc_id", "nll")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_bigrams"),
         F.round(
@@ -1119,7 +1165,8 @@ def trigram_logppl(
     broadcast-PINNED by default (``broadcast_models=False`` reverts to
     AQE — see bigram_logppl); tri/ctx3/big are never pinned, their row
     counts grow with the corpus. Same plan family as bigram_logppl — no
-    window, no Python.
+    window; the only Python is the Arrow-batched ``_glibc_ln`` on the
+    distinct-trigram MODEL table (cross-engine bit-parity, r11).
     """
     mu2, mu1 = 1.0 - lam2, 1.0 - lam1
     toks = tokens(text_col, lowercase=True)
@@ -1178,9 +1225,11 @@ def trigram_logppl(
     )
     if broadcast_models:
         ctx, vocab = F.broadcast(ctx), F.broadcast(vocab)
-    scored = (
-        tri_rows.join(tri, ["p2", "p1", "cur"])
-        .join(ctx3, ["p2", "p1"])
+    # nll per DISTINCT trigram on the model side (pure function of the
+    # five counts); _glibc_ln for oracle bit-parity; fact side joins the
+    # finished model once — see bigram_logppl
+    model = (
+        tri.join(ctx3, ["p2", "p1"])
         .join(
             big,
             (F.col("p1") == F.col("prev")) & (F.col("cur") == F.col("bcur")),
@@ -1190,9 +1239,11 @@ def trigram_logppl(
         .join(vocab, F.col("cur") == F.col("tok"))
         .crossJoin(F.broadcast(total))
         .select(
-            "doc_id",
+            "p2",
+            "p1",
+            "cur",
             F.round(
-                -F.log(
+                -_glibc_ln(
                     F.lit(lam2) * (F.col("tri_n") / F.col("ctx3_n"))
                     + F.lit(mu2) * p1_term
                 ),
@@ -1200,6 +1251,7 @@ def trigram_logppl(
             ).alias("nll"),
         )
     )
+    scored = tri_rows.join(model, ["p2", "p1", "cur"]).select("doc_id", "nll")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_trigrams"),
         F.round(

@@ -292,7 +292,10 @@ def test_unigram_logppl_broadcasts_corpus_total(registered):
     plan = _plan(_queries()["q42_unigram_logppl"].spark_fn(registered, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "EvalPython" not in plan
+    # the only Python is the vocab-side Arrow-batched _glibc_ln (r11
+    # oracle bit-parity) — one node, never row-at-a-time BatchEvalPython
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_pack_sequences_no_per_group_global_window(registered):

@@ -1185,14 +1185,17 @@ def test_bigram_logppl_partitioning_invariant(spark):
     assert a == b
 
 
-def test_bigram_logppl_jvm_only_plan(spark):
-    """Pure Column expressions — no Python workers, no window; the token
-    array is Generate-barriered so split() runs once per row."""
+def test_bigram_logppl_model_side_python_only(spark):
+    """No window; the token array is Generate-barriered so split() runs
+    once per row; the ONLY Python is the single Arrow-batched _glibc_ln
+    on the distinct-bigram model table (r11 oracle bit-parity) — never
+    row-at-a-time, never more than once."""
     from exon_spark.operators import bigram_logppl
 
     df = _docs(spark, [(1, "x y z")])
     plan = bigram_logppl(df)._jdf.queryExecution().executedPlan().toString()
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
     assert "Window" not in plan
     assert "Generate" in plan
 
@@ -1431,12 +1434,44 @@ def test_trigram_logppl_partitioning_invariant(spark):
     assert a == b
 
 
-def test_trigram_logppl_jvm_only_plan(spark):
+def test_trigram_logppl_model_side_python_only(spark):
     from exon_spark.operators import trigram_logppl
 
     df = _docs(spark, [(1, "a b c d"), (2, "b c d e")])
     plan = trigram_logppl(df)._jdf.queryExecution().executedPlan().toString()
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_glibc_ln_matches_duckdb():
+    """The premise of _glibc_ln (r11): DuckDB's ln and CPython's
+    math.log call the same system libm, so they agree bit-for-bit on
+    the LM ladder's input domain (count ratios and JM mixtures). JVM
+    Math.log does NOT hold this property (the q52 sf10 last-ulp row)."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+    import pyarrow as pa
+
+    random.seed(11)
+    N = 48_123_457
+    xs = [random.randint(1, 2_000_000) / N for _ in range(200_000)]
+    xs += [
+        0.9 * (random.randint(1, 500) / random.randint(500, 5000))
+        + 0.1 * (random.randint(1, 2_000_000) / N)
+        for _ in range(200_000)
+    ]
+    con = duckdb.connect()
+    con.register("xs", pa.table({"x": pa.array(xs, pa.float64())}))
+    rows = con.execute("select x, ln(x) from xs").fetchall()
+    bad = [
+        x
+        for x, v in rows
+        if struct.pack("d", v) != struct.pack("d", math.log(x))
+    ]
+    assert not bad, f"{len(bad)} libm mismatches, first: {bad[:3]}"
 
 
 def test_compression_signals_zlib_oracle(spark):
