@@ -1315,20 +1315,31 @@ common as (
   join sh x on x.doc_id = c.doc_id
   join sh y on y.doc_id = c.dup_of and y.shingle = x.shingle
   group by c.doc_id, c.dup_of
+),
+newpre as (
+  select doc_id,
+         array_to_string(regexp_split_to_array(lower(trim(text)),'\\s+')[1:5],' ') as pre
+  from documents where doc_id % 3 = 0
+),
+idxmin as (
+  -- set-based spelling of "smallest index doc sharing my 5-token
+  -- prefix": one group-by + join instead of a correlated min-subquery
+  -- per output row (the correlated form re-scanned documents per row
+  -- and OOMed DuckDB at sf10 — r10 skip; identical semantics, the
+  -- left join nulls exactly where the subquery returned NULL)
+  select array_to_string(regexp_split_to_array(lower(trim(text)),'\\s+')[1:5],' ') as pre,
+         min(doc_id) as prefix_dup_of
+  from documents where doc_id % 3 <> 0
+  group by pre
 )
 select m.doc_id, m.dup_of,
        round(cast(n_common as double) / (a.n_sh + b.n_sh - n_common), 6) as jaccard,
-       (select min(i.doc_id) from
-          (select doc_id,
-                  array_to_string(regexp_split_to_array(lower(trim(text)),'\\s+')[1:5],' ') as pre
-           from documents) i
-        where i.doc_id % 3 <> 0
-          and i.pre = (select array_to_string(regexp_split_to_array(lower(trim(d.text)),'\\s+')[1:5],' ')
-                       from documents d where d.doc_id = m.doc_id)
-       ) as prefix_dup_of
+       i.prefix_dup_of
 from common m
 join cnt a on m.doc_id = a.doc_id
 join cnt b on m.dup_of = b.doc_id
+left join newpre np on np.doc_id = m.doc_id
+left join idxmin i on i.pre = np.pre
 where round(cast(n_common as double) / (a.n_sh + b.n_sh - n_common), 6) >= 0.5
 """.format(min_cols=_MIN_COLS, band_selects=_BAND_SELECTS)
 

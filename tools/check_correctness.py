@@ -44,9 +44,168 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+# ---------------------------------------------------------------------------
+# Big-oracle mode (r11, VERDICT r10 order 1): alternative oracle
+# implementations for the queries whose plain-SQL oracles are intractable in
+# DuckDB at sf10 (the r10 skips). Each is EXACT, not approximate — a
+# different algorithm for the same definition — and is cross-checked against
+# the plain SQL oracle at small SF by test_big_oracles_match_sql_oracles.
+# ---------------------------------------------------------------------------
+
+
+def _q31_big_oracle(con: "duckdb.DuckDBPyConnection", sf_dir: str) -> pd.DataFrame:
+    """Connected components via driver-side union-find over the DuckDB
+    pair list, replacing the recursive-CTE transitive closure (which
+    builds O(n*m) reach rows and spilled >60 GB at 500k docs). The pair
+    extraction (minhash LSH + jaccard verify) stays in DuckDB; the
+    closure is a 20-line union-find over the dup pairs — bounded by the
+    dup RATE, not the corpus."""
+    from exon_spark.queries.pipeline import _MINHASH_PAIRS_CTES
+
+    pairs = con.execute(
+        f"with {_MINHASH_PAIRS_CTES} select doc_a, doc_b from pairs"
+    ).fetchall()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-root union
+    comp_min: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    rows = sorted((x, comp_min[find(x)]) for x in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def _q37_big_oracle(
+    con: "duckdb.DuckDBPyConnection", sf_dir: str, shards: int = 16
+) -> pd.DataFrame:
+    """Gram-sharded spelling of the q37 oracle: the all-ngram index
+    (dupg: group EVERY 8-gram of the corpus) OOMed DuckDB at 500k docs.
+    The gram universe is hash-partitioned into ``shards`` disjoint
+    slices — the dup-window extraction is a pure per-gram function, so
+    per-shard results union to exactly the unsharded ``dup`` CTE; the
+    gram stream is spilled to a temp parquet once so each shard pass is
+    a scan+filter, not a re-tokenization."""
+    import os
+    import tempfile
+
+    from exon_spark.queries.pipeline import _BOILERPLATE, _Q37_GRAM
+
+    base = f"""planted as (
+  select doc_id,
+         case when doc_id % 7 = 2 then text || ' {_BOILERPLATE}'
+              else text end as text
+  from documents
+),
+tok as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from planted
+)"""
+    gram_expr = _Q37_GRAM.replace("toks[i+0]", "toks[i]")
+    tmp = tempfile.mkdtemp(prefix="q37_oracle_")
+    gpath = os.path.join(tmp, "g.parquet")
+    try:
+        con.execute(
+            f"""copy (
+  with {base}
+  select doc_id, i as pos, {gram_expr} as gram
+  from tok, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) as t(i)
+) to '{gpath}' (format parquet)"""
+        )
+        con.execute(
+            "create or replace temp table q37_dup "
+            "(doc_id bigint, pos bigint, keep_doc bigint)"
+        )
+        for s in range(shards):
+            con.execute(
+                f"""insert into q37_dup
+with gs as (
+  select * from '{gpath}' where hash(gram) % {shards} = {s}
+),
+dupg as (
+  select gram, min(doc_id) as keep_doc
+  from gs group by gram having count(distinct doc_id) >= 2
+)
+select gs.doc_id, gs.pos, d.keep_doc from gs join dupg d using (gram)"""
+            )
+        out = con.execute(
+            f"""with {base},
+dup as (select * from q37_dup),
+cov as (
+  select doc_id, count(*) as covered_tokens from (
+    select distinct doc_id, pos + k as p
+    from dup, unnest(range(0, 8)) as u(k)
+  ) group by doc_id
+),
+wins as (select doc_id, count(*) as n_dup_ngrams from dup group by doc_id),
+rem as (
+  select distinct doc_id, pos + k as p
+  from dup, unnest(range(0, 8)) as u(k)
+  where doc_id != keep_doc
+),
+otok as (
+  select doc_id,
+         unnest(range(1, len(arr) + 1)) as tokpos,
+         unnest(arr) as tok
+  from (select doc_id, regexp_split_to_array(trim(text), '\\s+') as arr
+        from planted)
+),
+red as (
+  select o.doc_id, string_agg(o.tok, ' ' order by o.tokpos) as text,
+         count(*) as n_kept
+  from otok o left join rem r on o.doc_id = r.doc_id and o.tokpos = r.p
+  where r.doc_id is null
+  group by o.doc_id
+),
+nt as (select doc_id, cast(len(toks) as int) as n_toks from tok)
+select nt.doc_id, nt.n_toks,
+       coalesce(w.n_dup_ngrams, 0) as n_dup_ngrams,
+       coalesce(c.covered_tokens, 0) as covered_tokens,
+       round(cast(coalesce(c.covered_tokens, 0) as double)
+             / greatest(nt.n_toks, 1), 6) as covered_frac,
+       coalesce(red.text, '') as text,
+       cast(nt.n_toks - coalesce(red.n_kept, 0) as int) as n_removed
+from nt
+left join cov c on nt.doc_id = c.doc_id
+left join wins w on nt.doc_id = w.doc_id
+left join red on nt.doc_id = red.doc_id"""
+        ).df()
+    finally:
+        try:
+            os.unlink(gpath)
+            os.rmdir(tmp)
+        except OSError:
+            pass
+    return out
+
+
+BIG_ORACLES = {
+    "q31_dedup_clusters": _q31_big_oracle,
+    "q37_dup_ngram_coverage": _q37_big_oracle,
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--big-oracle",
+        action="store_true",
+        help="use the sf10-tractable alternative oracles where one exists",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -74,7 +233,10 @@ def main() -> int:
             print(f"rows  {name}: {len(sdf)} rows (no oracle — rows-only)")
             continue
         try:
-            odf = con.execute(spec.oracle).df()
+            if args.big_oracle and name in BIG_ORACLES:
+                odf = BIG_ORACLES[name](con, args.sf)
+            else:
+                odf = con.execute(spec.oracle).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
