@@ -105,8 +105,12 @@ def nb_classifier_fit(
 
     denom1, denom0 = t1 + alpha * buckets, t0 + alpha * buckets
 
+    from exon_spark.operators.dedup import _glibc_ln
+
     def _lo(c1: Column, c0: Column) -> Column:
-        return F.log((c1 + F.lit(alpha)) / F.lit(denom1)) - F.log(
+        # libm ln (oracle bit-parity, r11) — runs on the bucket-sized
+        # counts table only; meta's math.log constants are already libm
+        return _glibc_ln((c1 + F.lit(alpha)) / F.lit(denom1)) - _glibc_ln(
             (c0 + F.lit(alpha)) / F.lit(denom0)
         )
 

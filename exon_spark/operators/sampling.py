@@ -650,9 +650,14 @@ def dsir_weights(
         F.coalesce("n_r", F.lit(0)).alias("n_r"),
     )
     tot = stats.agg(F.sum("n_t").alias("tt"), F.sum("n_r").alias("tr"))
-    lr = F.log(
+    from exon_spark.operators.dedup import _glibc_ln
+
+    # libm ln (oracle bit-parity, r11) — bucket-sized ratio table only;
+    # the per-doc gumbel key below keeps JVM ln (4-dp round, per-doc
+    # path — Python there would be corpus-sized)
+    lr = _glibc_ln(
         (F.col("n_t") + k) / (F.col("tt") + k * buckets)
-    ) - F.log((F.col("n_r") + k) / (F.col("tr") + k * buckets))
+    ) - _glibc_ln((F.col("n_r") + k) / (F.col("tr") + k * buckets))
     ratio = stats.crossJoin(F.broadcast(tot)).select(
         "b", F.round(lr, 6).cast("decimal(28,6)").alias("lr")
     )

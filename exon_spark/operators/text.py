@@ -10,7 +10,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from exon_spark.operators.dedup import (
+from exon_spark.operators.dedup import (  # noqa: F401
+    _glibc_ln,
     fanout_repartition,
     h32,
     tokens,
@@ -459,19 +460,29 @@ def bm25_search(
     dfreq = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df_t")
     )
-    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    # idf precomputed per TERM with libm ln (_glibc_ln — oracle
+    # bit-parity, r11): the per-row product idf * tf_part is then pure
+    # IEEE arithmetic over identical doubles in both engines
+    dfreq_idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            _glibc_ln(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            ).alias("idf"),
+        )
     )
+    j = tf.join(F.broadcast(dfreq_idf), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
     )
     scored = (
         j.select(
             "doc_id",
-            F.round(idf * tf_part, 6).alias("s_term"),
+            F.round(F.col("idf") * tf_part, 6).alias("s_term"),
         )
         .groupBy("doc_id")
         .agg(
@@ -485,38 +496,6 @@ def bm25_search(
     return scored.orderBy(F.desc("score"), "doc_id").limit(limit)
 
 
-def _glibc_ln(col: Column) -> Column:
-    """Natural log computed by the C library (glibc) instead of the JVM.
-
-    Cross-engine float-parity hardening (r11, VERDICT r10 wrong #1):
-    the LM-ladder nll is ``round(-ln(p), 6)``, and JVM ``Math.log``
-    (fdlibm-flavored, ≤1 ulp error) occasionally differs from glibc's
-    ``log`` by one ulp — when that lands exactly on the 6-dp rounding
-    boundary the engines disagree (measured: 1 row in ~50M scored
-    tokens at sf10, CORRECTNESS_sf10_r10.txt). DuckDB's ``ln`` calls
-    the system libm, and CPython's ``math.log`` calls the SAME libm, so
-    this UDF is bit-identical to the oracle's ln by construction
-    (verified over 2.8M samples incl. the count-ratio input domain:
-    tests/test_text_ops.py::test_glibc_ln_matches_duckdb). numpy.log is
-    NOT usable here — its SIMD float64 path diverges from libm on ~22%
-    of inputs on this host.
-
-    Cost discipline: only ever applied to MODEL tables (distinct grams,
-    Zipf-bounded), never to corpus-sized fact rows — the callers join
-    facts to the precomputed nll."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _ln(s):
-        import math
-
-        import pandas as pd
-
-        return pd.Series(
-            [None if x is None else math.log(x) for x in s], dtype="float64"
-        )
-
-    return _ln(col)
 
 
 def unigram_logppl(
@@ -659,16 +638,19 @@ def tfidf_keywords(
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("_n")
     )
+    # per-TERM libm ln (oracle bit-parity, r11); tf * _lnr is then pure
+    # IEEE over identical doubles in both engines
+    dfreq_ln = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select("term", _glibc_ln(F.col("_n") / F.col("_df")).alias("_lnr"))
+    )
     scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.join(dfreq_ln, "term")
         .select(
             "doc_id",
             "term",
             "tf",
-            F.round(
-                F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6
-            ).alias("score"),
+            F.round(F.col("tf") * F.col("_lnr"), 6).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))

@@ -187,7 +187,10 @@ def test_bm25_broadcasts_stats_and_dfreq(registered):
         "BroadcastHashJoin"
     ) >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
-    assert "EvalPython" not in plan
+    # the only Python is the per-TERM Arrow-batched _glibc_ln idf (r11
+    # oracle bit-parity) — model side only, never row-at-a-time
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_quality_signals_no_shuffle_no_python(registered):
@@ -257,7 +260,14 @@ def test_q36_fused_gate_plan_shape(registered):
     import re
 
     plan = _final_plan(_queries()["q36_quality_signals"].spark_fn(registered, SF))
-    assert "EvalPython" not in plan
+    # the only Python is the bucket-table Arrow-batched _glibc_ln in the
+    # NB fit's log-odds (r11 oracle bit-parity) — never on the corpus
+    # side. Count DISTINCT nodes: the adaptive final plan prints the
+    # broadcast-stage subtree twice (materialized + reused), same
+    # expression IDs both times.
+    assert "BatchEvalPython" not in plan
+    nodes = set(re.findall(r"ArrowEvalPython \[[^\]]*", plan))
+    assert len(nodes) == 1, nodes
     assert "CartesianProduct" not in plan
     # every bucket-keyed model join is a broadcast, never shuffled
     bucket_joins = re.findall(r"(\w+Join) \[bucket#\d+L?\]", plan)
@@ -292,10 +302,11 @@ def test_unigram_logppl_broadcasts_corpus_total(registered):
     plan = _plan(_queries()["q42_unigram_logppl"].spark_fn(registered, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # the only Python is the vocab-side Arrow-batched _glibc_ln (r11
-    # oracle bit-parity) — one node, never row-at-a-time BatchEvalPython
+    # two model-side Arrow-batched _glibc_ln nodes (r11 oracle
+    # bit-parity): the unigram vocab nll + the fused DSIR bucket
+    # log-ratio — never row-at-a-time, never on the corpus side
     assert "BatchEvalPython" not in plan
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("ArrowEvalPython") == 2
 
 
 def test_pack_sequences_no_per_group_global_window(registered):
@@ -405,7 +416,8 @@ def test_dsir_weights_plan_shape(registered):
     plan = _plan(
         dsir_weights(docs, docs.filter(F.col("source") == "src0"), buckets=512)
     )
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # bucket-table _glibc_ln only
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
@@ -425,7 +437,8 @@ def test_q38_keyword_fusion_plan_shape(registered):
     (no Python eval anywhere in the row: bm25 + keyword counts are all
     expressions)."""
     plan = _plan(_queries()["q38_bm25_search"].spark_fn(registered, SF))
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # the bm25 idf _glibc_ln
     assert "CartesianProduct" not in plan
 
 
