@@ -537,20 +537,31 @@ def unigram_logppl(
         vocab.crossJoin(F.broadcast(total))
         .select(
             "tok",
-            F.round(
-                -_glibc_ln(F.col("tok_n") / F.col("corpus_tokens")), 6
-            ).alias("nll"),
+            # portable micro-unit quantizer (r11): floor(x*1e6 + 0.5) is
+            # pure IEEE arithmetic, bit-identical across JVM/DuckDB/libm
+            # — unlike round(x, 6), whose semantics differ between
+            # engines (Spark rounds the shortest decimal repr, DuckDB
+            # rounds an fp product; the q52 sf10 last-ulp row survived
+            # the glibc-ln fix because of exactly this)
+            F.floor(
+                -_glibc_ln(F.col("tok_n") / F.col("corpus_tokens"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).alias("nllm"),
         )
     )
-    scored = tok_rows.join(model, "tok").select("doc_id", "nll")
+    scored = tok_rows.join(model, "tok").select("doc_id", "nllm")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_tokens"),
-        F.round(
-            (
-                F.sum(F.col("nll").cast("decimal(38,10)")).cast("double")
-                / F.count("*")
-            ),
-            4,
+        (
+            F.floor(
+                F.sum("nllm").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1000000.0)
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(10000.0)
         ).alias("logppl"),
     )
 
@@ -1094,24 +1105,28 @@ def bigram_logppl(
         .select(
             "prev",
             "cur",
-            F.round(
+            F.floor(
                 -_glibc_ln(
                     F.lit(lam) * (F.col("big_n") / F.col("ctx_n"))
                     + F.lit(mu) * (F.col("tok_n") / F.col("corpus_tokens"))
-                ),
-                6,
-            ).alias("nll"),
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).alias("nllm"),
         )
     )
-    scored = pair_rows.join(model, ["prev", "cur"]).select("doc_id", "nll")
+    scored = pair_rows.join(model, ["prev", "cur"]).select("doc_id", "nllm")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_bigrams"),
-        F.round(
-            (
-                F.sum(F.col("nll").cast("decimal(38,10)")).cast("double")
-                / F.count("*")
-            ),
-            4,
+        (
+            F.floor(
+                F.sum("nllm").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1000000.0)
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(10000.0)
         ).alias("logppl2"),
     )
 
@@ -1224,24 +1239,30 @@ def trigram_logppl(
             "p2",
             "p1",
             "cur",
-            F.round(
+            F.floor(
                 -_glibc_ln(
                     F.lit(lam2) * (F.col("tri_n") / F.col("ctx3_n"))
                     + F.lit(mu2) * p1_term
-                ),
-                6,
-            ).alias("nll"),
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).alias("nllm"),
         )
     )
-    scored = tri_rows.join(model, ["p2", "p1", "cur"]).select("doc_id", "nll")
+    scored = tri_rows.join(model, ["p2", "p1", "cur"]).select(
+        "doc_id", "nllm"
+    )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_trigrams"),
-        F.round(
-            (
-                F.sum(F.col("nll").cast("decimal(38,10)")).cast("double")
-                / F.count("*")
-            ),
-            4,
+        (
+            F.floor(
+                F.sum("nllm").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1000000.0)
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(10000.0)
         ).alias("logppl3"),
     )
 

@@ -1397,13 +1397,16 @@ tok as (select doc_id, unnest(toks) as tok from ta),
 vocab as (select tok, count(*) as tok_n from tok group by tok),
 total as (select sum(tok_n) as corpus_tokens from vocab),
 scored as (
-  select doc_id, round(-ln(tok_n / corpus_tokens), 6) as nll
+  -- portable micro-unit quantizer (r11): floor(x*1e6 + 0.5) is pure
+  -- IEEE arithmetic, bit-identical across engines (round(x, 6) is not)
+  select doc_id,
+         cast(floor(-ln(tok_n / corpus_tokens) * 1000000.0 + 0.5) as bigint) as nllm
   from tok join vocab using (tok) cross join total
 ),
 lp as (
   select doc_id, cast(count(*) as int) as n_tokens,
-         round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
-           as logppl
+         floor(cast(sum(nllm) as double) / cast(count(*) as double)
+               / 1000000.0 * 10000.0 + 0.5) / 10000.0 as logppl
   from scored group by doc_id
 ),
 feats as (
@@ -1712,13 +1715,16 @@ with tok as (
 vocab as (select tok, count(*) as tok_n from tok group by tok),
 total as (select sum(tok_n) as corpus_tokens from vocab),
 scored as (
-  select doc_id, round(-ln(tok_n / corpus_tokens), 6) as nll
+  -- portable micro-unit quantizer (r11): floor(x*1e6 + 0.5) is pure
+  -- IEEE arithmetic, bit-identical across engines (round(x, 6) is not)
+  select doc_id,
+         cast(floor(-ln(tok_n / corpus_tokens) * 1000000.0 + 0.5) as bigint) as nllm
   from tok join vocab using (tok) cross join total
 ),
 ppl as (
   select doc_id, cast(count(*) as int) as n_tokens,
-         round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
-           as logppl
+         floor(cast(sum(nllm) as double) / cast(count(*) as double)
+               / 1000000.0 * 10000.0 + 0.5) / 10000.0 as logppl
   from scored group by doc_id
 ),
 ta as (
@@ -1734,16 +1740,17 @@ big as (select prev, cur, count(*) as big_n from pair group by prev, cur),
 ctx as (select prev, sum(big_n) as ctx_n from big group by prev),
 scored2 as (
   select doc_id,
-         round(-ln(0.9 * (big_n / ctx_n)
-                   + (1 - 0.9) * (tok_n / corpus_tokens)), 6) as nll
+         cast(floor(-ln(0.9 * (big_n / ctx_n)
+                        + (1 - 0.9) * (tok_n / corpus_tokens))
+                    * 1000000.0 + 0.5) as bigint) as nllm
   from pair join big using (prev, cur) join ctx using (prev)
        join vocab on vocab.tok = pair.cur
        cross join total
 ),
 ppl2 as (
   select doc_id, cast(count(*) as int) as n_bigrams,
-         round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
-           as logppl2
+         floor(cast(sum(nllm) as double) / cast(count(*) as double)
+               / 1000000.0 * 10000.0 + 0.5) / 10000.0 as logppl2
   from scored2 group by doc_id
 ),
 trirows as (
@@ -1765,10 +1772,10 @@ tribase as materialized (
 ),
 scored3 as (
   select doc_id,
-         round(-ln(0.7 * (tri_n / ctx3_n)
-                   + (1 - 0.7) * (0.9 * (big_n / ctx_n)
-                                  + (1 - 0.9) * (tok_n / corpus_tokens))), 6)
-           as nll
+         cast(floor(-ln(0.7 * (tri_n / ctx3_n)
+                        + (1 - 0.7) * (0.9 * (big_n / ctx_n)
+                                       + (1 - 0.9) * (tok_n / corpus_tokens)))
+                    * 1000000.0 + 0.5) as bigint) as nllm
   from tribase
        join big on big.prev = tribase.p1 and big.cur = tribase.tcur
        join ctx on ctx.prev = tribase.p1
@@ -1777,8 +1784,8 @@ scored3 as (
 ),
 ppl3 as (
   select doc_id, cast(count(*) as int) as n_trigrams,
-         round(cast(sum(cast(nll as decimal(38,10))) as double) / count(*), 4)
-           as logppl3
+         floor(cast(sum(nllm) as double) / cast(count(*) as double)
+               / 1000000.0 * 10000.0 + 0.5) / 10000.0 as logppl3
   from scored3 group by doc_id
 ),
 ranked1 as (

@@ -90,19 +90,32 @@ def _q31_big_oracle(con: "duckdb.DuckDBPyConnection", sf_dir: str) -> pd.DataFra
 
 
 def _q37_big_oracle(
-    con: "duckdb.DuckDBPyConnection", sf_dir: str, shards: int = 16
+    con: "duckdb.DuckDBPyConnection",
+    sf_dir: str,
+    shards: int = 16,
+    doc_shards: int = 8,
 ) -> pd.DataFrame:
-    """Gram-sharded spelling of the q37 oracle: the all-ngram index
-    (dupg: group EVERY 8-gram of the corpus) OOMed DuckDB at 500k docs.
-    The gram universe is hash-partitioned into ``shards`` disjoint
-    slices — the dup-window extraction is a pure per-gram function, so
-    per-shard results union to exactly the unsharded ``dup`` CTE; the
-    gram stream is spilled to a temp parquet once so each shard pass is
-    a scan+filter, not a re-tokenization."""
+    """Double-sharded spelling of the q37 oracle: the all-ngram index
+    (dupg: group EVERY 8-gram of the corpus) OOMed DuckDB at 500k docs,
+    and so did the monolithic final assembly (otok + string_agg
+    reassembles every document's text in one query). Phase 1
+    hash-partitions the GRAM universe into ``shards`` disjoint slices —
+    the dup-window extraction is a pure per-gram function, so per-shard
+    results union to exactly the unsharded ``dup`` CTE; the gram stream
+    is spilled to a temp parquet once so each shard pass is a
+    scan+filter, not a re-tokenization. Phase 2 partitions the FINAL
+    per-doc assembly by doc_id — per-doc rows depend only on the shared
+    (small) dup table, so doc shards concatenate to the exact result."""
     import os
     import tempfile
 
     from exon_spark.queries.pipeline import _BOILERPLATE, _Q37_GRAM
+
+    # bound DuckDB so big intermediates spill instead of malloc-failing
+    # (the sf10 box also carries a 24g Spark JVM); session-level, sticky
+    con.execute("set preserve_insertion_order=false")
+    con.execute(f"set temp_directory='{tempfile.gettempdir()}/duckdb_q37_spill'")
+    con.execute("set memory_limit='48GB'")
 
     base = f"""planted as (
   select doc_id,
@@ -141,9 +154,13 @@ dupg as (
 )
 select gs.doc_id, gs.pos, d.keep_doc from gs join dupg d using (gram)"""
             )
-        out = con.execute(
-            f"""with {base},
-dup as (select * from q37_dup),
+        parts = []
+        for ds in range(doc_shards):
+            parts.append(
+                con.execute(
+                    f"""with {base},
+dup as (select * from q37_dup where doc_id % {doc_shards} = {ds}),
+docs_s as (select * from tok where doc_id % {doc_shards} = {ds}),
 cov as (
   select doc_id, count(*) as covered_tokens from (
     select distinct doc_id, pos + k as p
@@ -161,7 +178,7 @@ otok as (
          unnest(range(1, len(arr) + 1)) as tokpos,
          unnest(arr) as tok
   from (select doc_id, regexp_split_to_array(trim(text), '\\s+') as arr
-        from planted)
+        from planted where doc_id % {doc_shards} = {ds})
 ),
 red as (
   select o.doc_id, string_agg(o.tok, ' ' order by o.tokpos) as text,
@@ -170,7 +187,7 @@ red as (
   where r.doc_id is null
   group by o.doc_id
 ),
-nt as (select doc_id, cast(len(toks) as int) as n_toks from tok)
+nt as (select doc_id, cast(len(toks) as int) as n_toks from docs_s)
 select nt.doc_id, nt.n_toks,
        coalesce(w.n_dup_ngrams, 0) as n_dup_ngrams,
        coalesce(c.covered_tokens, 0) as covered_tokens,
@@ -182,7 +199,9 @@ from nt
 left join cov c on nt.doc_id = c.doc_id
 left join wins w on nt.doc_id = w.doc_id
 left join red on nt.doc_id = red.doc_id"""
-        ).df()
+                ).df()
+            )
+        out = pd.concat(parts, ignore_index=True)
     finally:
         try:
             os.unlink(gpath)
