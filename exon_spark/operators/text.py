@@ -1313,7 +1313,18 @@ def corpus_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").alias("n_tokens"),
         F.sum("_nc").alias("n_chars"),
-        F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        # portable quantizer, not round(avg, 6): identical input doubles
+        # still round differently between engines (see _glibc_ln / the
+        # q52 sf10 post-mortem in SCALE.md r11)
+        (
+            F.floor(
+                F.sum("_nt").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_tokens"),
         pct(F.col("_nt"), 0.5).alias("p50_tokens"),
         pct(F.col("_nt"), 0.95).alias("p95_tokens"),
     )

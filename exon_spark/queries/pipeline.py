@@ -1823,8 +1823,9 @@ cs as (
   select lang, count(*) as lang_n_docs,
          cast(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
              x -> x <> ''))) as bigint) as lang_n_tokens,
-         round(avg(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-             x -> x <> ''))), 6) as lang_avg_tokens,
+         floor(cast(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x <> ''))) as double) / cast(count(*) as double)
+             * 1000000.0 + 0.5) / 1000000.0 as lang_avg_tokens,
          quantile_cont(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
              x -> x <> '')), 0.5) as lang_p50_tokens,
          quantile_cont(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),

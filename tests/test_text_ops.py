@@ -1365,7 +1365,9 @@ def test_corpus_stats_duckdb_oracle_parity(spark):
               from d
             )
             select lang, count(*) as n_docs, sum(nt) as n_tokens,
-                   sum(nc) as n_chars, round(avg(nt), 6) as avg_tokens,
+                   sum(nc) as n_chars,
+                   floor(cast(sum(nt) as double) / cast(count(*) as double)
+                         * 1000000.0 + 0.5) / 1000000.0 as avg_tokens,
                    quantile_cont(nt, 0.5) as p50, quantile_cont(nt, 0.95) as p95
             from p group by lang
             """
