@@ -1,9 +1,12 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Beyond-parity layer (repo north star): exact dedup, MinHash+LSH, SimHash,
-n-gram Jaccard. All implemented as pure DataFrame/Column expressions — no
-Python in the execution path — so the plans are whole-stage-codegen'd and
-scale to a 1000-executor cluster.
+n-gram Jaccard. All dedup operators are pure DataFrame/Column expressions —
+no Python in the execution path — so the plans are whole-stage-codegen'd and
+scale to a 1000-executor cluster. (One deliberate exception lives here as a
+shared numeric helper, not a dedup operator: ``_glibc_ln``, the Arrow-batched
+libm-ln used by model-side float-parity paths across text/classify/sampling —
+this module is the import root they already share, the h32/tokens precedent.)
 
 Scale design notes:
 * ``exact_dedup``: one hash-groupBy shuffle on a 128-bit digest; at 100 TB
@@ -88,6 +91,38 @@ def _glibc_ln(col: Column) -> Column:
         )
 
     return _ln(col)
+
+
+def quant_micro(col: Column, scale: float = 1_000_000.0) -> Column:
+    """Portable quantizer to integral ``scale``-ths: ``floor(x*scale + 0.5)``
+    — pure IEEE mul/add/floor, bit-identical across JVM, DuckDB and CPython,
+    unlike ``round(x, k)`` whose semantics differ between engines even on
+    identical doubles (Spark rounds the shortest decimal repr, DuckDB an fp
+    product — the second root cause of the q52 sf10 last-ulp row, SCALE.md
+    r11). Oracle spelling: ``cast(floor(x * 1000000.0 + 0.5) as bigint)``."""
+    return F.floor(col * F.lit(scale) + F.lit(0.5))
+
+
+def quant_avg(
+    sum_col: Column,
+    n_col: Column,
+    in_scale: float = 1_000_000.0,
+    out_scale: float = 10_000.0,
+) -> Column:
+    """Quantized average of ``quant_micro`` units: sum/n de-scaled, then
+    floor-quantized to ``1/out_scale`` — the engine-portable spelling of
+    ``round(avg, k)``. Oracle: ``floor(cast(s as double) / cast(n as double)
+    / 1000000.0 * 10000.0 + 0.5) / 10000.0`` (operand order must match)."""
+    return (
+        F.floor(
+            sum_col.cast("double")
+            / n_col.cast("double")
+            / F.lit(in_scale)
+            * F.lit(out_scale)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(out_scale)
+    )
 
 
 def h32(col: Column | str) -> Column:

@@ -27,16 +27,30 @@ from pyspark.sql import SparkSession
 # the lifecycle explicit without changing any operator signature.
 # ---------------------------------------------------------------------------
 
-_ACTIVE_BROADCAST_SCOPES: list[list] = []
+import threading
+
+_SCOPE_TLS = threading.local()
+
+
+def _scopes() -> list[list]:
+    # thread-local, NOT module-global: concurrent driver threads (the
+    # standing-pipeline audience runs batches in parallel) must not
+    # cross-register broadcasts into each other's scopes — a destroy at
+    # one thread's scope exit would kill a broadcast mid-use elsewhere
+    if not hasattr(_SCOPE_TLS, "stack"):
+        _SCOPE_TLS.stack = []
+    return _SCOPE_TLS.stack
 
 
 def track_broadcast(bc):
     """Register a freshly-created ``sc.broadcast`` handle with the
-    innermost active :func:`broadcast_scope` (no-op when none is active).
-    Every exon operator that creates a pickled broadcast routes through
-    this hook, so callers never need the handle itself."""
-    if _ACTIVE_BROADCAST_SCOPES:
-        _ACTIVE_BROADCAST_SCOPES[-1].append(bc)
+    innermost active :func:`broadcast_scope` of THIS thread (no-op when
+    none is active). Every exon operator that creates a pickled
+    broadcast routes through this hook, so callers never need the
+    handle itself."""
+    stack = _scopes()
+    if stack:
+        stack[-1].append(bc)
     return bc
 
 
@@ -62,11 +76,12 @@ def broadcast_scope(destroy: bool = False):
     OUT of the per-batch loop so one broadcast serves every batch —
     preferable when the shipped state itself is loop-invariant."""
     handles: list = []
-    _ACTIVE_BROADCAST_SCOPES.append(handles)
+    stack = _scopes()
+    stack.append(handles)
     try:
         yield handles
     finally:
-        _ACTIVE_BROADCAST_SCOPES.pop()
+        stack.pop()
         for bc in handles:
             try:
                 if destroy:

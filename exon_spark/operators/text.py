@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 
 from exon_spark.operators.dedup import (  # noqa: F401
     _glibc_ln,
+    quant_avg,
+    quant_micro,
     fanout_repartition,
     h32,
     tokens,
@@ -543,26 +545,15 @@ def unigram_logppl(
             # engines (Spark rounds the shortest decimal repr, DuckDB
             # rounds an fp product; the q52 sf10 last-ulp row survived
             # the glibc-ln fix because of exactly this)
-            F.floor(
+            quant_micro(
                 -_glibc_ln(F.col("tok_n") / F.col("corpus_tokens"))
-                * F.lit(1000000.0)
-                + F.lit(0.5)
             ).alias("nllm"),
         )
     )
     scored = tok_rows.join(model, "tok").select("doc_id", "nllm")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_tokens"),
-        (
-            F.floor(
-                F.sum("nllm").cast("double")
-                / F.count("*").cast("double")
-                / F.lit(1000000.0)
-                * F.lit(10000.0)
-                + F.lit(0.5)
-            ).cast("double")
-            / F.lit(10000.0)
-        ).alias("logppl"),
+        quant_avg(F.sum("nllm"), F.count("*")).alias("logppl"),
     )
 
 
@@ -1041,9 +1032,10 @@ def bigram_logppl(
     not a zero-guard.
 
     Output: (doc_id, n_bigrams, logppl2) with logppl2 = avg over bigram
-    positions of -ln(p), per-position nll rounded to 6 dp and
-    exact-decimal averaged so Spark and DuckDB agree bit-for-bit
-    (``unigram_logppl``'s discipline). Docs with < 2 tokens have no
+    positions of -ln(p), per-position nll floor-quantized to integer
+    micro-units and the average floor-quantized at 4 dp so Spark and
+    DuckDB agree bit-for-bit (``unigram_logppl``'s r11 discipline —
+    ``quant_micro``/``quant_avg``). Docs with < 2 tokens have no
     bigram positions and are ABSENT from the output — left-join +
     coalesce at the call site (the q42 dsir precedent).
 
@@ -1105,29 +1097,18 @@ def bigram_logppl(
         .select(
             "prev",
             "cur",
-            F.floor(
+            quant_micro(
                 -_glibc_ln(
                     F.lit(lam) * (F.col("big_n") / F.col("ctx_n"))
                     + F.lit(mu) * (F.col("tok_n") / F.col("corpus_tokens"))
                 )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
             ).alias("nllm"),
         )
     )
     scored = pair_rows.join(model, ["prev", "cur"]).select("doc_id", "nllm")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_bigrams"),
-        (
-            F.floor(
-                F.sum("nllm").cast("double")
-                / F.count("*").cast("double")
-                / F.lit(1000000.0)
-                * F.lit(10000.0)
-                + F.lit(0.5)
-            ).cast("double")
-            / F.lit(10000.0)
-        ).alias("logppl2"),
+        quant_avg(F.sum("nllm"), F.count("*")).alias("logppl2"),
     )
 
 
@@ -1150,9 +1131,10 @@ def trigram_logppl(
     on the corpus itself), so the interpolation is the LM, not a
     zero-guard — ``bigram_logppl``'s contract one order up.
 
-    Output: (doc_id, n_trigrams, logppl3); per-position nll rounded to
-    6 dp and exact-decimal averaged (the shared decimal-rounding oracle
-    discipline). Docs with < 3 tokens have no trigram positions and are
+    Output: (doc_id, n_trigrams, logppl3); per-position nll
+    floor-quantized to integer micro-units, average floor-quantized at
+    4 dp (the shared ``quant_micro``/``quant_avg`` oracle discipline).
+    Docs with < 3 tokens have no trigram positions and are
     ABSENT — left-join + coalesce at the call site.
 
     Scale: one explode into trigram positions feeding the
@@ -1239,13 +1221,11 @@ def trigram_logppl(
             "p2",
             "p1",
             "cur",
-            F.floor(
+            quant_micro(
                 -_glibc_ln(
                     F.lit(lam2) * (F.col("tri_n") / F.col("ctx3_n"))
                     + F.lit(mu2) * p1_term
                 )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
             ).alias("nllm"),
         )
     )
@@ -1254,16 +1234,7 @@ def trigram_logppl(
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_trigrams"),
-        (
-            F.floor(
-                F.sum("nllm").cast("double")
-                / F.count("*").cast("double")
-                / F.lit(1000000.0)
-                * F.lit(10000.0)
-                + F.lit(0.5)
-            ).cast("double")
-            / F.lit(10000.0)
-        ).alias("logppl3"),
+        quant_avg(F.sum("nllm"), F.count("*")).alias("logppl3"),
     )
 
 
@@ -1316,14 +1287,8 @@ def corpus_stats(
         # portable quantizer, not round(avg, 6): identical input doubles
         # still round differently between engines (see _glibc_ln / the
         # q52 sf10 post-mortem in SCALE.md r11)
-        (
-            F.floor(
-                F.sum("_nt").cast("double")
-                / F.count(F.lit(1)).cast("double")
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            ).cast("double")
-            / F.lit(1000000.0)
+        quant_avg(
+            F.sum("_nt"), F.count(F.lit(1)), in_scale=1.0, out_scale=1000000.0
         ).alias("avg_tokens"),
         pct(F.col("_nt"), 0.5).alias("p50_tokens"),
         pct(F.col("_nt"), 0.95).alias("p95_tokens"),

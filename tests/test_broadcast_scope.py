@@ -74,3 +74,30 @@ def test_scope_exit_survives_stopped_session(spark):
         b = track_broadcast(sc.broadcast([1]))
         b.destroy()  # already gone when the scope tries to reclaim it
     assert handles == [b]
+
+
+def test_scopes_are_thread_local(spark):
+    """Concurrent driver threads (parallel batches of a standing
+    pipeline) must not cross-register into each other's scopes — a
+    destroy at one thread's scope exit would kill a broadcast mid-use
+    elsewhere (r11 review finding)."""
+    import threading
+
+    sc = spark.sparkContext
+    seen = {}
+
+    def worker():
+        with broadcast_scope() as mine:
+            b = track_broadcast(sc.broadcast([2]))
+            seen["worker"] = list(mine)
+            assert mine == [b]
+
+    with broadcast_scope() as outer:
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        b_main = track_broadcast(sc.broadcast([1]))
+    # the worker's broadcast never landed in the main thread's scope
+    assert outer == [b_main]
+    assert len(seen["worker"]) == 1
+    assert seen["worker"][0] is not b_main
