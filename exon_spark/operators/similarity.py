@@ -395,12 +395,13 @@ def _band_keys_udf(planes: list[list[float]], band_bits: int):
 def embedding_cosine_dups(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 64,
-    band_bits: int = 16,
+    n_planes: int | None = None,
+    band_bits: int | str = "auto",
     probe_hamming: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    density_target: float = 4.0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >=
     threshold), candidates blocked by **banded** hyperplane LSH — a pair is
@@ -418,7 +419,35 @@ def embedding_cosine_dups(
     the candidate set is deduped, so shuffle volume stays bounded.
 
     Output: (id_a, id_b, score).
+
+    **Density-aware band width (r11 — the third-decade catch).** With a
+    FIXED 16-bit band, per-bucket density is n/2^16: linear in corpus
+    size, so within-bucket candidate pairs grow QUADRATICALLY — invisible
+    at sf10 (density ~3) and a >59 GB shuffle-spill disk failure at sf100
+    (density ~34 x the 68-key probe fan; /tmp/sf100 probe, SCALE.md r11).
+    ``band_bits="auto"`` (default) sizes the band to hold density at
+    ``density_target``: ``max(16, ceil(log2(n / density_target)))``,
+    capped at 40 (2^40 buckets ~ 4e12 vectors at density 4 — the 100 TB
+    regime). Candidates then scale ~``bands * (1+band_bits) * density *
+    n`` — linear in n with a log-factor probe fan. The floor of 16 keeps
+    every corpus below ~260k vectors (all oracle-gated SFs and the
+    sf0.1/sf1/sf10 board) on the exact legacy geometry, so DuckDB
+    oracles stay static; the auto COUNT is one id-only job. Wider bands
+    trade recall at the threshold boundary (documented LSH property,
+    mirrored by any oracle that regenerates the blocking); exact/planted
+    duplicates agree on every band at any width — recall 1 always.
     """
+    import math
+
+    n_bands = 4  # simhash-mirroring recall geometry, fixed
+    if band_bits == "auto":
+        n_rows = df.count()
+        band_bits = min(
+            40,
+            max(16, math.ceil(math.log2(max(n_rows, 2) / density_target))),
+        )
+    if n_planes is None:
+        n_planes = n_bands * band_bits
     if n_planes % band_bits:
         raise ValueError("n_planes must be a multiple of band_bits")
     planes = hyperplanes(dim, n_planes)

@@ -864,3 +864,27 @@ def test_keep_best_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_embedding_cosine_dups_auto_band_width(spark):
+    """The r11 density-aware geometry: auto band_bits floors at 16 for
+    every gate-scale corpus (legacy-exact) and widens past ~260k rows so
+    per-bucket density — and with it candidate-pair volume — stays
+    bounded instead of quadratic (the sf100 disk-spill catch)."""
+    import math
+
+    for n, expect in ((1000, 16), (260_000, 16), (2_200_000, 20), (4_000_000_000_000, 40)):
+        got = min(40, max(16, math.ceil(math.log2(max(n, 2) / 4.0))))
+        assert got == expect, (n, got)
+    # behavior pin at gate scale: auto == explicit 16 bits, row-identical
+    from exon_spark.operators.similarity import embedding_cosine_dups
+
+    rows = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(64)]) for i in range(40)]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 40, 5)]  # planted dups
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    a = sorted(map(tuple, embedding_cosine_dups(df).collect()))
+    b = sorted(map(tuple, embedding_cosine_dups(df, n_planes=64, band_bits=16).collect()))
+    assert a == b
+    planted = {(i, 1000 + i) for i in range(0, 40, 5)}
+    found = {(x, y) for x, y, s in a}
+    assert planted <= found  # exact dups: recall 1 at any width
