@@ -401,7 +401,7 @@ def embedding_cosine_dups(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    density_target: float = 4.0,
+    density_target: float = 1.0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >=
     threshold), candidates blocked by **banded** hyperplane LSH — a pair is
@@ -427,12 +427,15 @@ def embedding_cosine_dups(
     (density ~34 x the 68-key probe fan; /tmp/sf100 probe, SCALE.md r11).
     ``band_bits="auto"`` (default) sizes the band to hold density at
     ``density_target``: ``max(16, ceil(log2(n / density_target)))``,
-    capped at 40 (2^40 buckets ~ 4e12 vectors at density 4 — the 100 TB
-    regime). Candidates then scale ~``bands * (1+band_bits) * density *
-    n`` — linear in n with a log-factor probe fan. The floor of 16 keeps
-    every corpus below ~260k vectors (all oracle-gated SFs and the
-    sf0.1/sf1/sf10 board) on the exact legacy geometry, so DuckDB
-    oracles stay static; the auto COUNT is one id-only job. Wider bands
+    capped at 40 (2^40 buckets covers the 100 TB regime). Candidate join
+    volume ~``bands * (1+band_bits) * density * n`` — the (1+band_bits)
+    PROBE FAN multiplies the per-bucket quadratic term, which is why the
+    default density is 1.0, not higher (measured at sf100: density 3.8
+    -> sum(b^2)=94M x fan 20 = 1.9e9 join rows = the 59 GB spill;
+    density ~0.6 -> ~260M rows). The floor of 16 keeps every corpus
+    below 65k vectors (all oracle-gated SFs and the sf0.1/sf1 boards)
+    on the exact legacy geometry, so DuckDB oracles stay static; the
+    auto COUNT is one id-only job. Wider bands
     trade recall at the threshold boundary (documented LSH property,
     mirrored by any oracle that regenerates the blocking); exact/planted
     duplicates agree on every band at any width — recall 1 always.

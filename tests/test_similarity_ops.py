@@ -873,8 +873,9 @@ def test_embedding_cosine_dups_auto_band_width(spark):
     bounded instead of quadratic (the sf100 disk-spill catch)."""
     import math
 
-    for n, expect in ((1000, 16), (260_000, 16), (2_200_000, 20), (4_000_000_000_000, 40)):
-        got = min(40, max(16, math.ceil(math.log2(max(n, 2) / 4.0))))
+    for n, expect in ((1000, 16), (60_000, 16), (242_000, 18),
+                      (2_420_000, 22), (4_000_000_000_000, 40)):
+        got = min(40, max(16, math.ceil(math.log2(max(n, 2) / 1.0))))
         assert got == expect, (n, got)
     # behavior pin at gate scale: auto == explicit 16 bits, row-identical
     from exon_spark.operators.similarity import embedding_cosine_dups
