@@ -577,13 +577,97 @@ def _assign_cluster_udf(centroids: list[tuple[int, list[float]]]):
     return f
 
 
+# in-flight score-matrix budget for the grouped pair stage, in doubles
+# (~128 MB); module-level so tests can shrink it to force multi-block
+_PAIR_BLOCK_DOUBLES = 16_777_216
+
+# corpora at or below this row count keep semantic_dedup's oracle-exact
+# expr regimes under the "auto" defaults; larger ones take the scale
+# regimes (udf assignment + grouped pairs). 2^20 keeps every
+# DuckDB-gated SF and the sf0.1/sf1/sf10 boards on legacy arithmetic.
+_SCALE_REGIME_ROWS = 1_048_576
+
+
+def _grouped_cluster_pairs(assign: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster cosine pairs as one BLAS matmul per cluster via
+    ``applyInPandas`` — ``semantic_dedup(pairs="grouped")``'s pair stage.
+
+    Each group is one cluster: rows sort by vec_id (partitioning-
+    invariant output), normalize once, and the pair block computes as
+    row-blocked ``Mn[blk] @ Mn.T`` so the in-flight score matrix stays
+    <= ~16M doubles (~128 MB) regardless of cluster size. Scores round
+    to 6 dp (np.round, half-even — the documented udf-regime boundary
+    caveat) and only (id_a < id_b, score >= threshold) survivors leave
+    the task, so output volume equals the true near-dup pair count, not
+    the candidate count."""
+    import numpy as np
+
+    thr = float(threshold)
+    block_doubles = _PAIR_BLOCK_DOUBLES
+
+    def emit(pdf):
+        import pandas as pd
+
+        out_cols = ["cluster_id", "id_a", "id_b", "score"]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({c: [] for c in out_cols})
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        cid = int(pdf["cluster_id"].iloc[0])
+        M = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        if not nrm.all():
+            # match the expr pair path's ANSI DIVIDE_BY_ZERO contract
+            raise ArithmeticError(
+                "zero-norm embedding in semantic_dedup grouped pairs"
+            )
+        Mn = M / nrm
+        bs = max(1, block_doubles // n)
+        frames = []
+        for i0 in range(0, n - 1, bs):
+            i1 = min(i0 + bs, n)
+            S = np.round(Mn[i0:i1] @ Mn.T, 6)
+            # id_a < id_b exactly as the expr join filter spells it (ids
+            # sort ascending, so this is the strict upper triangle; on a
+            # duplicated vec_id both regimes drop the pair)
+            rr, cc = np.nonzero(S >= thr)
+            keep = ids[cc] > ids[rr + i0]
+            if keep.any():
+                rr, cc = rr[keep], cc[keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": np.full(len(rr), cid, np.int64),
+                            "id_a": ids[rr + i0],
+                            "id_b": ids[cc],
+                            "score": S[rr, cc],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame({c: [] for c in out_cols})
+        return pd.concat(frames, ignore_index=True)
+
+    # emit renormalizes from the raw vectors (one BLAS-adjacent pass),
+    # so the per-row _nrm column would be dead weight on the shuffle
+    return (
+        assign.select("cluster_id", "vec_id", "embedding")
+        .groupBy("cluster_id")
+        .applyInPandas(
+            emit, "cluster_id bigint, id_a bigint, id_b bigint, score double"
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int | str = 16,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    assignment: str = "expr",
+    assignment: str = "auto",
+    pairs: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked embedding dedup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -625,9 +709,52 @@ def semantic_dedup(
     and numpy half-even — measure-zero on real embeddings); pinned by
     test. Zero-norm embeddings raise in both regimes (ANSI
     DIVIDE_BY_ZERO / ArithmeticError). Requires a bigint id column.
+
+    ``pairs`` picks the within-cluster pair implementation: ``"expr"``
+    (default) is the cluster-keyed self-join + per-pair Catalyst cosine
+    fold — bit-exact oracle parity; ``"grouped"`` computes each
+    cluster's pair block as ONE numpy/BLAS matmul inside
+    ``applyInPandas`` (SemDeDup's own formulation). The expr pair join
+    streams every candidate pair with BOTH 64-float vectors attached —
+    at the sf100 probe (2.2M vectors, auto-k≈1490, ~3e9 candidate
+    pairs) that is a TB-class pair stream and ~16 us of interpreted
+    fold per pair, and the run died in >54 GB of spill (SCALE.md r11).
+    ``grouped`` shuffles each VECTOR exactly once (n rows keyed by
+    cluster_id — the irreducible SemDeDup shuffle) and turns the
+    O(sum c_k^2) pair work into dim-wide BLAS at ~1e9 multiply-adds/s
+    per core; the score matrix is row-blocked so peak memory per task
+    stays ~128 MB at any cluster size. Same rounded-6dp scores and
+    (id_a < id_b) pair set; the half-even-vs-half-up boundary caveat of
+    the udf assignment applies (parity pinned by test). Skew note: one
+    cluster = one task; with auto-k (~sqrt n) clusters of ~sqrt n rows
+    this is ~n tasks of equal quadratic cost, and a pathological mega
+    cluster degrades to one long task, not an OOM (row-blocked).
+
+    Both regime knobs default to ``"auto"`` (the q28 ``band_bits="auto"``
+    precedent): corpora at or below ``_SCALE_REGIME_ROWS`` (2^20) stay on
+    the oracle-bit-true expr regimes — that covers every DuckDB-gated SF
+    and every measured board through sf10 (220k vectors) unchanged —
+    and larger corpora, where no in-process oracle exists and the expr
+    pair stream is a measured disk-filler, switch to udf+grouped. The
+    size read costs one id-only count, shared with ``n_clusters="auto"``.
     """
-    if assignment not in ("expr", "udf"):
-        raise ValueError(f"assignment must be 'expr' or 'udf', got {assignment!r}")
+    if assignment not in ("expr", "udf", "auto"):
+        raise ValueError(
+            f"assignment must be 'expr', 'udf' or 'auto', got {assignment!r}"
+        )
+    if pairs not in ("expr", "grouped", "auto"):
+        raise ValueError(
+            f"pairs must be 'expr', 'grouped' or 'auto', got {pairs!r}"
+        )
+    n_rows = (
+        df.count()
+        if (n_clusters == "auto" or "auto" in (assignment, pairs))
+        else None
+    )
+    if assignment == "auto":
+        assignment = "udf" if n_rows > _SCALE_REGIME_ROWS else "expr"
+    if pairs == "auto":
+        pairs = "grouped" if n_rows > _SCALE_REGIME_ROWS else "expr"
     if n_clusters == "auto":
         # k = ceil(sqrt(n)): balances the two scale terms — assignment
         # is O(n*k), within-cluster pairs are O(n^2/k) — at O(n^1.5)
@@ -637,7 +764,7 @@ def semantic_dedup(
         # one count() of the input.
         import math as _math
 
-        n_clusters = max(16, int(_math.ceil(_math.sqrt(df.count()))))
+        n_clusters = max(16, int(_math.ceil(_math.sqrt(n_rows))))
     elif not isinstance(n_clusters, int):
         raise ValueError(
             f"n_clusters must be an int or 'auto', got {n_clusters!r}"
@@ -673,14 +800,11 @@ def semantic_dedup(
         assign_fn = _assign_cluster_udf(
             [(r.cidx, list(r.cemb)) for r in cent_rows]
         )
-        assign = _materialize(
-            d.select(
-                "vec_id",
-                assign_fn(F.col("embedding")).alias("cluster_id"),
-                "embedding",
-                "_nrm",
-            ),
-            eager=True,
+        assign = d.select(
+            "vec_id",
+            assign_fn(F.col("embedding")).alias("cluster_id"),
+            "embedding",
+            "_nrm",
         )
     else:
         scored = d.crossJoin(F.broadcast(cents)).select(
@@ -695,10 +819,7 @@ def semantic_dedup(
         # min struct((-cos, cidx)) == argmax cosine, ties to the smallest
         # centroid id; embedding is constant within the group so first()
         # is deterministic in value.
-        # assign feeds both sides of the pair self-join; unmaterialized,
-        # the dominant O(n·k·dim) broadcast argmax runs twice per
-        # invocation
-        assign = _materialize(
+        assign = (
             scored.groupBy("vec_id")
             .agg(
                 F.min(
@@ -711,9 +832,17 @@ def semantic_dedup(
             )
             .select(
                 "vec_id", F.col("_m.cidx").alias("cluster_id"), "embedding", "_nrm"
-            ),
-            eager=True,
+            )
         )
+    if pairs == "grouped":
+        # single consumer (the per-cluster matmul) — no materialization;
+        # the cluster_id shuffle of applyInPandas is the one pass over
+        # the corpus this regime pays
+        return _grouped_cluster_pairs(assign, threshold)
+    # expr pairs: assign feeds both sides of the pair self-join;
+    # unmaterialized, the dominant O(n·k·dim) assignment runs twice per
+    # invocation
+    assign = _materialize(assign, eager=True)
     a = assign.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),

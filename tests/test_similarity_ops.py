@@ -462,6 +462,117 @@ def test_semantic_dedup_assignment_regimes_agree_on_ties(spark):
             ).collect()
 
 
+def test_semantic_dedup_grouped_pairs_parity(spark):
+    """r11: ``pairs="grouped"`` (per-cluster BLAS matmul via
+    applyInPandas — the beyond-sf10 scale regime that replaced the
+    TB-class expr pair stream at the sf100 probe) must reproduce the
+    oracle-exact expr pair set INCLUDING 6-dp scores, under both
+    assignment regimes and any input partitioning."""
+    from exon_spark.operators.similarity import semantic_dedup
+    from exon_spark.queries.base import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionAll(planted)
+    expr = sorted(
+        map(tuple, semantic_dedup(both, n_clusters=16, threshold=0.8).collect())
+    )
+    for assignment in ("expr", "udf"):
+        got = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    both.repartition(7),
+                    n_clusters=16,
+                    threshold=0.8,
+                    pairs="grouped",
+                    assignment=assignment,
+                ).collect(),
+            )
+        )
+        assert got == expr and len(got) > 0, assignment
+
+
+def test_semantic_dedup_grouped_pairs_row_blocking(spark, monkeypatch):
+    """The grouped kernel row-blocks its score matrix so peak task
+    memory is bounded at any cluster size; a forced tiny block budget
+    (bs=1 per row) must give the identical pair set as one block."""
+    import exon_spark.operators.similarity as sim
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) + 1.0 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    one = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(df, n_clusters=3, threshold=0.9, pairs="grouped").collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "_PAIR_BLOCK_DOUBLES", 1)
+    blocked = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(df, n_clusters=3, threshold=0.9, pairs="grouped").collect(),
+        )
+    )
+    assert blocked == one and len(one) > 0
+
+
+def test_semantic_dedup_grouped_guards_and_plan(spark):
+    """Zero-norm embeddings raise loudly in the grouped regime too, bad
+    ``pairs`` values raise, and the udf+grouped plan is the minimal
+    SemDeDup shape: ONE corpus shuffle (the cluster_id exchange feeding
+    FlatMapGroupsInPandas), no joins, no second exchange."""
+    import pytest
+
+    from exon_spark.operators.similarity import semantic_dedup
+    from exon_spark.queries.base import table
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+        semantic_dedup(df, n_clusters=1, threshold=-1.0, pairs="grouped").collect()
+    with pytest.raises(ValueError, match="pairs"):
+        semantic_dedup(df, n_clusters=1, pairs="bogus")
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = semantic_dedup(
+        emb, n_clusters=16, threshold=0.8, pairs="grouped", assignment="udf"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_auto_regime_switch(spark, monkeypatch):
+    """The "auto" regime defaults keep sub-threshold corpora on the
+    oracle-exact expr paths and switch big ones to udf+grouped — and the
+    switch is result-invariant on the fixture (the parity the scale
+    regimes are pinned to)."""
+    import exon_spark.operators.similarity as sim
+    from exon_spark.queries.base import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # below threshold: auto == expr plan (pair self-join present)
+    small = sim.semantic_dedup(emb, n_clusters=16, threshold=0.8)
+    assert "FlatMapGroupsInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    expr_rows = sorted(map(tuple, small.collect()))
+    # force the scale regimes via a tiny threshold: grouped plan, same rows
+    monkeypatch.setattr(sim, "_SCALE_REGIME_ROWS", 10)
+    big = sim.semantic_dedup(emb, n_clusters=16, threshold=0.8)
+    assert "FlatMapGroupsInPandas" in big._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, big.collect())) == expr_rows
+
+
 def test_assign_cluster_udf_zero_norm_centroid_raises():
     """r8: the centroid matrix gets the same zero-norm guard as member
     embeddings — ArithmeticError at factory time, never NaN cosines (the
