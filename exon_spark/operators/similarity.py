@@ -392,6 +392,70 @@ def _band_keys_udf(planes: list[list[float]], band_bits: int):
     return keys_udf
 
 
+def _pq_prefilter_pairs(
+    base: DataFrame, cands: DataFrame, floor: float, cb
+) -> DataFrame:
+    """Symmetric-distance PQ prefilter for a candidate pair set — the
+    documented next rung in front of ``embedding_cosine_dups``' exact
+    verify (SCALE.md r11): candidate ids join 8-byte PQ CODES instead of
+    full vectors, the approximate cosine computes as ``n_sub`` gathers
+    into broadcast centroid-dot tables (``T_s = C_s @ C_s.T``, ~2 MB at
+    8x256), and only pairs with ``approx >= floor`` go on to the exact
+    vector join. The approximation is the cosine of the RECONSTRUCTIONS
+    (self-dots gather from the same tables' diagonals), so quantization
+    norm-shrinkage cancels and ``floor``'s slack only has to absorb
+    angular error; survivors are exactly re-verified, so the prefilter
+    can only lose boundary pairs, never admit false positives."""
+    import numpy as np
+
+    from exon_spark.operators.pq import pq_encode
+    from exon_spark.operators.state import track_broadcast
+    from pyspark.sql.functions import pandas_udf
+
+    C = cb.centroids.astype(np.float64)  # (n_sub, k, d_sub)
+    tables = np.einsum("ska,sla->skl", C, C).astype(np.float32)
+    sc = base.sparkSession.sparkContext
+    bc = track_broadcast(sc.broadcast(tables))
+
+    @pandas_udf("double")
+    def approx(code_a, code_b):
+        import numpy as np
+        import pandas as pd
+
+        if len(code_a) == 0:
+            return pd.Series([], dtype="float64")
+        T = bc.value
+        A = np.stack([np.asarray(c, np.int64) for c in code_a])
+        B = np.stack([np.asarray(c, np.int64) for c in code_b])
+        # approximate COSINE of the reconstructions, not their raw dot:
+        # ||recon|| < 1 systematically (quantization shrinks norms), so
+        # the raw dot under-scores every pair by ~||ra||*||rb|| and a
+        # fixed slack would have to absorb that bias too (measured: 3/50
+        # fixture pairs lost at threshold 0.95 raw vs 0 normalized).
+        # The reconstructed self-dots gather from the same tables'
+        # diagonals — two extra gathers, no extra state.
+        sab = np.zeros(len(A), np.float64)
+        saa = np.zeros(len(A), np.float64)
+        sbb = np.zeros(len(A), np.float64)
+        for j in range(T.shape[0]):
+            Tj = T[j]
+            aj, bj = A[:, j], B[:, j]
+            sab += Tj[aj, bj]
+            saa += Tj[aj, aj]
+            sbb += Tj[bj, bj]
+        return pd.Series(sab / np.sqrt(np.maximum(saa * sbb, 1e-30)))
+
+    codes = pq_encode(base, cb, id_col="vec_id", vec_col="vec")
+    ca = codes.select(F.col("vec_id").alias("id_a"), F.col("pq_code").alias("_pa"))
+    cb_ = codes.select(F.col("vec_id").alias("id_b"), F.col("pq_code").alias("_pb"))
+    return (
+        cands.join(ca, "id_a")
+        .join(cb_, "id_b")
+        .filter(approx(F.col("_pa"), F.col("_pb")) >= F.lit(float(floor)))
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_cosine_dups(
     df: DataFrame,
     threshold: float = 0.95,
@@ -402,6 +466,9 @@ def embedding_cosine_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     density_target: float = 1.0,
+    verify: str = "exact",
+    pq_slack: float = 0.15,
+    pq_codebook=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >=
     threshold), candidates blocked by **banded** hyperplane LSH — a pair is
@@ -439,9 +506,29 @@ def embedding_cosine_dups(
     trade recall at the threshold boundary (documented LSH property,
     mirrored by any oracle that regenerates the blocking); exact/planted
     duplicates agree on every band at any width — recall 1 always.
+
+    ``verify`` picks the candidate-verification stage: ``"exact"``
+    (default, oracle-bit-true) joins full vectors onto every deduped
+    candidate pair; ``"pq"`` inserts a symmetric-distance product-
+    quantization prefilter first — candidates join 8-byte codes, score
+    approximately via broadcast centroid-dot tables, and only pairs with
+    ``approx >= threshold - pq_slack`` reach the exact vector join. At C
+    candidate pairs this cuts the verify shuffle from C x vec-width to
+    C x code-width + survivors x vec-width (~5 GB -> ~0.5 GB at the
+    sf100 probe's 164M candidates). Survivors are re-verified exactly
+    (identical fold arithmetic), so output scores stay bit-true and the
+    only approximation is possible loss of pairs whose true cosine sits
+    within the PQ angular error of the threshold (the approx score is a
+    reconstruction COSINE, so norm-shrinkage bias cancels);
+    planted/exact duplicates share codes and score exactly 1 — always
+    kept. ``pq_codebook``
+    accepts a pre-fit :class:`~exon_spark.operators.pq.PQCodebook`
+    (standing pipelines); otherwise one fits on a bounded hash sample.
     """
     import math
 
+    if verify not in ("exact", "pq"):
+        raise ValueError(f"verify must be 'exact' or 'pq', got {verify!r}")
     n_bands = 4  # simhash-mirroring recall geometry, fixed
     if band_bits == "auto":
         n_rows = df.count()
@@ -501,6 +588,14 @@ def embedding_cosine_dups(
         .select("id_a", "id_b")
         .distinct()
     )
+    if verify == "pq":
+        if pq_codebook is None:
+            from exon_spark.operators.pq import pq_fit
+
+            pq_codebook = pq_fit(base, id_col="vec_id", vec_col="vec")
+        cands = _pq_prefilter_pairs(
+            base, cands, threshold - pq_slack, pq_codebook
+        )
     va = base.select(
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("vec_a"),

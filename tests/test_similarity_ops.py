@@ -977,6 +977,51 @@ def test_keep_best_partitioning_invariant(spark):
     assert a == b
 
 
+def test_embedding_cosine_dups_pq_verify(spark):
+    """r11: ``verify="pq"`` (the SDC code prefilter in front of the
+    exact vector verify — the documented 100 TB rung) must reproduce the
+    exact pair set AND bit-true scores on the real fixture at both a
+    tight and a loose threshold: survivors re-verify with the identical
+    cosine fold, so only boundary recall could differ — and the
+    normalized reconstruction-cosine approximation keeps it at 1.0 here.
+    Exact duplicates share codes (approx == 1.0) and are structurally
+    always kept. A pre-fit codebook short-circuits the auto fit."""
+    from exon_spark.operators.pq import pq_fit
+    from exon_spark.operators.similarity import embedding_cosine_dups
+    from exon_spark.queries.base import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionAll(planted)
+    for t in (0.95, 0.8):
+        exact = sorted(map(tuple, embedding_cosine_dups(both, threshold=t).collect()))
+        pq = sorted(
+            map(tuple, embedding_cosine_dups(both, threshold=t, verify="pq").collect())
+        )
+        assert pq == exact and len(pq) > 0, t
+    # pre-fit codebook path + bad verify value
+    cb = pq_fit(both, id_col="vec_id", vec_col="embedding")
+    pre = sorted(
+        map(
+            tuple,
+            embedding_cosine_dups(
+                both, threshold=0.95, verify="pq", pq_codebook=cb
+            ).collect(),
+        )
+    )
+    assert pre == sorted(
+        map(tuple, embedding_cosine_dups(both, threshold=0.95).collect())
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="verify"):
+        embedding_cosine_dups(both, verify="bogus")
+
+
 def test_embedding_cosine_dups_auto_band_width(spark):
     """The r11 density-aware geometry: auto band_bits floors at 16 for
     every gate-scale corpus (legacy-exact) and widens past ~260k rows so
