@@ -678,9 +678,12 @@ _PAIR_BLOCK_DOUBLES = 16_777_216
 
 # corpora at or below this row count keep semantic_dedup's oracle-exact
 # expr regimes under the "auto" defaults; larger ones take the scale
-# regimes (udf assignment + grouped pairs). 2^20 keeps every
-# DuckDB-gated SF and the sf0.1/sf1/sf10 boards on legacy arithmetic.
-_SCALE_REGIME_ROWS = 1_048_576
+# regimes (udf assignment + grouped pairs). 2^17 sits 60x above the
+# largest DuckDB-gated corpus (sf0.1: 2.2k vectors) and below the sf10
+# board (220k), where the expr pair stream is already the measured
+# bottleneck (62 s, vs aborting outright at sf100) and no in-process
+# oracle row exists for this operator.
+_SCALE_REGIME_ROWS = 131_072
 
 
 def _grouped_cluster_pairs(assign: DataFrame, threshold: float) -> DataFrame:
@@ -826,12 +829,12 @@ def semantic_dedup(
     cluster degrades to one long task, not an OOM (row-blocked).
 
     Both regime knobs default to ``"auto"`` (the q28 ``band_bits="auto"``
-    precedent): corpora at or below ``_SCALE_REGIME_ROWS`` (2^20) stay on
-    the oracle-bit-true expr regimes — that covers every DuckDB-gated SF
-    and every measured board through sf10 (220k vectors) unchanged —
-    and larger corpora, where no in-process oracle exists and the expr
-    pair stream is a measured disk-filler, switch to udf+grouped. The
-    size read costs one id-only count, shared with ``n_clusters="auto"``.
+    precedent): corpora at or below ``_SCALE_REGIME_ROWS`` (2^17 — 60x
+    above the largest DuckDB-gated corpus) stay on the oracle-bit-true
+    expr regimes, and larger corpora, where the expr pair stream is the
+    measured bottleneck (62 s at 220k vectors, disk-abort at 2.2M),
+    switch to udf+grouped. The size read costs one id-only count,
+    shared with ``n_clusters="auto"``.
     """
     if assignment not in ("expr", "udf", "auto"):
         raise ValueError(
