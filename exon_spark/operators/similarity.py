@@ -825,8 +825,11 @@ def semantic_dedup(
     (id_a < id_b) pair set; the half-even-vs-half-up boundary caveat of
     the udf assignment applies (parity pinned by test). Skew note: one
     cluster = one task; with auto-k (~sqrt n) clusters of ~sqrt n rows
-    this is ~n tasks of equal quadratic cost, and a pathological mega
-    cluster degrades to one long task, not an OOM (row-blocked).
+    this is ~sqrt(n) tasks of equal quadratic cost. A pathological mega
+    cluster degrades to one long task whose memory floor is its own
+    vectors (O(c*dim) — the score matrix is row-blocked to ~128 MB, but
+    the cluster itself must fit); with auto-k that floor is
+    ~sqrt(n)*dim doubles, trivial at any n.
 
     Both regime knobs default to ``"auto"`` (the q28 ``band_bits="auto"``
     precedent): corpora at or below ``_SCALE_REGIME_ROWS`` (2^17 — 60x
