@@ -445,7 +445,13 @@ def _pq_prefilter_pairs(
             sbb += Tj[bj, bj]
         return pd.Series(sab / np.sqrt(np.maximum(saa * sbb, 1e-30)))
 
-    codes = pq_encode(base, cb, id_col="vec_id", vec_col="vec")
+    # the encode feeds BOTH join arms — materialize once or the
+    # O(n_sub*k) per-vector argmin encode runs twice over the corpus
+    from exon_spark.operators.dedup import _materialize
+
+    codes = _materialize(
+        pq_encode(base, cb, id_col="vec_id", vec_col="vec"), eager=True
+    )
     ca = codes.select(F.col("vec_id").alias("id_a"), F.col("pq_code").alias("_pa"))
     cb_ = codes.select(F.col("vec_id").alias("id_b"), F.col("pq_code").alias("_pb"))
     return (
@@ -725,7 +731,10 @@ def _grouped_cluster_pairs(assign: DataFrame, threshold: float) -> DataFrame:
         frames = []
         for i0 in range(0, n - 1, bs):
             i1 = min(i0 + bs, n)
-            S = np.round(Mn[i0:i1] @ Mn.T, 6)
+            S = Mn[i0:i1] @ Mn.T
+            # round in place: an out-of-place np.round doubles the
+            # transient to 2x the block budget
+            np.round(S, 6, out=S)
             # id_a < id_b exactly as the expr join filter spells it (ids
             # sort ascending, so this is the strict upper triangle; on a
             # duplicated vec_id both regimes drop the pair)
@@ -792,7 +801,7 @@ def semantic_dedup(
     corpus exactly as the paper does (~√n clusters keeps the quadratic
     bounded).
 
-    ``assignment`` picks the argmax implementation: ``"expr"`` (default)
+    ``assignment`` picks the argmax implementation: ``"expr"``
     is the Catalyst-expression broadcast cross join + struct-min agg —
     bit-exact parity with the DuckDB oracle; ``"udf"`` is the vectorized
     numpy closure argmax (one matmul per Arrow batch, zero shuffle over
@@ -809,7 +818,7 @@ def semantic_dedup(
     DIVIDE_BY_ZERO / ArithmeticError). Requires a bigint id column.
 
     ``pairs`` picks the within-cluster pair implementation: ``"expr"``
-    (default) is the cluster-keyed self-join + per-pair Catalyst cosine
+    is the cluster-keyed self-join + per-pair Catalyst cosine
     fold — bit-exact oracle parity; ``"grouped"`` computes each
     cluster's pair block as ONE numpy/BLAS matmul inside
     ``applyInPandas`` (SemDeDup's own formulation). The expr pair join
@@ -837,7 +846,10 @@ def semantic_dedup(
     expr regimes, and larger corpora, where the expr pair stream is the
     measured bottleneck (62 s at 220k vectors, disk-abort at 2.2M),
     switch to udf+grouped. The size read costs one id-only count,
-    shared with ``n_clusters="auto"``.
+    shared with ``n_clusters="auto"`` — cheap on a source scan, but a
+    caller whose input is an expensive UNMATERIALIZED pipeline should
+    persist it first or pass explicit regimes plus an int
+    ``n_clusters``, which skips the count entirely.
     """
     if assignment not in ("expr", "udf", "auto"):
         raise ValueError(
