@@ -864,12 +864,21 @@ def word_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# corpora at or below this document count keep dup_ngram_coverage's
+# oracle-bit-true string gram keys under hashed="auto"; larger ones take
+# the 8-byte xxhash64 keys (collision P ~ 2^-64 per gram pair — can only
+# ADD one window, never drop coverage). 2^20 sits 2x above the largest
+# oracle-proven corpus (sf10: 500k docs) and below the sf100 replica
+# (5M), where string keys are a measured single-box disk-death.
+_HASHED_GRAM_ROWS = 1_048_576
+
+
 def dup_ngram_coverage(
     df: DataFrame,
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hashed: bool = False,
+    hashed: bool | str = "auto",
     max_gram_df: int | None = None,
     remove: bool = False,
 ) -> DataFrame:
@@ -894,7 +903,14 @@ def dup_ngram_coverage(
     - ``hashed=True`` shuffles/joins on ``xxhash64(gram)`` instead of the
       gram text — an 8-byte fixed-width key instead of ~50 bytes of
       string; a collision can only mark one extra window duplicated
-      (P ≈ 2^-64 per gram pair), it cannot drop coverage.
+      (P ≈ 2^-64 per gram pair), it cannot drop coverage. The default
+      ``"auto"`` keeps string keys (oracle-bit-true) at or below 2^20
+      documents — 2x above the largest oracle-proven corpus (sf10,
+      500k docs) — and switches to hashed keys beyond, where the string
+      gram index is a measured single-box disk-death (sf100: ~1B gram
+      positions x ~70 B string rows through a localCheckpoint and two
+      shuffles filled 72 GB of scratch; hashed is ~3.5x leaner). Costs
+      one count when "auto"; pass an explicit bool to skip it.
     - ``max_gram_df`` drops grams whose document frequency exceeds the cap
       (corpus-level stop-grams) before the join back, mirroring
       ngram_jaccard_pairs' ``max_shingle_df``: one viral boilerplate gram
@@ -920,6 +936,10 @@ def dup_ngram_coverage(
         raise ValueError(f"n must be >= 1, got {n}")
     if max_gram_df is not None and max_gram_df < 2:
         raise ValueError(f"max_gram_df must be >= 2, got {max_gram_df}")
+    if hashed not in (True, False, "auto"):
+        raise ValueError(f"hashed must be a bool or 'auto', got {hashed!r}")
+    if hashed == "auto":
+        hashed = df.count() > _HASHED_GRAM_ROWS
     # token array pinned behind the explode(array()) Generate barrier:
     # word_ngrams does n element_at calls per window, and with the split()
     # inlined each one re-tokenizes the document (measured 131s vs 1.5s at

@@ -107,6 +107,29 @@ def test_dup_ngram_coverage_scale_knobs(spark):
     assert uncapped[4]["n_dup_ngrams"] == 1
 
 
+def test_dup_ngram_coverage_auto_hash_switch(spark, monkeypatch):
+    """r11: ``hashed="auto"`` (the default) keeps string gram keys below
+    the document threshold — bit-identical plans to hashed=False — and
+    switches to 8-byte xxhash64 keys above it, value-identically."""
+    import re
+
+    import exon_spark.operators.dedup as dd
+
+    rows = [(1, "p q r s t"), (2, "p q r s u"), (3, "m n o v w")]
+    small = dd.dup_ngram_coverage(_docs(spark, rows), n=3)
+    assert not re.search(
+        r"xxhash64", small._jdf.queryExecution().toString()
+    ), "auto must keep string keys below the threshold"
+    base = sorted(map(tuple, small.collect()))
+    monkeypatch.setattr(dd, "_HASHED_GRAM_ROWS", 1)
+    big = dd.dup_ngram_coverage(_docs(spark, rows), n=3)
+    assert sorted(map(tuple, big.collect())) == base
+    import pytest
+
+    with pytest.raises(ValueError, match="hashed"):
+        dd.dup_ngram_coverage(_docs(spark, rows), n=3, hashed="bogus")
+
+
 def test_bm25_matches_hand_computation(spark):
     from exon_spark.operators import bm25_search
 
