@@ -187,6 +187,7 @@ def streaming_dedup(
     events: DataFrame,
     key_cols: list[str] | tuple[str, ...] = ("key",),
     ttl_minutes: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Streaming exact-dedup: emit only the FIRST row ever seen per key
     across the life of the stream; all later rows with the same key are
@@ -202,10 +203,35 @@ def streaming_dedup(
     (e.g. content digests of a finite corpus).
 
     Output rows surface at the micro-batch where the key first appears
-    (append mode); within a batch the group's first row wins. State
-    shuffles by key exactly like a groupBy — skew-safe under AQE, scales
-    with executors.
+    (append mode); within a batch one (arbitrary-but-deterministic
+    per run) row per key wins. State shuffles by key exactly like a
+    groupBy — skew-safe under AQE, scales with executors.
+
+    ``engine`` picks the implementation. ``"native"`` is Spark's own
+    state-store-backed ``dropDuplicates`` — identical first-seen-
+    across-batches semantics, entirely JVM-side: no Python worker, no
+    Arrow transfer, no per-key generator call. The pandas path pays
+    ~one Python invocation PER KEY GROUP per batch — at 500k distinct
+    digests that is 500k generator calls and the measured dominant cost
+    of the sf10 board's q33 row — so ``"auto"`` (default) uses native
+    whenever it can. Only ``ttl_minutes`` needs the ``"state"`` engine
+    (``applyInPandasWithState`` with ProcessingTimeTimeout — built-in
+    dropDuplicates has no processing-time TTL; its watermark variant
+    bounds by EVENT time, a different contract).
     """
+    if engine not in ("auto", "native", "state"):
+        raise ValueError(
+            f"engine must be 'auto', 'native' or 'state', got {engine!r}"
+        )
+    if engine == "auto":
+        engine = "state" if ttl_minutes is not None else "native"
+    if engine == "native":
+        if ttl_minutes is not None:
+            raise ValueError(
+                "engine='native' has no processing-time TTL; use "
+                "engine='state' for ttl_minutes"
+            )
+        return events.dropDuplicates(list(key_cols))
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = events.schema

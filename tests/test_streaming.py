@@ -146,6 +146,59 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     assert rows["c"] == 3 and rows["d"] == 4
 
 
+def test_streaming_dedup_engines_agree(spark, tmp_path):
+    """r11: the native engine (JVM dropDuplicates state store — the
+    board path) and the pandas state engine must emit the same
+    first-seen-across-batches key set with the same unique-key values;
+    TTL demands the state engine (loud raise on native)."""
+    import pytest
+
+    from exon_spark.streaming import run_stream_to_memory, streaming_dedup
+
+    d = tmp_path / "eng_stream"
+    d.mkdir()
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    ).coalesce(1).write.parquet(str(d / "f0"))
+    spark.createDataFrame(
+        [("a", 99), ("d", 4), ("b", 98)], "k string, v int"
+    ).coalesce(1).write.parquet(str(d / "f1"))
+
+    outs = {}
+    for engine in ("native", "state"):
+        stream = (
+            spark.readStream.schema("k string, v int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "*"))
+        )
+        out = run_stream_to_memory(
+            streaming_dedup(stream, key_cols=("k",), engine=engine),
+            f"sdedup_eng_{engine}",
+            output_mode="append",
+        )
+        outs[engine] = {r.k: r.v for r in out.collect()}
+    assert set(outs["native"]) == set(outs["state"]) == {"a", "b", "c", "d"}
+    # unique keys carry identical rows; duplicated keys keep the
+    # first-arriving BATCH's value in both engines (state exists by the
+    # time the second file's duplicates arrive)
+    assert outs["native"] == outs["state"]
+    assert outs["native"]["a"] == 1 and outs["native"]["b"] == 2
+
+    with pytest.raises(ValueError, match="TTL"):
+        streaming_dedup(
+            spark.readStream.schema("k string, v int").parquet(str(d / "*")),
+            key_cols=("k",),
+            ttl_minutes=5,
+            engine="native",
+        )
+    with pytest.raises(ValueError, match="engine"):
+        streaming_dedup(
+            spark.readStream.schema("k string, v int").parquet(str(d / "*")),
+            key_cols=("k",),
+            engine="bogus",
+        )
+
+
 def test_streaming_dedup_ttl_state_bound(spark, tmp_path):
     """ttl_minutes wires ProcessingTimeTimeout (state eviction) — the
     plumbing must run end-to-end; within one run keys still dedup.
