@@ -133,7 +133,10 @@ def _q33_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup by content digest: documents stream in (4
     parquet shards, maxFilesPerTrigger=1 ⇒ four micro-batches under
     availableNow) and only first-seen content hashes pass — state carries
-    seen keys ACROSS micro-batches. Output = the distinct digest set,
+    seen keys ACROSS micro-batches (r11: the JVM dropDuplicates state
+    store via streaming_dedup's auto engine; the pandas state engine is
+    parity-pinned and serves the TTL variant). Output = the distinct
+    digest set,
     deterministic regardless of arrival order, so it gates against a plain
     DISTINCT oracle; which physical row surfaced first is arrival-order
     dependent and deliberately not part of the gated output."""
@@ -213,7 +216,7 @@ STREAMING_QUERIES: list[QuerySpec] = [
         "q33_streaming_dedup",
         _q33_spark,
         Q33_ORACLE,
-        "applyInPandasWithState first-seen dedup across micro-batches",
+        "state-store first-seen dedup across micro-batches (JVM dropDuplicates engine)",
     ),
     QuerySpec(
         "q39_streaming_interval_join",
