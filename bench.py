@@ -247,19 +247,23 @@ def main() -> None:
 
 
 def _artifact(times, samples, noisy, errors, cpu0, sf_dir) -> dict:
-    """Assemble the one-line JSON artifact. ``samples`` records every
-    per-run wall time (best-of-N is derivable, and spread is visible —
-    the committed artifact is no longer a hand-selected single sample);
-    ``noisy`` lists queries whose runs overlapped a >2% CPU-steal window
-    (multi-tenant host), pre-flagging rows whose raw deltas should not
-    be attributed to code."""
+    """Assemble the one-line JSON artifact and write the per-run detail
+    sidecar.
+
+    The stdout line must stay COMPACT: the driver captures only the tail
+    of stdout, and r11's artifact — which inlined every per-run sample —
+    grew past that window, truncating the line's head and making the
+    round's official bench record unparseable (r11 verdict, wrong #1).
+    So the final line carries queries + headline only, and the per-run
+    ``samples`` (best-of-N spread) plus steal detail go to a sidecar
+    JSON file next to this script (``BENCH_detail.json``), which is
+    committed alongside the round artifacts."""
     out = {
         "metric": "headline_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
-        "samples": samples,
     }
     if noisy:
         out["steal_flagged"] = {k: round(v, 2) for k, v in sorted(noisy.items())}
@@ -268,6 +272,14 @@ def _artifact(times, samples, noisy, errors, cpu0, sf_dir) -> dict:
     steal = _steal_pct(cpu0)
     if steal is not None:
         out["cpu_steal_pct"] = steal
+    detail = dict(out)
+    detail["samples"] = samples
+    try:
+        sidecar = Path(__file__).resolve().parent / "BENCH_detail.json"
+        sidecar.write_text(json.dumps(detail, indent=1) + "\n")
+        print(f"# per-run samples written to {sidecar}", file=sys.stderr)
+    except OSError as e:  # sidecar is best-effort; never lose the line
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
     return out
 
 
