@@ -475,6 +475,7 @@ def embedding_cosine_dups(
     verify: str = "exact",
     pq_slack: float = 0.15,
     pq_codebook=None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >=
     threshold), candidates blocked by **banded** hyperplane LSH — a pair is
@@ -508,7 +509,15 @@ def embedding_cosine_dups(
     density ~0.6 -> ~260M rows). The floor of 16 keeps every corpus
     below 65k vectors (all oracle-gated SFs and the sf0.1/sf1 boards)
     on the exact legacy geometry, so DuckDB oracles stay static; the
-    auto COUNT is one id-only job. Wider bands
+    auto COUNT is one id-only job — a standing pipeline that already
+    knows its cardinality can pass ``n_rows=`` to skip it, and a caller
+    whose input is an expensive UNMATERIALIZED pipeline should persist
+    it first or pass ``n_rows``/an explicit ``band_bits`` (otherwise the
+    full upstream lineage executes once for the count and again for the
+    operator). An explicit ``n_planes`` with ``band_bits="auto"`` pins
+    the legacy geometry (``band_bits = n_planes // 4``) rather than
+    density-sizing — the pre-r11 call pattern keeps working at any
+    corpus size. Wider bands
     trade recall at the threshold boundary (documented LSH property,
     mirrored by any oracle that regenerates the blocking); exact/planted
     duplicates agree on every band at any width — recall 1 always.
@@ -537,11 +546,23 @@ def embedding_cosine_dups(
         raise ValueError(f"verify must be 'exact' or 'pq', got {verify!r}")
     n_bands = 4  # simhash-mirroring recall geometry, fixed
     if band_bits == "auto":
-        n_rows = df.count()
-        band_bits = min(
-            40,
-            max(16, math.ceil(math.log2(max(n_rows, 2) / density_target))),
-        )
+        if n_planes is not None:
+            # back-compat (r11 advice): an explicit n_planes with auto
+            # band_bits pins the caller's geometry — density-sizing here
+            # would almost never divide the given n_planes and broke the
+            # pre-r11 call pattern on any corpus above 2^16 rows.
+            if n_planes % n_bands:
+                raise ValueError(
+                    f"explicit n_planes must be a multiple of {n_bands}"
+                    f" bands, got {n_planes}"
+                )
+            band_bits = n_planes // n_bands
+        else:
+            n = df.count() if n_rows is None else int(n_rows)
+            band_bits = min(
+                40,
+                max(16, math.ceil(math.log2(max(n, 2) / density_target))),
+            )
     if n_planes is None:
         n_planes = n_bands * band_bits
     if n_planes % band_bits:
@@ -775,6 +796,7 @@ def semantic_dedup(
     emb_col: str = "embedding",
     assignment: str = "auto",
     pairs: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked embedding dedup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -848,8 +870,10 @@ def semantic_dedup(
     switch to udf+grouped. The size read costs one id-only count,
     shared with ``n_clusters="auto"`` — cheap on a source scan, but a
     caller whose input is an expensive UNMATERIALIZED pipeline should
-    persist it first or pass explicit regimes plus an int
-    ``n_clusters``, which skips the count entirely.
+    persist it first, pass ``n_rows=`` (a caller-supplied cardinality —
+    standing pipelines usually already know it), or pass explicit
+    regimes plus an int ``n_clusters``, any of which skips the count
+    entirely.
     """
     if assignment not in ("expr", "udf", "auto"):
         raise ValueError(
@@ -859,11 +883,8 @@ def semantic_dedup(
         raise ValueError(
             f"pairs must be 'expr', 'grouped' or 'auto', got {pairs!r}"
         )
-    n_rows = (
-        df.count()
-        if (n_clusters == "auto" or "auto" in (assignment, pairs))
-        else None
-    )
+    if n_rows is None and (n_clusters == "auto" or "auto" in (assignment, pairs)):
+        n_rows = df.count()
     if assignment == "auto":
         assignment = "udf" if n_rows > _SCALE_REGIME_ROWS else "expr"
     if pairs == "auto":

@@ -95,18 +95,29 @@ def sessionize_stream(
 
 
 def _quiescent(last_progress, data_available: bool) -> bool:
-    """True iff the last committed micro-batch proves the availableNow
-    stream is done emitting: zero input rows, zero output rows, and no
-    data pending. A no-data batch WITH output (timer-driven emission)
-    is not quiescent — more emitting batches may follow. A missing /
-    unknown sink count (some sinks report -1) is treated as no output,
-    matching the pre-r11 behavior for those sinks."""
+    """True iff the last committed micro-batch is CONSISTENT with the
+    availableNow stream being done emitting: zero input rows, no known
+    output rows, and no data pending. A no-data batch WITH output
+    (timer-driven emission) is not quiescent — more emitting batches may
+    follow. A missing / unknown sink count (some sinks report -1) passes
+    this check but is not PROOF of no output — the caller must pair it
+    with :func:`_sink_count_known` and demand a second consecutive
+    quiescent batch before breaking (r11 advice: treating unknown as
+    zero re-opened the exact truncation class the output check was
+    added to prevent)."""
     return (
         last_progress is not None
         and last_progress["numInputRows"] == 0
         and last_progress.get("sink", {}).get("numOutputRows", 0) <= 0
         and not data_available
     )
+
+
+def _sink_count_known(last_progress) -> bool:
+    """Whether the sink actually reported an output-row count (memory and
+    most DSv2 sinks do; sinks that cannot report return -1 or omit the
+    field)."""
+    return last_progress.get("sink", {}).get("numOutputRows", -1) >= 0
 
 
 def run_stream_to_memory(
@@ -163,10 +174,25 @@ def run_stream_to_memory(
     )
     try:
         deadline = _time.monotonic() + timeout_s
+        # for sinks that cannot report output counts (numOutputRows -1 /
+        # missing) one quiescent-looking batch is not proof — a timer
+        # emission could have gone uncounted; require a SECOND consecutive
+        # quiescent batch (a distinct batchId) before trusting it. The
+        # memory sink used here always reports, so this path is for
+        # callers that clone the loop onto other sinks.
+        unknown_qbatch = None
         while q.isActive:
             lp = q.lastProgress
             if _quiescent(lp, q.status["isDataAvailable"]):
-                break  # no-input, no-output batch committed, nothing pending
+                if _sink_count_known(lp):
+                    break  # no-input, ZERO-output batch committed
+                bid = lp.get("batchId", -1)
+                if unknown_qbatch is not None and bid > unknown_qbatch:
+                    break  # two consecutive quiescent batches, no data
+                if unknown_qbatch is None or bid > unknown_qbatch:
+                    unknown_qbatch = bid
+            else:
+                unknown_qbatch = None
             if _time.monotonic() > deadline:
                 raise TimeoutError(
                     f"availableNow stream {name!r} still has unprocessed "

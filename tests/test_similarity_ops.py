@@ -1045,3 +1045,57 @@ def test_embedding_cosine_dups_auto_band_width(spark):
     planted = {(i, 1000 + i) for i in range(0, 40, 5)}
     found = {(x, y) for x, y, s in a}
     assert planted <= found  # exact dups: recall 1 at any width
+
+
+def test_explicit_n_planes_with_auto_band_bits_back_compat(spark):
+    """r12 (ADVICE r11): an explicit n_planes with the default
+    band_bits="auto" must pin the caller's legacy geometry (band_bits =
+    n_planes / 4) instead of density-sizing into a width that rarely
+    divides it — the pre-r11 call pattern keeps working at any corpus
+    size, with zero count() job."""
+    from exon_spark.operators.similarity import embedding_cosine_dups
+
+    rows = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(64)]) for i in range(30)]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 30, 5)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    df.count = lambda: (_ for _ in ()).throw(  # type: ignore[method-assign]
+        AssertionError("explicit n_planes must not trigger a count() job")
+    )
+    got = sorted(map(tuple, embedding_cosine_dups(df, n_planes=64).collect()))
+    want = sorted(
+        map(tuple, embedding_cosine_dups(df, n_planes=64, band_bits=16).collect())
+    )
+    assert got == want and got
+    with pytest.raises(ValueError, match="multiple of 4"):
+        embedding_cosine_dups(df, n_planes=63)
+
+
+def test_auto_regimes_accept_caller_cardinality(spark):
+    """r12 (VERDICT r11 next #6): n_rows= lets a standing pipeline that
+    already knows its cardinality skip the auto-regime count() job —
+    pinned by poisoning df.count on the input and checking the result is
+    identical to the counted path."""
+    import exon_spark.operators.similarity as sim
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    n = emb.count()
+    baseline = sorted(
+        map(tuple, sim.semantic_dedup(emb, n_clusters="auto", threshold=0.8).collect())
+    )
+    poisoned = _emb(spark).select("vec_id", "embedding")
+    poisoned.count = lambda: (_ for _ in ()).throw(  # type: ignore[method-assign]
+        AssertionError("n_rows supplied — count() must not run")
+    )
+    got = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                poisoned, n_clusters="auto", threshold=0.8, n_rows=n
+            ).collect(),
+        )
+    )
+    assert got == baseline
+    # embedding_cosine_dups: same contract for the band-width auto count
+    base2 = sorted(map(tuple, sim.embedding_cosine_dups(emb).collect()))
+    got2 = sorted(map(tuple, sim.embedding_cosine_dups(poisoned, n_rows=n).collect()))
+    assert got2 == base2

@@ -438,7 +438,16 @@ def test_quiescence_predicate():
     assert not _quiescent({"numInputRows": 0, "sink": {"numOutputRows": 0}}, True)
     # the one true break: committed no-input no-output batch, nothing pending
     assert _quiescent({"numInputRows": 0, "sink": {"numOutputRows": 0}}, False)
-    # sinks that report unknown (-1) or omit the count: treated as no
-    # output (pre-r11 behavior preserved for those sinks)
+    # sinks that report unknown (-1) or omit the count: quiescent-LOOKING,
+    # but _sink_count_known distinguishes proof from absence of evidence —
+    # the wait loop demands a second consecutive quiescent batch for these
+    # (r12, ADVICE r11: unknown-as-zero re-opened the truncation class)
+    from exon_spark.streaming import _sink_count_known
+
     assert _quiescent({"numInputRows": 0, "sink": {"numOutputRows": -1}}, False)
     assert _quiescent({"numInputRows": 0}, False)
+    assert _sink_count_known({"numInputRows": 0, "sink": {"numOutputRows": 0}})
+    assert _sink_count_known({"sink": {"numOutputRows": 17}})
+    assert not _sink_count_known({"numInputRows": 0, "sink": {"numOutputRows": -1}})
+    assert not _sink_count_known({"numInputRows": 0, "sink": {}})
+    assert not _sink_count_known({"numInputRows": 0})
