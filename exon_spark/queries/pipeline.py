@@ -40,6 +40,46 @@ from exon_spark.operators.dedup import MERSENNE_P, MINHASH_PERMS
 from exon_spark.operators.text import LANG_MARKERS, STOPWORDS_EN, _LANG_ORDER
 from exon_spark.queries.base import QuerySpec, table
 
+# corpora above this document count stage their fused gates' corpus-
+# tokenizing arms sequentially (materialize one arm's narrow per-doc
+# output before the next plans) instead of letting them run concurrently:
+# concurrency stacks each arm's in-flight Arrow state, and at the sf100
+# probe (5M docs) that put q42's floor at 2.5 GB/core (G1 GCLocker
+# exhaustion) while a single arm passes at 1.5. Below the threshold the
+# arms overlap freely — serializing them costs measured wall time at
+# small SFs (q36 2.5->4.8 s at sf0.1) for memory nobody is short of.
+# 2^20 mirrors dup_ngram_coverage's hashed="auto" threshold: 2x above
+# the largest oracle-proven corpus (sf10, 500k docs), below sf100's 5M.
+_STAGE_ARMS_ROWS = 1_048_576
+
+
+def _parquet_rows(sf_dir: str, name: str) -> int | None:
+    """Table row count straight from parquet footer metadata — zero Spark
+    jobs, exact for any parquet layout (single file or directory of
+    parts). Returns None when the footers aren't locally readable (e.g.
+    a remote object-store path); callers treat None as "small" and keep
+    the concurrent-arms plan, which is correct at any size — a cluster
+    reading remote 100 TB inputs sizes executor memory for concurrency
+    anyway, and can force staging via the operators' explicit knobs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except Exception:  # unreadable footer == unknown size, never fatal
+        return None
+    return None
+
+
 # ---------------------------------------------------------------- exact dedup
 
 def _q17_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,9 +935,18 @@ def _q36_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr_scored = logreg_classifier_score(
         planted, lr_model, {"intercept": _LR_INTERCEPT, "buckets": NB_BUCKETS}
     )
-    return (
-        quality_signals(docs).join(scored, "doc_id").join(lr_scored, "doc_id")
-    )
+    # STAGE the three corpus-tokenizing arms above _STAGE_ARMS_ROWS (same
+    # fix as _q42_spark, r12: planned as one job they tokenize
+    # concurrently and stack Arrow state; the per-doc outputs are 3
+    # narrow frames — materializing two of them serializes the arms so
+    # peak in-flight state is ONE arm's)
+    qs = quality_signals(docs)
+    if (_parquet_rows(sf_dir, "documents") or 0) > _STAGE_ARMS_ROWS:
+        from exon_spark.operators.dedup import _materialize
+
+        qs = _materialize(qs, eager=True)
+        scored = _materialize(scored, eager=True)
+    return qs.join(scored, "doc_id").join(lr_scored, "doc_id")
 
 
 _NB_MARKER_POS = " hqseed hqseed hqseed"
@@ -1376,9 +1425,25 @@ def _q42_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dsir_weights share the documents tokenization; one row gates both.
     # DSIR target = the src0 stratum, raw = the whole corpus.
     from exon_spark.operators import dsir_weights, unigram_logppl
+    from exon_spark.operators.dedup import _materialize
 
     docs = table(spark, sf_dir, "documents")
+    # STAGE the two corpus-tokenizing arms above _STAGE_ARMS_ROWS (r12,
+    # VERDICT r11 next #2): planned as one job, the unigram ladder and
+    # the DSIR hashed-bigram featurizer run their Arrow-batched tokenize
+    # stages CONCURRENTLY, doubling peak in-flight Arrow state — at the
+    # sf100 probe that put the fused gate's floor at 2.5 GB/core (G1
+    # GCLocker exhaustion on ~32 MB humongous allocations at 1.5
+    # GB/core) while q52's single ladder passes at the same heap with a
+    # heavier model. Materializing the ladder's per-doc output (3 narrow
+    # columns, one row per doc — trivial to cache) forces that arm to
+    # COMPLETE before the DSIR arm plans, halving peak concurrent state
+    # for one extra materialization of a tiny frame. Below the threshold
+    # the arms overlap — serializing them costs measured wall time at
+    # small SFs (see _STAGE_ARMS_ROWS) for memory nobody is short of.
     lp = unigram_logppl(docs)
+    if (_parquet_rows(sf_dir, "documents") or 0) > _STAGE_ARMS_ROWS:
+        lp = _materialize(lp, eager=True)
     w = dsir_weights(
         docs,
         docs.filter(F.col("source") == "src0"),
