@@ -1793,12 +1793,85 @@ def test_phrase_tag_ac_regime_parity(spark):
         phrase_tag(df, tags, regime="nope")
 
 
+def test_phrase_tag_c_path_wrapper_contract(spark, tmp_path):
+    """Execute the pyahocorasick branch of _phrase_tag_ac WITHOUT the C
+    library (r12, VERDICT r11 next #7 / ADVICE: the branch shipped with
+    its sole parity test never having run in this container). A minimal
+    pure-Python stand-in implementing the documented pyahocorasick API
+    subset the wrapper uses — ``Automaton()``, ``add_word(key, value)``,
+    ``make_automaton()``, ``iter(text)`` yielding ``(end_index, value)``
+    for EVERY occurrence of every added word — is shipped to the
+    executors via ``addPyFile``, so ``import ahocorasick`` inside the
+    UDF resolves to it and the C-path code (automaton build + cache,
+    iter-enumeration consumption, greedy per-pattern counting) actually
+    executes. This proves the WRAPPER against the library's API
+    contract; bit-parity with the real C extension still needs
+    test_phrase_tag_c_automaton_parity on a host that has it.
+
+    The stand-in stays importable by this session's workers afterwards
+    (addPyFile is session-sticky) — harmless, because it is
+    enumeration-exact: any later ac-regime call yields identical
+    results either path."""
+    stub = tmp_path / "ahocorasick.py"
+    stub.write_text(
+        '"""Test stand-in for the pyahocorasick public API (subset)."""\n'
+        "TEST_STAND_IN = True\n"
+        "class Automaton:\n"
+        "    def __init__(self):\n"
+        "        self._words = {}\n"
+        "        self._ready = False\n"
+        "    def add_word(self, key, value):\n"
+        "        self._words[key] = value\n"
+        "    def make_automaton(self):\n"
+        "        self._ready = True\n"
+        "    def iter(self, text):\n"
+        "        assert self._ready\n"
+        "        for i in range(len(text)):\n"
+        "            for w, v in self._words.items():\n"
+        "                if i + 1 >= len(w) and text[i - len(w) + 1 : i + 1] == w:\n"
+        "                    yield (i, v)\n"
+    )
+    spark.sparkContext.addPyFile(str(stub))
+    from exon_spark.operators.text import phrase_tag
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa AAa aaaa self-overlap aa"),
+            (2, "alpha beta alpha beta gamma"),
+            (3, None),
+            (4, "nested aba abab ababa cases"),
+        ],
+        "doc_id bigint, text string",
+    )
+    phrases = {
+        "a": ["aa", "aaa"],
+        "greek": ["alpha beta", "gamma", "beta"],
+        "nest": ["aba", "ababa"],
+    }
+    got = sorted(map(tuple, phrase_tag(docs, phrases, regime="ac").collect()))
+    exp = sorted(map(tuple, phrase_tag(docs, phrases, regime="expr").collect()))
+    assert got == exp
+    # prove the C-path branch actually ran (not the pure-Python fallback):
+    # a worker-side import of the shipped stand-in must succeed
+    probe = spark.sparkContext.parallelize([0], 1).map(
+        lambda _: __import__("ahocorasick").__name__
+    ).collect()
+    assert probe == ["ahocorasick"]
+
+
 def test_phrase_tag_c_automaton_parity(spark):
     """Parity pin for the optional pyahocorasick C fast path inside
     _phrase_tag_ac (r11). Skipped when the library is absent (this
     container): the pure-Python automaton then serves the scan and is
-    already parity-pinned against the expr regime above."""
-    pytest.importorskip("ahocorasick")
+    already parity-pinned against the expr regime above. The wrapper's
+    consumption of the ahocorasick API contract is exercised even here
+    by test_phrase_tag_c_path_wrapper_contract."""
+    ahc = pytest.importorskip("ahocorasick")
+    if getattr(ahc, "TEST_STAND_IN", False):
+        pytest.skip(
+            "only the wrapper-contract stand-in is importable (leaked into "
+            "the driver path by addPyFile) — the REAL C extension is absent"
+        )
     from exon_spark.operators.text import phrase_tag
 
     docs = spark.createDataFrame(
