@@ -53,18 +53,127 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
+def _minhash_pairs_big(
+    con: "duckdb.DuckDBPyConnection",
+    cand_where: str,
+    shards: int = 8,
+) -> None:
+    """Staged spelling of the minhash-LSH + jaccard-verify pair pipeline
+    (_MINHASH_PAIRS_CTES) for corpora where the monolithic CTE dies: at
+    sf100 (5M docs, 250M shingle positions) DuckDB re-materialized the
+    string-keyed shingle stream for each of its four consumers and
+    spilled >66 GB into the temp dir before filling the disk (r12).
+    Identical results, staged:
+
+    1. the shingle stream spills to ONE temp parquet as
+       (doc_id, md5(shingle), h32) — per-doc distinct applied on the
+       md5, the repo's exact-dedup convention (q17 groups by
+       md5(text)): fixed 32-byte keys instead of ~45-byte strings, and
+       identical sets absent an md5 collision between distinct 5-gram
+       shingles;
+    2. signatures/bands/candidates run over that parquet (one streaming
+       group-by to 1 row per doc — small from here on);
+    3. the candidate verify counts common shingles per pair in
+       ``shards`` disjoint slices of the md5-hash universe — n_common
+       is a sum over slices, so the per-pass join state is 1/shards of
+       a corpus-wide hash table, and only shingles of docs that appear
+       in some candidate pair enter it at all.
+
+    Leaves temp tables ``big_cand`` (cand_where applied; columns
+    doc_a/doc_b) and ``big_pairs`` (doc_a, doc_b, jaccard >= 0.5).
+    Equality with the plain SQL oracle is pinned at sf0.001/sf0.01 by
+    tests/test_big_oracles.py."""
+    import os
+    import tempfile
+
+    from exon_spark.queries.pipeline import _BAND_SELECTS, _MIN_COLS
+
+    con.execute("set preserve_insertion_order=false")
+    tmp = tempfile.mkdtemp(prefix="mh_oracle_")
+    gpath = os.path.join(tmp, "sh.parquet")
+    try:
+        con.execute(
+            f"""copy (
+with tok as (
+  select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
+  from documents
+)
+select distinct doc_id, md5(s) as hh,
+       ('0x' || substr(md5(s), 1, 8))::bigint as h32
+from tok,
+     unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                 toks[i+3] || ' ' || toks[i+4])) as t(s)
+where s <> ''
+) to '{gpath}' (format parquet)"""
+        )
+        con.execute(
+            f"""create or replace temp table big_cand as
+with sig as (
+  select doc_id, {_MIN_COLS.replace('* h +', '* h32 +')}
+  from '{gpath}' group by doc_id
+),
+bands as ({_BAND_SELECTS})
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from bands a join bands b on a.band_id = b.band_id and a.sig = b.sig
+where {cand_where}"""
+        )
+        # only candidate docs' shingles enter the verify joins
+        con.execute(
+            "create or replace temp table big_cdocs as "
+            "select doc_a as doc_id from big_cand "
+            "union select doc_b from big_cand"
+        )
+        con.execute(
+            "create or replace temp table big_common "
+            "(doc_a bigint, doc_b bigint, n_common bigint)"
+        )
+        for s in range(shards):
+            con.execute(
+                f"""insert into big_common
+with shs as (
+  select g.doc_id, g.hh from '{gpath}' g
+  join big_cdocs d using (doc_id)
+  where hash(g.hh) % {shards} = {s}
+)
+select c.doc_a, c.doc_b, count(*) as n_common
+from big_cand c
+join shs x on x.doc_id = c.doc_a
+join shs y on y.doc_id = c.doc_b and y.hh = x.hh
+group by c.doc_a, c.doc_b"""
+            )
+        con.execute(
+            f"""create or replace temp table big_pairs as
+with cm as (
+  select doc_a, doc_b, sum(n_common) as n_common
+  from big_common group by doc_a, doc_b
+),
+cnt as (select doc_id, count(*) as n_sh from '{gpath}' group by doc_id)
+select doc_a, doc_b,
+       round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6)
+         as jaccard
+from cm join cnt x on doc_a = x.doc_id join cnt y on doc_b = y.doc_id
+where round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6)
+      >= 0.5"""
+        )
+    finally:
+        try:
+            os.unlink(gpath)
+            os.rmdir(tmp)
+        except OSError:
+            pass
+
+
 def _q31_big_oracle(con: "duckdb.DuckDBPyConnection", sf_dir: str) -> pd.DataFrame:
     """Connected components via driver-side union-find over the DuckDB
     pair list, replacing the recursive-CTE transitive closure (which
     builds O(n*m) reach rows and spilled >60 GB at 500k docs). The pair
-    extraction (minhash LSH + jaccard verify) stays in DuckDB; the
-    closure is a 20-line union-find over the dup pairs — bounded by the
-    dup RATE, not the corpus."""
-    from exon_spark.queries.pipeline import _MINHASH_PAIRS_CTES
-
-    pairs = con.execute(
-        f"with {_MINHASH_PAIRS_CTES} select doc_a, doc_b from pairs"
-    ).fetchall()
+    extraction (minhash LSH + jaccard verify) runs via the staged
+    _minhash_pairs_big pipeline (sf100-tractable; r12); the closure is
+    a 20-line union-find over the dup pairs — bounded by the dup RATE,
+    not the corpus."""
+    _minhash_pairs_big(con, "a.doc_id < b.doc_id")
+    pairs = con.execute("select doc_a, doc_b from big_pairs").fetchall()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -211,9 +320,39 @@ left join red on nt.doc_id = red.doc_id"""
     return out
 
 
+def _q40_big_oracle(con: "duckdb.DuckDBPyConnection", sf_dir: str) -> pd.DataFrame:
+    """q40 via the staged minhash-pair pipeline (r12): the plain oracle
+    re-materializes the string-keyed shingle CTE four times and is the
+    same sf100 disk-death class as q31's. The new-batch-vs-index
+    candidate filter rides the shared _minhash_pairs_big core; the
+    fused prefix column keeps the r11 group-by + left-join re-spell
+    (one pass over documents, trivial at any gated SF)."""
+    _minhash_pairs_big(con, "a.doc_id % 3 = 0 and b.doc_id % 3 <> 0")
+    return con.execute(
+        """
+with newpre as (
+  select doc_id,
+         array_to_string(regexp_split_to_array(lower(trim(text)),'\\s+')[1:5],' ') as pre
+  from documents where doc_id % 3 = 0
+),
+idxmin as (
+  select array_to_string(regexp_split_to_array(lower(trim(text)),'\\s+')[1:5],' ') as pre,
+         min(doc_id) as prefix_dup_of
+  from documents where doc_id % 3 <> 0
+  group by pre
+)
+select p.doc_a as doc_id, p.doc_b as dup_of, p.jaccard, i.prefix_dup_of
+from big_pairs p
+left join newpre np on np.doc_id = p.doc_a
+left join idxmin i on i.pre = np.pre
+"""
+    ).df()
+
+
 BIG_ORACLES = {
     "q31_dedup_clusters": _q31_big_oracle,
     "q37_dup_ngram_coverage": _q37_big_oracle,
+    "q40_dedup_incremental": _q40_big_oracle,
 }
 
 
