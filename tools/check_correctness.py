@@ -57,6 +57,7 @@ def _minhash_pairs_big(
     con: "duckdb.DuckDBPyConnection",
     cand_where: str,
     shards: int = 8,
+    doc_shards: int = 8,
 ) -> None:
     """Staged spelling of the minhash-LSH + jaccard-verify pair pipeline
     (_MINHASH_PAIRS_CTES) for corpora where the monolithic CTE dies: at
@@ -65,12 +66,16 @@ def _minhash_pairs_big(
     spilled >66 GB into the temp dir before filling the disk (r12).
     Identical results, staged:
 
-    1. the shingle stream spills to ONE temp parquet as
-       (doc_id, md5(shingle), h32) — per-doc distinct applied on the
-       md5, the repo's exact-dedup convention (q17 groups by
-       md5(text)): fixed 32-byte keys instead of ~45-byte strings, and
-       identical sets absent an md5 collision between distinct 5-gram
-       shingles;
+    1. the shingle stream spills to temp parquet in ``doc_shards``
+       passes (per-pass distinct/unnest state is 1/doc_shards of the
+       corpus — the single-pass spelling spilled >70 GB in the DISTINCT
+       alone and filled the disk) as (doc_id, h1, h2): the two ubigint
+       halves of md5(shingle), the repo's exact-dedup convention (q17
+       groups by md5(text)) in 16 fixed bytes instead of the ~45-byte
+       string, identical sets absent an md5 collision between distinct
+       5-gram shingles. The minhash h32 is the high half of h1 (first 8
+       hex chars), bit-identical to the plain oracle's
+       ``('0x' || substr(md5(s),1,8))::bigint``;
     2. signatures/bands/candidates run over that parquet (one streaming
        group-by to 1 row per doc — small from here on);
     3. the candidate verify counts common shingles per pair in
@@ -84,33 +89,39 @@ def _minhash_pairs_big(
     Equality with the plain SQL oracle is pinned at sf0.001/sf0.01 by
     tests/test_big_oracles.py."""
     import os
+    import shutil
     import tempfile
 
     from exon_spark.queries.pipeline import _BAND_SELECTS, _MIN_COLS
 
     con.execute("set preserve_insertion_order=false")
     tmp = tempfile.mkdtemp(prefix="mh_oracle_")
-    gpath = os.path.join(tmp, "sh.parquet")
+    gdir = os.path.join(tmp, "sh")
+    os.mkdir(gdir)
+    gpath = os.path.join(gdir, "*.parquet")
     try:
-        con.execute(
-            f"""copy (
+        for ds in range(doc_shards):
+            con.execute(
+                f"""copy (
 with tok as (
   select doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') as toks
-  from documents
+  from documents where doc_id % {doc_shards} = {ds}
 )
-select distinct doc_id, md5(s) as hh,
-       ('0x' || substr(md5(s), 1, 8))::bigint as h32
+select distinct doc_id,
+       ('0x' || substr(md5(s), 1, 16))::ubigint as h1,
+       ('0x' || substr(md5(s), 17, 16))::ubigint as h2
 from tok,
      unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
                  toks[i+3] || ' ' || toks[i+4])) as t(s)
 where s <> ''
-) to '{gpath}' (format parquet)"""
-        )
+) to '{gdir}/{ds}.parquet' (format parquet)"""
+            )
+        h32 = "cast(h1 >> 32 as bigint)"
         con.execute(
             f"""create or replace temp table big_cand as
 with sig as (
-  select doc_id, {_MIN_COLS.replace('* h +', '* h32 +')}
+  select doc_id, {_MIN_COLS.replace('* h +', f'* {h32} +')}
   from '{gpath}' group by doc_id
 ),
 bands as ({_BAND_SELECTS})
@@ -132,14 +143,14 @@ where {cand_where}"""
             con.execute(
                 f"""insert into big_common
 with shs as (
-  select g.doc_id, g.hh from '{gpath}' g
+  select g.doc_id, g.h1, g.h2 from '{gpath}' g
   join big_cdocs d using (doc_id)
-  where hash(g.hh) % {shards} = {s}
+  where hash(g.h1, g.h2) % {shards} = {s}
 )
 select c.doc_a, c.doc_b, count(*) as n_common
 from big_cand c
 join shs x on x.doc_id = c.doc_a
-join shs y on y.doc_id = c.doc_b and y.hh = x.hh
+join shs y on y.doc_id = c.doc_b and y.h1 = x.h1 and y.h2 = x.h2
 group by c.doc_a, c.doc_b"""
             )
         con.execute(
@@ -157,11 +168,7 @@ where round(cast(n_common as double) / (x.n_sh + y.n_sh - n_common), 6)
       >= 0.5"""
         )
     finally:
-        try:
-            os.unlink(gpath)
-            os.rmdir(tmp)
-        except OSError:
-            pass
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q31_big_oracle(con: "duckdb.DuckDBPyConnection", sf_dir: str) -> pd.DataFrame:
