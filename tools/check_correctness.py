@@ -118,15 +118,26 @@ where s <> ''
 ) to '{gdir}/{ds}.parquet' (format parquet)"""
             )
         h32 = "cast(h1 >> 32 as bigint)"
+        # sig and bands MUST be materialized temp tables, not CTEs:
+        # _BAND_SELECTS reads `sig` four times (one branch per band), and
+        # DuckDB re-executes an inlined CTE per consumer — four
+        # concurrent 250M-row group-bys spilled ~65 GB and filled the
+        # disk at sf100 (r12); as a 5M-row table the whole phase is
+        # seconds.
+        con.execute(
+            f"""create or replace temp table big_sig as
+select doc_id, {_MIN_COLS.replace('* h +', f'* {h32} +')}
+from '{gpath}' group by doc_id"""
+        )
+        con.execute(
+            "create or replace temp table big_bands as "
+            + _BAND_SELECTS.replace("from sig", "from big_sig")
+        )
         con.execute(
             f"""create or replace temp table big_cand as
-with sig as (
-  select doc_id, {_MIN_COLS.replace('* h +', f'* {h32} +')}
-  from '{gpath}' group by doc_id
-),
-bands as ({_BAND_SELECTS})
 select distinct a.doc_id as doc_a, b.doc_id as doc_b
-from bands a join bands b on a.band_id = b.band_id and a.sig = b.sig
+from big_bands a join big_bands b
+  on a.band_id = b.band_id and a.sig = b.sig
 where {cand_where}"""
         )
         # only candidate docs' shingles enter the verify joins
