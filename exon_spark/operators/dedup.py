@@ -1034,23 +1034,46 @@ def dup_ngram_coverage(
     if max_gram_df is not None:
         dup_grams = dup_grams.filter(F.col("nd") <= int(max_gram_df))
     dup = g.join(dup_grams.select("gram_k", "keep_doc"), "gram_k")
-    cov = (
-        dup.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + n)).alias(
-                "tokpos"
+    # cov + wins in ONE groupBy (r12): the old spelling shuffled dup
+    # twice (the window count and a distinct over the 8x-exploded
+    # per-window positions). covered_tokens is the length of the union
+    # of the intervals [pos+1, pos+n] — over the per-doc SORTED window
+    # starts that is sum(min(n, next-cur)) + n for the last window, an
+    # exact interval sweep with no explode and no distinct. One row per
+    # (doc, pos) by construction (one gram per position), so the sorted
+    # starts are strictly increasing. Array size is bounded by the
+    # doc's own window count (the remove path already collects
+    # token-level arrays per doc — same class).
+    starts = F.array_sort(F.collect_list("pos"))
+    covered = F.when(F.size("_starts") == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            F.zip_with(
+                F.slice(
+                    "_starts", 1, F.greatest(F.size("_starts") - 1, F.lit(0))
+                ),
+                F.slice(
+                    "_starts", 2, F.greatest(F.size("_starts") - 1, F.lit(0))
+                ),
+                lambda cur, nxt: F.least(F.lit(n), nxt - cur),
             ),
+            F.lit(0),
+            lambda a, x: a + x,
         )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("covered_tokens"))
+        + F.lit(n)
     )
-    wins = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_ngrams"))
-    out = (
-        d.select("doc_id", "n_toks")
-        .join(cov, "doc_id", "left")
-        .join(wins, "doc_id", "left")
+    covwins = (
+        dup.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_ngrams"),
+            starts.alias("_starts"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_ngrams",
+            covered.cast("long").alias("covered_tokens"),
+        )
     )
+    out = d.select("doc_id", "n_toks").join(covwins, "doc_id", "left")
     stat_cols = [
         "doc_id",
         "n_toks",
