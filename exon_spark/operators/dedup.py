@@ -1061,19 +1061,30 @@ def dup_ngram_coverage(
         )
         + F.lit(n)
     )
+    aggs = [F.count("*").alias("n_dup_ngrams"), starts.alias("_starts")]
+    if remove:
+        # non-keeper window starts, collected in the SAME shuffle
+        # (collect_list skips the keeper rows' nulls)
+        aggs.append(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("doc_id") != F.col("keep_doc"), F.col("pos"))
+                )
+            ).alias("_rstarts")
+        )
     covwins = (
         dup.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_dup_ngrams"),
-            starts.alias("_starts"),
-        )
+        .agg(*aggs)
         .select(
             "doc_id",
             "n_dup_ngrams",
             covered.cast("long").alias("covered_tokens"),
+            *(["_rstarts"] if remove else []),
         )
     )
-    out = d.select("doc_id", "n_toks").join(covwins, "doc_id", "left")
+    out = d.select(
+        "doc_id", "n_toks", *(["orig"] if remove else [])
+    ).join(covwins, "doc_id", "left")
     stat_cols = [
         "doc_id",
         "n_toks",
@@ -1087,38 +1098,45 @@ def dup_ngram_coverage(
     ]
     if not remove:
         return out.select(*stat_cols)
-    # removal: cut every covered position OUTSIDE the gram's keeper doc;
-    # same dup frame, so the index shuffle is paid once for both halves
-    rem = (
-        dup.filter(F.col("doc_id") != F.col("keep_doc"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + n)).alias(
-                "tokpos"
+    # removal: cut every position covered by a window whose keeper lies
+    # elsewhere. r12 respell: the old path exploded the removed windows
+    # 8x into per-position rows, distinct'd them, posexploded EVERY
+    # original token of the corpus, anti-joined, and reassembled with a
+    # per-doc collect+sort — three corpus-scale shuffles. The kept text
+    # is computable from the per-doc sorted non-keeper starts alone:
+    # positions [s, s+n-1] (1-based windows [pos+1, pos+n], here over
+    # 0-based pos so start = pos+1) are cut, and the KEPT stretches are
+    # the gaps between consecutive starts further than n apart, plus the
+    # head before the first window and the tail after the last. With
+    # virtual starts (1-n) prepended and (n_toks+1) appended, every kept
+    # stretch is exactly [cur+n, nxt-1] for a consecutive pair — so the
+    # reassembly is array slices of the original token array inside the
+    # one existing join, zero extra shuffles. Same token-normalized
+    # output (single-space join of kept tokens, original case).
+    rs = F.transform(F.coalesce("_rstarts", F.array()), lambda p: p + 1)
+    ntok = F.col("n_toks")
+    rs2 = F.concat(F.array(F.lit(1 - n)), rs, F.array(ntok + 1))
+    k2 = F.size(rs2)
+    kept_slices = F.filter(
+        F.zip_with(
+            F.slice(rs2, 1, F.greatest(k2 - 1, F.lit(0))),
+            F.slice(rs2, 2, F.greatest(k2 - 1, F.lit(0))),
+            lambda cur, nxt: F.struct(
+                (cur + n).alias("a"), (nxt - 1).alias("b")
             ),
+        ),
+        lambda s: s["a"] <= s["b"],
+    )
+    kept_toks = F.flatten(
+        F.transform(
+            kept_slices,
+            lambda s: F.slice(F.col("orig"), s["a"], s["b"] - s["a"] + 1),
         )
-        .distinct()
     )
-    tok_rows = d.select(
-        "doc_id", F.posexplode("orig").alias("tp0", "tok")
-    ).select("doc_id", (F.col("tp0") + 1).alias("tokpos"), "tok")
-    kept = tok_rows.join(rem, ["doc_id", "tokpos"], "left_anti")
-    red = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("_rtext"),
-        F.count(F.lit(1)).alias("_nkept"),
-    )
-    return out.join(red, "doc_id", "left").select(
+    return out.select(
         *stat_cols,
-        F.coalesce("_rtext", F.lit("")).alias(text_col),
-        (F.col("n_toks") - F.coalesce("_nkept", F.lit(0)))
-        .cast("int")
-        .alias("n_removed"),
+        F.array_join(kept_toks, " ").alias(text_col),
+        (ntok - F.size(kept_toks)).cast("int").alias("n_removed"),
     )
 
 
