@@ -10,7 +10,7 @@ reverse_complement(sequence) ...")`` works (matching the reference's
 ``register_udfs``, exon_context_ext.rs:192-213).
 """
 
-from exon_spark.functions.massspec import bin_vectors, contains_peak
+from exon_spark.functions.massspec import bin_spectra, bin_vectors, contains_peak
 from exon_spark.functions.quality import (
     quality_scores_to_list,
     quality_scores_to_string,
@@ -64,6 +64,7 @@ __all__ = [
     "quality_scores_to_string",
     "contains_peak",
     "bin_vectors",
+    "bin_spectra",
     "parse_region",
     "region_match",
     "chrom_match",

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-__all__ = ["contains_peak", "bin_vectors"]
+__all__ = ["contains_peak", "bin_vectors", "bin_spectra"]
 
 
 def _col(c: Column | str) -> Column:
@@ -75,3 +75,89 @@ def bin_vectors(
         )
 
     return F.transform(F.sequence(F.lit(0), nb.cast("int") - 1), bin_sum)
+
+
+def bin_spectra(
+    df,
+    spectrum: Column | str,
+    min_mz: float,
+    num_bins: int,
+    bin_width: float,
+    *,
+    mz=None,
+    intensity=None,
+    id_cols: tuple[str, ...] = ("vec_id",),
+    peak: float | None = None,
+    tol: float | None = None,
+    bins_col: str = "bins",
+    peak_col: str = "has_peak",
+):
+    """DataFrame-level spectrum binning — the SCALE formulation of
+    ``bin_vectors`` (+ optional fused ``contains_peak``).
+
+    Same semantics as ``bin_vectors(mz, intensity, min_mz, num_bins,
+    bin_width)`` per row (bin_vectors.rs:150-195: half-open bins, null
+    elements skipped, top-edge value lands in bin ``num_bins`` and is
+    dropped), but spelled as ``posexplode_outer`` + ONE codegen'd hash
+    aggregate with ``num_bins`` conditional sums instead of a per-row
+    higher-order ``aggregate`` per bin. The HOF form evaluates
+    interpreted (no whole-stage codegen inside lambda bodies) and
+    traverses the array once PER BIN — O(num_bins * len) interpreted
+    steps with a struct allocation per element; this form is one
+    traversal through generated code with map-side partial aggregation,
+    so the shuffle carries only the aggregated (id, bins) rows. Same
+    trade simhash() made in r5 (wide agg beat the HOF/explode hybrids
+    2-5x); intended for modest ``num_bins`` (tens to a few hundred wide
+    agg columns — the simhash precedent is 64).
+
+    Bin sums are order-insensitive only up to FP addition; callers that
+    hash-compare against a SQL oracle must keep intensities
+    integer-valued in double (as q16 does) so the sums are exact.
+
+    ``spectrum`` is the raw array column; ``mz`` (optional callable on
+    the exploded element) maps it to the m/z value, and ``intensity``
+    is either a callable on the m/z value, an array column aligned with
+    ``spectrum`` (fetched via ``element_at``), or None for
+    intensity = m/z. ``peak``/``tol`` fuse a ``contains_peak`` column
+    into the same aggregate.
+
+    Returns ``id_cols + [peak_col?] + bins_col`` with one row per input
+    row (``posexplode_outer`` keeps empty/null spectra; their bins are
+    all-zero and ``peak_col`` is false, matching the scalar functions).
+    """
+    lo, w = float(min_mz), float(bin_width)
+    e = df.select(
+        *id_cols,
+        *( [ _col(intensity).alias("_ia") ]
+           if intensity is not None and not callable(intensity) else [] ),
+        F.posexplode_outer(_col(spectrum)).alias("_pos", "_e"),
+    )
+    m = mz(F.col("_e")) if mz is not None else F.col("_e")
+    if intensity is None:
+        i = m
+    elif callable(intensity):
+        i = intensity(m)
+    else:
+        i = F.element_at(F.col("_ia"), F.col("_pos") + 1)
+    # identical bin rule to the HOF: floor((m - lo)/w)::int, nulls and
+    # out-of-range (incl. the exact top edge -> bin num_bins) never match
+    binx = F.floor((m - F.lit(lo)) / F.lit(w)).cast("int")
+    sums = [
+        F.coalesce(F.sum(F.when(binx == b, i)), F.lit(0.0)).alias(f"_b{b}")
+        for b in range(int(num_bins))
+    ]
+    aggs = list(sums)
+    if peak is not None:
+        aggs.append(
+            F.coalesce(
+                F.max(F.abs(m - F.lit(float(peak))) <= F.lit(float(tol))),
+                F.lit(False),
+            ).alias(peak_col)
+        )
+    g = e.groupBy(*id_cols).agg(*aggs)
+    out = [*id_cols]
+    if peak is not None:
+        out.append(peak_col)
+    return g.select(
+        *out, F.array(*[F.col(f"_b{b}") for b in range(int(num_bins))]).alias(bins_col)
+    )

@@ -148,6 +148,65 @@ def test_bin_vectors(spark):
     assert got == [1.0, 2.0, 3.0]
 
 
+def test_bin_spectra_matches_scalar_functions(spark):
+    """The wide-agg scale path must agree with the per-row HOF functions
+    on every edge the HOF handles: nulls in either array, out-of-range
+    values, the exact top edge, empty arrays, all-null spectra."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        n = rng.randrange(0, 12)
+        mz = [
+            None if rng.random() < 0.1 else round(rng.uniform(0.0, 5.0), 3)
+            for _ in range(n)
+        ]
+        iv = [
+            None if rng.random() < 0.1 else float(rng.randrange(0, 10))
+            for _ in range(n)
+        ]
+        rows.append((vid, mz, iv))
+    rows.append((100, [], []))  # empty spectrum
+    rows.append((101, [None, None], [1.0, 2.0]))  # all-null mz
+    rows.append((102, [4.0], [5.0]))  # exact top edge: bin 3 of 3, dropped
+    df = spark.createDataFrame(
+        rows, "vec_id int, mz array<double>, iv array<double>"
+    )
+    want = {
+        r["vec_id"]: (r["p"], r["b"])
+        for r in df.select(
+            "vec_id",
+            xf.contains_peak("mz", 2.0, 0.5).alias("p"),
+            xf.bin_vectors("mz", "iv", 1.0, 3, 1.0).alias("b"),
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: (r["has_peak"], r["bins"])
+        for r in xf.bin_spectra(
+            df, "mz", 1.0, 3, 1.0, intensity="iv", peak=2.0, tol=0.5
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for vid in want:
+        # HOF exists() returns null (not false) for empty/all-null inputs;
+        # the fused aggregate coalesces to false — normalize for compare
+        assert bool(want[vid][0]) == bool(got[vid][0]), vid
+        assert want[vid][1] == got[vid][1], vid
+    # callable mz/intensity path (the q16 spelling): one row per input row
+    out = xf.bin_spectra(
+        df,
+        "mz",
+        1.0,
+        3,
+        1.0,
+        mz=lambda x: x * 1.0,
+        intensity=lambda m: m * 0.0 + 1.0,
+    )
+    assert out.count() == df.count()
+    assert out.columns == ["vec_id", "bins"]
+
+
 # ---------- region ----------
 
 
