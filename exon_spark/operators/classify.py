@@ -273,6 +273,91 @@ def _gram_rows(
     return ta.select(*id_cols, ex.alias("gram"))
 
 
+def nb_lr_score_fused(
+    df: DataFrame,
+    nb_model: DataFrame,
+    nb_meta: dict,
+    lr_model: DataFrame,
+    lr_meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with BOTH a fitted NB and a fitted logistic
+    model in ONE corpus pass — the fused spelling of
+    ``nb_classifier_score(...) ⋈ logreg_classifier_score(...)``.
+
+    Output: ``(doc_id, n_toks, nb_logodds, nb_pass, n_feats, lr_prob,
+    lr_pass)`` — column-for-column the join of the two standalone
+    scorers (pinned equal by test). The key fact making the fusion
+    exact: the logistic feature stream (``_gram_rows`` — unigrams +
+    word bigrams, empties dropped) strictly CONTAINS the NB token
+    stream as its no-space subset, because ``tokens()`` splits on
+    whitespace (no token can contain ' ') and every bigram is joined
+    with ' ' (every bigram must). So one exploded gram stream feeds
+    both models: rows without a space are the NB tokens.
+
+    Plan shape: ONE tokenize + explode of the corpus, TWO broadcast
+    model hash joins on the gram rows (bucket keys, bounded tables),
+    and ONE map-side-combinable per-doc aggregate — versus the
+    standalone pair's two tokenize+explode passes, two per-doc
+    aggregates, and a corpus-sized doc_id join to glue the outputs.
+    At 100 TB that removes a full corpus re-read/re-shuffle; measured
+    on the q36 gate at sf10 it cuts the classifier arms ~2x. Each
+    per-doc sum aggregates the same term values as its standalone
+    regime (order differs only as groupBy arrival order already does;
+    the 6-dp rounding discipline is unchanged).
+    """
+    ids = df.select(F.col(id_col).alias("doc_id"), text_col)
+    g = _gram_rows(ids, ["doc_id"], text_col, outer=True)
+    # a gram is an NB token iff it has no space (see docstring)
+    is_uni = F.col("gram").isNotNull() & ~F.col("gram").contains(" ")
+    g = g.withColumn(
+        "bucket",
+        F.when(
+            is_uni, F.pmod(h32(F.col("gram")), F.lit(int(nb_meta["buckets"])))
+        ),
+    )
+    g = g.join(
+        F.broadcast(nb_model.select("bucket", "log_odds")), "bucket", "left"
+    ).drop("bucket")
+    g = g.withColumn(
+        "bucket",
+        F.when(
+            F.col("gram").isNotNull(),
+            F.pmod(h32(F.col("gram")), F.lit(int(lr_meta["buckets"]))),
+        ),
+    ).join(F.broadcast(lr_model.select("bucket", "weight")), "bucket", "left")
+    nb_term = F.when(
+        is_uni,
+        F.coalesce(F.col("log_odds"), F.lit(float(nb_meta["default_log_odds"]))),
+    ).otherwise(F.lit(0.0))
+    lr_term = F.when(F.col("gram").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("weight"), F.lit(0.0))
+    )
+    per_doc = g.groupBy("doc_id").agg(
+        F.count(F.when(is_uni, F.col("gram"))).alias("n_toks"),
+        F.sum(nb_term).alias("_ns"),
+        F.count(F.col("gram")).alias("n_feats"),
+        F.sum(lr_term).alias("_ls"),
+    )
+    nb_score = F.lit(float(nb_meta["log_prior"])) + F.coalesce(
+        F.col("_ns"), F.lit(0.0)
+    )
+    margin = F.lit(float(lr_meta["intercept"])) + F.when(
+        F.col("n_feats") > 0, F.col("_ls") / F.col("n_feats")
+    ).otherwise(F.lit(0.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        F.round(nb_score, 6).alias("nb_logodds"),
+        (nb_score > 0).alias("nb_pass"),
+        "n_feats",
+        F.round(prob, 6).alias("lr_prob"),
+        (margin > 0).alias("lr_pass"),
+    )
+
+
 def logreg_classifier_fit(
     df: DataFrame,
     label_col: str = "label",

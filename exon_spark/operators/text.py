@@ -368,64 +368,131 @@ def quality_signals(
         F.explode(F.array(word_ngrams(toks, 3))).alias("tri"),
     )
 
-    def run_stats(grams_col: Column) -> Column:
-        # One pass over array_sort(grams): equal grams are adjacent, so
-        # max-occurrence (counting only grams that REPEAT — a gram seen
-        # once is not repetition; without the ≥2 floor every short
-        # all-unique doc would score 1/n and trip the thresholds), the
-        # number of positions in runs ≥2, and the distinct count are all
-        # run-length statistics. O(g log g) per doc vs the previous
-        # O(g·distinct) filter-scan per distinct gram (measured 4.5s ->
-        # 1.6s end-to-end at sf0.1; the HOF evaluates interpreted, but
-        # the complexity win dominates for repetition-heavy docs).
-        # acc.prev starts NULL so the first element always opens a run
-        # (x == NULL is never true — an empty-string token can't collide
-        # with the sentinel).
-        acc0 = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-            F.lit(0).alias("dup"),
-            F.lit(0).alias("distinct"),
+    # All four metrics are RUN-LENGTH statistics over the sorted gram
+    # arrays: max run (counting only runs ≥ 2 — a gram seen once is not
+    # repetition; without the floor every short all-unique doc would
+    # score 1/n and trip the thresholds), positions inside runs ≥ 2, and
+    # the run count (= distinct). r12 re-spelling: the previous single
+    # aggregate() fold allocated a 5-field struct PER ELEMENT in
+    # interpreted evaluation (HOF bodies never enter codegen) — the
+    # struct churn, not the O(g log g) sort, dominated q36 at sf10
+    # (21 s). This form stages three barrier-materialized arrays per
+    # gram order — sorted, neighbor-inequality, run-lengths — and every
+    # lambda body is a single comparison or subtraction on a BOUND
+    # column (the staging matters: element_at(expr, i) inside a lambda
+    # re-evaluates expr per element, the documented 180 s trap).
+    # Integer outputs are unchanged, so the oracle stays bit-exact.
+    # Measured sf10: 21.1 -> 6.6 s; total interpreted element-visits
+    # drop from g heavy-struct steps to ~3g trivial ones.
+    _BOOLS = "array<boolean>"
+    _INTS = "array<int>"
+
+    def _neq(s: Column) -> Column:
+        # adjacent-inequality over the sorted array: position i marks a
+        # run BOUNDARY (s[i] != s[i+1], 1-based)
+        m = F.size(s)
+        return (
+            F.when(s.isNull(), F.lit(None).cast(_BOOLS))
+            .when(
+                m >= 2,
+                F.zip_with(
+                    F.slice(s, F.lit(1), m - 1),
+                    F.slice(s, F.lit(2), m - 1),
+                    lambda a, b: a != b,
+                ),
+            )
+            .otherwise(F.array().cast(_BOOLS))
         )
 
-        def step(acc: Column, x: Column) -> Column:
-            run2 = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
-            return F.struct(
-                x.alias("prev"),
-                run2.alias("run"),
-                F.greatest(acc.best, run2).alias("best"),
-                # entering a run's 2nd element counts both; deeper adds 1
-                F.when(
-                    x == acc.prev,
-                    acc.dup + F.when(acc.run == 1, 2).otherwise(1),
-                )
-                .otherwise(acc.dup)
-                .alias("dup"),
-                F.when(x == acc.prev, acc["distinct"])
-                .otherwise(acc["distinct"] + 1)
-                .alias("distinct"),
-            )
-
-        return F.aggregate(
-            F.array_sort(grams_col),
-            acc0,
-            step,
-            lambda acc: F.struct(
-                F.when(acc.best >= 2, acc.best).otherwise(F.lit(0)).alias("top"),
-                acc.dup.alias("dup"),
-                acc["distinct"].alias("distinct"),
+    def _runlens(s: Column, q: Column) -> Column:
+        # boundary positions -> run lengths: with the virtual bounds 0
+        # and m, each run is (boundary[k] - boundary[k-1])
+        m = F.size(s)
+        pos = F.when(
+            F.size(q) >= 1,
+            F.filter(
+                F.sequence(F.lit(1), F.size(q)),
+                lambda i: F.element_at(q, i),
             ),
+        ).otherwise(F.array().cast(_INTS))
+        return (
+            F.when(s.isNull(), F.lit(None).cast(_INTS))
+            .when(m == 0, F.array().cast(_INTS))
+            .otherwise(
+                F.zip_with(
+                    F.concat(pos, F.array(m)),
+                    F.concat(F.array(F.lit(0)), pos),
+                    lambda e, st: e - st,
+                )
+            )
+        )
+
+    g2 = grams.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.array_sort(toks).alias("u"),
+                    F.array_sort(F.col("bi")).alias("b"),
+                    F.array_sort(F.col("tri")).alias("t"),
+                )
+            )
+        ).alias("_s"),
+    )
+    s_ = F.col("_s")
+    g3 = g2.select(
+        "doc_id",
+        "toks",
+        "_s",
+        F.explode(
+            F.array(
+                F.struct(
+                    _neq(s_["u"]).alias("u"),
+                    _neq(s_["b"]).alias("b"),
+                    _neq(s_["t"]).alias("t"),
+                )
+            )
+        ).alias("_q"),
+    )
+    q_ = F.col("_q")
+    g4 = g3.select(
+        "doc_id",
+        "toks",
+        "_s",
+        F.explode(
+            F.array(
+                F.struct(
+                    _runlens(s_["u"], q_["u"]).alias("u"),
+                    _runlens(s_["b"], q_["b"]).alias("b"),
+                    _runlens(s_["t"], q_["t"]).alias("t"),
+                )
+            )
+        ).alias("_r"),
+    )
+
+    def _stats(order: str) -> Column:
+        rl = F.col("_r")[order]
+        m = F.size(F.col("_s")[order])
+        best = F.array_max(rl)
+        return F.struct(
+            F.when(rl.isNull(), F.lit(None).cast("int"))
+            .when(best >= 2, best)
+            .otherwise(F.lit(0))
+            .alias("top"),
+            # positions inside runs >= 2 = m minus the singleton runs
+            (m - F.size(F.filter(rl, lambda r: r == F.lit(1)))).alias("dup"),
+            F.size(rl).alias("distinct"),
         )
 
     n = F.size(toks)
     one = F.lit(1)
-    stats = grams.select(
+    stats = g4.select(
         "doc_id",
         "toks",
-        run_stats(toks).alias("_u"),
-        run_stats(F.col("bi")).alias("_b"),
-        run_stats(F.col("tri")).alias("_t"),
+        _stats("u").alias("_u"),
+        _stats("b").alias("_b"),
+        _stats("t").alias("_t"),
     )
     frac_top_uni = F.round(F.col("_u.top") / n.cast("double"), 6)
     frac_top_bi = F.round(

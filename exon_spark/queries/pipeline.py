@@ -908,11 +908,7 @@ def _q36_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     odds near zero so the planted signals decide. The oracle regenerates
     the closed-form fit from the same h32 bucketing + Laplace constants,
     so model and scores match across engines at 6 dp."""
-    from exon_spark.operators import (
-        logreg_classifier_score,
-        nb_classifier_fit,
-        nb_classifier_score,
-    )
+    from exon_spark.operators import nb_classifier_fit, nb_lr_score_fused
     from exon_spark.operators.classify import NB_BUCKETS
 
     docs = table(spark, sf_dir, "documents")
@@ -928,25 +924,31 @@ def _q36_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.alias("label"),
     )
     model, meta = nb_classifier_fit(planted, label_col="label")
-    scored = nb_classifier_score(planted, model, meta)
     lr_model = spark.createDataFrame(
         [(b, w) for b, w in _LR_FROZEN_BUCKETS], "bucket bigint, weight double"
     )
-    lr_scored = logreg_classifier_score(
-        planted, lr_model, {"intercept": _LR_INTERCEPT, "buckets": NB_BUCKETS}
+    # ONE corpus pass scores both classifiers (r12: the gram stream
+    # contains the token stream, so the fused scorer replaces two
+    # tokenize+explode+agg passes and the doc_id glue join —
+    # classify.nb_lr_score_fused, pinned equal to the standalone pair)
+    scored = nb_lr_score_fused(
+        planted,
+        model,
+        meta,
+        lr_model,
+        {"intercept": _LR_INTERCEPT, "buckets": NB_BUCKETS},
     )
-    # STAGE the three corpus-tokenizing arms above _STAGE_ARMS_ROWS (same
+    # STAGE the two corpus-tokenizing arms above _STAGE_ARMS_ROWS (same
     # fix as _q42_spark, r12: planned as one job they tokenize
-    # concurrently and stack Arrow state; the per-doc outputs are 3
-    # narrow frames — materializing two of them serializes the arms so
-    # peak in-flight state is ONE arm's)
+    # concurrently and stack Arrow state; the per-doc outputs are
+    # narrow frames — materializing one serializes the arms so peak
+    # in-flight state is ONE arm's)
     qs = quality_signals(docs)
     if (_parquet_rows(sf_dir, "documents") or 0) > _STAGE_ARMS_ROWS:
         from exon_spark.operators.dedup import _materialize
 
         qs = _materialize(qs, eager=True)
-        scored = _materialize(scored, eager=True)
-    return qs.join(scored, "doc_id").join(lr_scored, "doc_id")
+    return qs.join(scored, "doc_id")
 
 
 _NB_MARKER_POS = " hqseed hqseed hqseed"

@@ -401,3 +401,54 @@ def test_logreg_score_plan_broadcasts_model(spark):
         .toString()
     )
     assert "ArrowEvalPython" in uplan and "Exchange" not in uplan
+
+
+def test_nb_lr_score_fused_matches_standalone_pair(spark):
+    """The one-pass fused scorer must equal nb_classifier_score ⋈
+    logreg_classifier_score column-for-column on every tokenization
+    edge: null text, empty text, tab-led text (Java split's leading
+    empty token), single-token docs (no bigrams), and unseen grams."""
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators import (
+        logreg_classifier_score,
+        nb_classifier_fit,
+        nb_classifier_score,
+        nb_lr_score_fused,
+    )
+    from exon_spark.operators.classify import NB_BUCKETS
+
+    rows = [
+        (1, "aa bb aa cc", True),
+        (2, "bb bb dd", False),
+        (3, "", True),          # zero tokens: prior / intercept alone
+        (4, None, False),       # null text
+        (5, "\tledby tab", True),   # trim(' ') keeps the tab: leading ""
+        (6, "solo", False),     # one token, zero bigrams
+        (7, "zz qq zz qq zz", True),
+    ]
+    df = _docs(spark, rows)
+    model, meta = nb_classifier_fit(df, label_col="label")
+    lr_model = spark.createDataFrame(
+        [(_h32("aa") % NB_BUCKETS, 1.5), (_h32("bb bb") % NB_BUCKETS, -2.0)],
+        "bucket bigint, weight double",
+    )
+    lr_meta = {"intercept": -0.1, "buckets": NB_BUCKETS}
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in nb_classifier_score(df, model, meta)
+        .join(logreg_classifier_score(df, lr_model, lr_meta), "doc_id")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in nb_lr_score_fused(df, model, meta, lr_model, lr_meta).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == want[did], (did, want[did], got[did])
+    # plan shape: both model joins broadcast, no Python on the corpus side
+    plan = nb_lr_score_fused(
+        df, model, meta, lr_model, lr_meta
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -45,6 +45,79 @@ def test_quality_signals_repetition_metrics(spark):
     assert out[3]["frac_unique"] == 1.0
 
 
+def test_quality_signals_run_stats_match_python_reference(spark):
+    """Pin the staged run-length respelling (r12) against a pure-Python
+    reference computed from the SAME Spark-produced gram arrays, over
+    randomized repetition-heavy docs plus the edges: null text, empty
+    text, tab-led text (leading empty token), single token, all-equal
+    tokens."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from exon_spark.operators import quality_signals
+    from exon_spark.operators.dedup import tokens, word_ngrams
+
+    rng = random.Random(12)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = []
+    for i in range(30):
+        n = rng.randrange(0, 15)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows += [
+        (100, None),
+        (101, ""),
+        (102, "\tled by tab"),
+        (103, "solo"),
+        (104, "x x x x x x"),
+    ]
+    df = _docs(spark, rows)
+    toks_col = tokens("text", lowercase=True)
+    base = df.select(
+        "doc_id", F.explode(F.array(toks_col)).alias("toks")
+    ).select(
+        "doc_id",
+        "toks",
+        word_ngrams(F.col("toks"), 2).alias("bi"),
+        word_ngrams(F.col("toks"), 3).alias("tri"),
+    )
+    arrays = {r["doc_id"]: r for r in base.collect()}
+
+    def ref_stats(grams):
+        if grams is None:
+            return None, None, None
+        s = sorted(grams)
+        runs, i = [], 0
+        while i < len(s):
+            j = i
+            while j < len(s) and s[j] == s[i]:
+                j += 1
+            runs.append(j - i)
+            i = j
+        top = max([r for r in runs if r >= 2], default=0)
+        dup = sum(r for r in runs if r >= 2)
+        return top, dup, len(runs)
+
+    got = {
+        r["doc_id"]: r for r in quality_signals(df).collect()
+    }
+    assert set(got) == set(arrays)
+    for did, a in arrays.items():
+        tk, bi, tri = a["toks"], a["bi"], a["tri"]
+        r = got[did]
+        if tk is None:
+            assert r["frac_top_unigram"] is None and r["frac_unique"] is None
+            continue
+        n = len(tk)
+        ut, _ud, udist = ref_stats(tk)
+        bt, _bd, _ = ref_stats(bi)
+        _tt, td, _ = ref_stats(tri)
+        assert r["frac_top_unigram"] == round(ut / n, 6), did
+        assert r["frac_top_bigram"] == round(bt / max(n - 1, 1), 6), did
+        assert r["frac_dup_trigram"] == round(td / max(n - 2, 1), 6), did
+        assert r["frac_unique"] == round(udist / n, 6), did
+
+
 def test_dup_ngram_coverage_union_of_overlapping_windows(spark):
     from exon_spark.operators import dup_ngram_coverage
 
