@@ -1342,6 +1342,195 @@ def trigram_logppl(
     )
 
 
+def lm_ladder(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+    lam2: float = 0.7,
+    lam1: float = 0.9,
+    broadcast_models: bool = True,
+) -> DataFrame:
+    """All three CCNet LM rungs — ``unigram_logppl`` + ``bigram_logppl``
+    + ``trigram_logppl`` — in one shared-frame pass. Output:
+    ``(doc_id, n_tokens, logppl, n_bigrams, logppl2, n_trigrams,
+    logppl3)``; the bigram/trigram columns are NULL for docs with < 2 /
+    < 3 tokens (same left-join absence contract as the standalone ops).
+
+    Run standalone, the three rungs tokenize the corpus ~10x between
+    them and FIT THE SAME SUB-MODELS REPEATEDLY: the unigram vocab is
+    aggregated three times (each rung's backoff needs it) and the full
+    bigram table twice (bigram_logppl's model and trigram_logppl's
+    order-1 backoff are the identical groupBy). This operator
+    materializes the shared frames once — the tokenized corpus
+    (``_materialize``: the regex split runs once, every later pass
+    re-reads arrays), the Zipf-bounded vocab, the bigram table, and the
+    trigram table (each standalone rung even recomputes its OWN n-gram
+    table twice: once for the context totals, once for the model) — and
+    derives every rung from them. Measured sf10: 31.1 s (sum of
+    standalone rungs) -> 20.0 s; a lazy shared-nothing spelling measures
+    35.5 s (each consumer re-derives the shared subtrees), so the
+    materialization IS the win, not an overhead.
+
+    Bit-exactness is by construction, not by tolerance: every model nll
+    is the same ``quant_micro(-_glibc_ln(...))`` integer expression on
+    the same counts, and the per-doc scores sum INTEGER micro-units
+    (``quant_avg``), so sharing the fits cannot move any output bit —
+    pinned equal to the three standalone operators by test.
+
+    Scale: same plan family as the standalone rungs (no window, Python
+    only in the Arrow-batched model-side ``_glibc_ln``), minus the
+    duplicate fits. The materialized frames are the tokenized corpus
+    (raw corpus size), vocab (Zipf-bounded), and the distinct bigram /
+    trigram tables (sub-corpus-sized, Zipf-shrunk); on a real cluster
+    set ``spark.exon.reliableMaterialize=true`` as usual.
+    """
+    from exon_spark.operators.dedup import _materialize
+
+    mu = 1.0 - lam
+    mu2, mu1 = 1.0 - lam2, 1.0 - lam1
+    toks = tokens(text_col, lowercase=True)
+    # ONE tokenize, materialized: every later explode re-reads the arrays
+    ta = _materialize(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.array(toks)).alias("t")
+        ),
+        eager=True,
+    )
+    t = F.col("t")
+    tok_rows = ta.select("doc_id", F.explode(t).alias("tok"))
+    vocab = _materialize(
+        tok_rows.groupBy("tok").agg(F.count("*").alias("tok_n")), eager=True
+    )
+    total_row = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
+    # ---- unigram rung (expressions identical to unigram_logppl)
+    model1 = vocab.crossJoin(F.broadcast(total_row)).select(
+        "tok",
+        quant_micro(
+            -_glibc_ln(F.col("tok_n") / F.col("corpus_tokens"))
+        ).alias("nllm"),
+    )
+    uni = (
+        tok_rows.join(model1, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            quant_avg(F.sum("nllm"), F.count("*")).alias("logppl"),
+        )
+    )
+    # ---- shared bigram frames (bigram_logppl's fit == trigram's backoff)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"),
+                F.element_at(t, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pair_rows = ta.select("doc_id", F.explode(pairs).alias("pc")).select(
+        "doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur")
+    )
+    big = _materialize(
+        pair_rows.groupBy("prev", "cur").agg(F.count("*").alias("big_n")),
+        eager=True,
+    )
+    ctx = big.groupBy("prev").agg(F.sum("big_n").alias("ctx_n"))
+    b_ctx, b_vocab = (
+        (F.broadcast(ctx), F.broadcast(vocab))
+        if broadcast_models
+        else (ctx, vocab)
+    )
+    model2 = (
+        big.join(b_ctx, "prev")
+        .join(b_vocab, F.col("cur") == F.col("tok"))
+        .crossJoin(F.broadcast(total_row))
+        .select(
+            "prev",
+            "cur",
+            quant_micro(
+                -_glibc_ln(
+                    F.lit(lam) * (F.col("big_n") / F.col("ctx_n"))
+                    + F.lit(mu) * (F.col("tok_n") / F.col("corpus_tokens"))
+                )
+            ).alias("nllm"),
+        )
+    )
+    b2 = (
+        pair_rows.join(model2, ["prev", "cur"])
+        .select("doc_id", "nllm")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            quant_avg(F.sum("nllm"), F.count("*")).alias("logppl2"),
+        )
+    )
+    # ---- trigram rung on the shared big/ctx/vocab
+    tris = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("p2"),
+                F.element_at(t, i + 1).alias("p1"),
+                F.element_at(t, i + 2).alias("cur"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<p2:string,p1:string,cur:string>>")
+    )
+    tri_rows = ta.select("doc_id", F.explode(tris).alias("g")).select(
+        "doc_id",
+        F.col("g.p2").alias("p2"),
+        F.col("g.p1").alias("p1"),
+        F.col("g.cur").alias("cur"),
+    )
+    tri = _materialize(
+        tri_rows.groupBy("p2", "p1", "cur").agg(F.count("*").alias("tri_n")),
+        eager=True,
+    )
+    ctx3 = tri.groupBy("p2", "p1").agg(F.sum("tri_n").alias("ctx3_n"))
+    big_r = big.withColumnRenamed("cur", "bcur")
+    ctx_r = ctx.withColumnRenamed("prev", "cprev")
+    b_ctx_r = F.broadcast(ctx_r) if broadcast_models else ctx_r
+    p1_term = F.lit(lam1) * (F.col("big_n") / F.col("ctx_n")) + F.lit(mu1) * (
+        F.col("tok_n") / F.col("corpus_tokens")
+    )
+    model3 = (
+        tri.join(ctx3, ["p2", "p1"])
+        .join(
+            big_r,
+            (F.col("p1") == F.col("prev")) & (F.col("cur") == F.col("bcur")),
+        )
+        .join(b_ctx_r, F.col("p1") == F.col("cprev"))
+        .drop("cprev")
+        .join(b_vocab, F.col("cur") == F.col("tok"))
+        .crossJoin(F.broadcast(total_row))
+        .select(
+            "p2",
+            "p1",
+            "cur",
+            quant_micro(
+                -_glibc_ln(
+                    F.lit(lam2) * (F.col("tri_n") / F.col("ctx3_n"))
+                    + F.lit(mu2) * p1_term
+                )
+            ).alias("nllm"),
+        )
+    )
+    t3 = (
+        tri_rows.join(model3, ["p2", "p1", "cur"])
+        .select("doc_id", "nllm")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_trigrams"),
+            quant_avg(F.sum("nllm"), F.count("*")).alias("logppl3"),
+        )
+    )
+    return uni.join(b2, "doc_id", "left").join(t3, "doc_id", "left")
+
+
 def corpus_stats(
     df: DataFrame,
     by: tuple[str, ...] = ("lang",),

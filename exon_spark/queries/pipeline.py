@@ -1711,17 +1711,14 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle mirrors the exact percentile via quantile_cont.
     from pyspark.sql import Window
 
-    from exon_spark.operators import (
-        bigram_logppl,
-        corpus_stats,
-        ppl_buckets,
-        trigram_logppl,
-    )
+    from exon_spark.operators import corpus_stats, lm_ladder
 
     docs = table(spark, sf_dir, "documents")
-    pb = ppl_buckets(docs, by="lang")
-    b2 = bigram_logppl(docs)
-    b3 = trigram_logppl(docs)
+    # ONE shared-frame pass scores all three rungs (r12: the standalone
+    # rungs re-tokenized the corpus ~10x and re-fit the vocab 3x / the
+    # bigram table 2x; lm_ladder materializes the shared frames once and
+    # is pinned bit-equal — integer micro-unit sums — to the standalones)
+    lad = lm_ladder(docs)
     cs = corpus_stats(docs).select(
         "lang",
         F.col("n_docs").alias("lang_n_docs"),
@@ -1737,7 +1734,18 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rung's join (r8 advice, pipeline.py:1386; the q42 coalesce
     # precedent). At gate SFs no short docs exist, so rows are
     # unchanged; at future SFs this stays well-defined.
-    lang_of = pb.select("doc_id", "lang")
+    base = docs.select("doc_id", "lang").join(lad, "doc_id")
+    pr1 = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("logppl", "doc_id")
+    )
+    bucket1 = (
+        F.when(pr1 < 1.0 / 3, "head")
+        .when(pr1 < 2.0 / 3, "middle")
+        .otherwise("tail")
+    )
+    pb = base.select(
+        "doc_id", "lang", "n_tokens", "logppl", bucket1.alias("ppl_bucket")
+    )
     pr2 = F.percent_rank().over(
         Window.partitionBy("lang").orderBy("logppl2", "doc_id")
     )
@@ -1746,7 +1754,7 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pr2 < 2.0 / 3, "middle")
         .otherwise("tail")
     )
-    j2 = lang_of.join(b2, "doc_id").select(
+    j2 = base.filter(F.col("n_bigrams").isNotNull()).select(
         "doc_id", "n_bigrams", "logppl2", bucket2.alias("ppl2_bucket")
     )
     pr3 = F.percent_rank().over(
@@ -1757,7 +1765,7 @@ def _q52_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pr3 < 2.0 / 3, "middle")
         .otherwise("tail")
     )
-    j3 = lang_of.join(b3, "doc_id").select(
+    j3 = base.filter(F.col("n_trigrams").isNotNull()).select(
         "doc_id", "n_trigrams", "logppl3", bucket3.alias("ppl3_bucket")
     )
     d = (

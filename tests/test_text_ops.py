@@ -1964,3 +1964,40 @@ def test_phrase_tag_c_automaton_parity(spark):
     got = sorted(map(tuple, phrase_tag(docs, phrases, regime="ac").collect()))
     exp = sorted(map(tuple, phrase_tag(docs, phrases, regime="expr").collect()))
     assert got == exp
+
+
+def test_lm_ladder_matches_standalone_rungs(spark):
+    """The shared-frame ladder must be BIT-equal to the three standalone
+    rungs joined (integer micro-unit sums make sharing the fits exact by
+    construction) — including the null bigram/trigram columns for short
+    docs and absence of zero-token docs."""
+    from exon_spark.operators import (
+        bigram_logppl,
+        lm_ladder,
+        trigram_logppl,
+        unigram_logppl,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "the cat sat"),
+        (3, "solo"),             # no bigrams/trigrams
+        (4, "two words"),        # bigram, no trigram
+        (5, None),               # absent from every rung
+        (6, "the cat sat on the mat again and again and again"),
+        (7, ""),                 # one empty token: unigram only
+    ]
+    df = _docs(spark, rows)
+    uni = unigram_logppl(df)
+    b2 = bigram_logppl(df)
+    b3 = trigram_logppl(df)
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in uni.join(b2, "doc_id", "left")
+        .join(b3, "doc_id", "left")
+        .collect()
+    }
+    got = {r["doc_id"]: r.asDict() for r in lm_ladder(df).collect()}
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == want[did], (did, want[did], got[did])
