@@ -449,13 +449,28 @@ def jaccard_verify(
     String shingles are joined by xxhash64 — the set-intersection counts
     only need equality, and 8-byte join keys shuffle ~5x less than shingle
     text (collision odds ~|shingles|^2 / 2^64). ``n_sh`` still counts the
-    original distinct rows."""
+    original distinct rows.
+
+    Both shingle streams are SEMI-FILTERED by the candidate id sets
+    before the verify shuffle (r12): candidates are band/prefix-
+    collision-bounded — orders of magnitude fewer docs than the corpus
+    — so the unfiltered spelling shuffled the corpus's entire shingle
+    set twice to verify a pair set thousands of times smaller. ``pairs``
+    is materialized here (it is small by construction) so the id-set
+    joins get runtime stats and broadcast via AQE; the output set is
+    unchanged — the filter only drops rows the pair join would drop.
+    """
     if dict(shingles.dtypes).get("shingle") == "string":
         keyed = shingles.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     else:
         keyed = shingles
-    sa = keyed.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = keyed.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = _materialize(pairs, eager=True)
+    sa = keyed.join(
+        pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id"
+    ).select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = keyed.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id"
+    ).select(F.col("doc_id").alias("doc_b"), "shingle")
     carry = [c for c in ("n_a", "n_b") if c in pairs.columns]
     common = (
         pairs.join(sa, "doc_a")
@@ -492,21 +507,42 @@ def minhash_dedup(
     """End-to-end MinHash-LSH near-dup detection: shingle -> 16-perm
     signatures -> 4x4 LSH banding -> exact-Jaccard verification.
 
-    Signatures are computed by ``minhash_signatures`` (explode + one
+    Signatures are computed like ``minhash_signatures`` (explode + one
     codegen'd hash aggregate with map-side partial min) — measured ~1.7x
     faster than the ``array_min``-over-``transform`` array formulation,
     whose higher-order functions evaluate interpreted outside whole-stage
     codegen. The aggregation shuffle carries (doc_id, 16 longs) per doc
-    after the map-side combine — scale-safe at 100 TB."""
-    docs = _materialize(shingled_docs(df, id_col, text_col, n), eager=True)
-    sigs = minhash_signatures(
-        docs.select("doc_id", F.explode("sh").alias("shingle"))
+    after the map-side combine — scale-safe at 100 TB.
+
+    r12 plan shape: the materialized shared frame is the HASHED shingle
+    rows (doc_id, md5-h32, xxhash64 — 16 bytes/shingle), not the shingle
+    string arrays (~5x the checkpoint bytes); set sizes fold into the
+    signature aggregate (one groupBy computes n_sh + all 16 minima), and
+    the verify keys come straight off the materialized rows."""
+    rows = _materialize(
+        shingled_docs(df, id_col, text_col, n)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select(
+            "doc_id",
+            h32(F.col("shingle")).alias("h"),
+            F.xxhash64("shingle").alias("hk"),
+        ),
+        eager=True,
     )
-    cands = lsh_candidate_pairs(sigs)
-    # carry set sizes (map-side size(sh)) so jaccard_verify skips its
-    # count-aggregation joins; the sizes table is one row per doc —
-    # AQE broadcasts it at bench scale, plain shuffle join beyond
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    state = rows.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(
+                f"m{j}"
+            )
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
+    cands = lsh_candidate_pairs(state)
+    # carry set sizes so jaccard_verify skips its count-aggregation
+    # joins; the sizes table is one row per doc — AQE broadcasts it at
+    # bench scale, plain shuffle join beyond
+    sizes = state.select("doc_id", "n_sh")
     cands = cands.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
         "doc_a",
@@ -514,7 +550,7 @@ def minhash_dedup(
         sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
         "doc_b",
     )
-    sh_rows = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    sh_rows = rows.select("doc_id", F.col("hk").alias("shingle"))
     return jaccard_verify(cands, sh_rows, threshold)
 
 
