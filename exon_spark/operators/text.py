@@ -1385,7 +1385,7 @@ def lm_ladder(
     trigram tables (sub-corpus-sized, Zipf-shrunk); on a real cluster
     set ``spark.exon.reliableMaterialize=true`` as usual.
     """
-    from exon_spark.operators.dedup import _materialize
+    from exon_spark.operators.dedup import _materialize, _materialize_all
 
     mu = 1.0 - lam
     mu2, mu1 = 1.0 - lam2, 1.0 - lam1
@@ -1399,8 +1399,49 @@ def lm_ladder(
     )
     t = F.col("t")
     tok_rows = ta.select("doc_id", F.explode(t).alias("tok"))
-    vocab = _materialize(
-        tok_rows.groupBy("tok").agg(F.count("*").alias("tok_n")), eager=True
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"),
+                F.element_at(t, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pair_rows = ta.select("doc_id", F.explode(pairs).alias("pc")).select(
+        "doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur")
+    )
+    tris = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("p2"),
+                F.element_at(t, i + 1).alias("p1"),
+                F.element_at(t, i + 2).alias("cur"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<p2:string,p1:string,cur:string>>")
+    )
+    tri_rows = ta.select("doc_id", F.explode(tris).alias("g")).select(
+        "doc_id",
+        F.col("g.p2").alias("p2"),
+        F.col("g.p1").alias("p1"),
+        F.col("g.cur").alias("cur"),
+    )
+    # The three n-gram fits all read ONLY the materialized ta blocks, so
+    # their aggregation jobs are independent — overlap them (guide §2.6)
+    # instead of paying three stage tails back-to-back.
+    vocab, big, tri = _materialize_all(
+        [
+            tok_rows.groupBy("tok").agg(F.count("*").alias("tok_n")),
+            pair_rows.groupBy("prev", "cur").agg(F.count("*").alias("big_n")),
+            tri_rows.groupBy("p2", "p1", "cur").agg(
+                F.count("*").alias("tri_n")
+            ),
+        ]
     )
     total_row = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
     # ---- unigram rung (expressions identical to unigram_logppl)
@@ -1419,23 +1460,6 @@ def lm_ladder(
         )
     )
     # ---- shared bigram frames (bigram_logppl's fit == trigram's backoff)
-    pairs = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("prev"),
-                F.element_at(t, i + 1).alias("cur"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    pair_rows = ta.select("doc_id", F.explode(pairs).alias("pc")).select(
-        "doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur")
-    )
-    big = _materialize(
-        pair_rows.groupBy("prev", "cur").agg(F.count("*").alias("big_n")),
-        eager=True,
-    )
     ctx = big.groupBy("prev").agg(F.sum("big_n").alias("ctx_n"))
     b_ctx, b_vocab = (
         (F.broadcast(ctx), F.broadcast(vocab))
@@ -1467,29 +1491,6 @@ def lm_ladder(
         )
     )
     # ---- trigram rung on the shared big/ctx/vocab
-    tris = F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("p2"),
-                F.element_at(t, i + 1).alias("p1"),
-                F.element_at(t, i + 2).alias("cur"),
-            ),
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<p2:string,p1:string,cur:string>>")
-    )
-    tri_rows = ta.select("doc_id", F.explode(tris).alias("g")).select(
-        "doc_id",
-        F.col("g.p2").alias("p2"),
-        F.col("g.p1").alias("p1"),
-        F.col("g.cur").alias("cur"),
-    )
-    tri = _materialize(
-        tri_rows.groupBy("p2", "p1", "cur").agg(F.count("*").alias("tri_n")),
-        eager=True,
-    )
     ctx3 = tri.groupBy("p2", "p1").agg(F.sum("tri_n").alias("ctx3_n"))
     big_r = big.withColumnRenamed("cur", "bcur")
     ctx_r = ctx.withColumnRenamed("prev", "cprev")

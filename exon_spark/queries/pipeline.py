@@ -1325,13 +1325,23 @@ def _q40_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible, as designed. Partner ids vary per row, so the gate
     checks the bloom+verify pipeline row by row, not a constant."""
     from exon_spark.operators import bloom_build, bloom_dedup_against
-    from exon_spark.operators.dedup import tokens
+    from exon_spark.operators.dedup import _materialize, minhash_index, tokens
 
     docs = table(spark, sf_dir, "documents")
     pre = F.array_join(F.slice(tokens("text"), 1, 5), " ").alias("pre")
     new = docs.filter(F.col("doc_id") % 3 == 0)
     index = docs.filter(F.col("doc_id") % 3 != 0)
-    near = dedup_against(new, index, threshold=0.5)
+    # both sides partition ONE table: build the per-doc hash frame over
+    # the whole corpus in one scan/job and hand dedup_against the two
+    # filtered slices (pure per-doc frame — filter-after-build is the
+    # same state; the split spelling scanned/decoded documents twice)
+    st = _materialize(minhash_index(docs), eager=True)
+    near = dedup_against(
+        None,
+        threshold=0.5,
+        index_state=st.filter(F.col("doc_id") % 3 != 0),
+        new_state=st.filter(F.col("doc_id") % 3 == 0),
+    )
     idx_pre = index.select(F.col("doc_id").alias("_iid"), pre)
     bf = bloom_build(idx_pre, text_col="pre", fpp=0.01)
     flagged = bloom_dedup_against(
