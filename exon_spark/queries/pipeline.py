@@ -1694,8 +1694,13 @@ where n_copies >= 1
 def _q48_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_spark.operators import ngram_containment_pairs
 
+    # hashed=True: the inverted-index join and the pair agg carry 8-byte
+    # xxhash64 keys instead of ~40-byte shingle strings — the same
+    # shuffle diet the minhash family's verify joins run on (guide §2.3,
+    # narrower keys; operator parity pinned by
+    # test_ngram_containment_quote_detection, output oracle-exact)
     return ngram_containment_pairs(
-        table(spark, sf_dir, "documents"), threshold=0.6
+        table(spark, sf_dir, "documents"), threshold=0.6, hashed=True
     )
 
 

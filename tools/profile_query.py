@@ -58,6 +58,8 @@ def main() -> None:
     ]
     done.sort(key=lambda s: -(s.get("executorRunTime") or 0))
     total_rt = sum(s.get("executorRunTime") or 0 for s in done)
+    total_cpu = sum(s.get("executorCpuTime") or 0 for s in done)
+    print(f"total executorCpuTime {total_cpu/1e9:.1f} core-s (steal-robust)")
     wall = sum(
         (s.get("completionTime") is not None) and 1 or 0 for s in done
     )
