@@ -63,14 +63,17 @@ def main() -> None:
     wall = sum(
         (s.get("completionTime") is not None) and 1 or 0 for s in done
     )
+    total_spill = sum(s.get("diskBytesSpilled") or 0 for s in done)
+    print(f"total diskBytesSpilled {total_spill/1e6:.0f} MB")
     print(f"\n{len(done)} stages, total executorRunTime {total_rt/1000:.1f}s (core-seconds)")
-    print(f"{'rt(s)':>7} {'cpu(s)':>7} {'shR(MB)':>8} {'shW(MB)':>8} {'in(MB)':>8} {'tasks':>5}  stage / site")
+    print(f"{'rt(s)':>7} {'cpu(s)':>7} {'shR(MB)':>8} {'shW(MB)':>8} {'in(MB)':>8} {'spl(MB)':>8} {'tasks':>5}  stage / site")
     for s in done[:24]:
         rt = (s.get("executorRunTime") or 0) / 1000
         cpu = (s.get("executorCpuTime") or 0) / 1e9
         shr = (s.get("shuffleReadBytes") or 0) / 1e6
         shw = (s.get("shuffleWriteBytes") or 0) / 1e6
         inb = (s.get("inputBytes") or 0) / 1e6
+        spl = (s.get("diskBytesSpilled") or 0) / 1e6
         nt = s.get("numCompleteTasks") or 0
         desc = (s.get("description") or s.get("name") or "")[:90]
         site = ""
@@ -78,7 +81,7 @@ def main() -> None:
             if "exon_spark" in line or "pipeline.py" in line:
                 site = line.strip()[:70]
                 break
-        print(f"{rt:7.2f} {cpu:7.2f} {shr:8.1f} {shw:8.1f} {inb:8.1f} {nt:5d}  {desc[:60]} | {site}")
+        print(f"{rt:7.2f} {cpu:7.2f} {shr:8.1f} {shw:8.1f} {inb:8.1f} {spl:8.1f} {nt:5d}  {desc[:60]} | {site}")
 
     # task-level detail for the slowest stages: where does rt-cpu go?
     for s in done[:4]:
