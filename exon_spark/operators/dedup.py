@@ -235,6 +235,26 @@ def fanout_repartition(df: DataFrame) -> DataFrame:
     return df
 
 
+def _input_rows(df: DataFrame) -> int | None:
+    """Input row count from local parquet footer metadata — zero Spark
+    jobs (the q42/q36 ``_parquet_rows`` idiom, generalized to any frame
+    whose lineage bottoms out in local parquet scans). Returns None when
+    the inputs aren't locally readable parquet; callers treat None as
+    "unknown" and fall back to their latency-regime default. An upstream
+    filter makes this an OVER-estimate, which for regime switches errs
+    toward the scale-safe path."""
+    try:
+        files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+        local = [f[7:] for f in files if f.startswith("file:///")]
+        if not files or len(local) != len(files):
+            return None
+        import pyarrow.parquet as _pq
+
+        return sum(_pq.ParquetFile(f).metadata.num_rows for f in local)
+    except Exception:
+        return None
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via 128-bit digest groupBy: one row per distinct text with
     the surviving (minimum) id and the duplicate count."""
@@ -1440,6 +1460,8 @@ def ngram_containment_pairs(
     text_col: str = "text",
     hashed: bool = False,
     max_shingle_df: int | None = None,
+    prefilter: bool | str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Shingle *containment* pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
     Containment is the asymmetric cousin of Jaccard — it flags a short
@@ -1462,47 +1484,101 @@ def ngram_containment_pairs(
     scores approximate (undercount by at most the capped shingles'
     share); feed it from ``corpus_top_ngrams`` profiling and size it to
     boilerplate, not content.
+
+    r12 plan shape: the per-doc distinct shingle set is built MAP-SIDE
+    (``shingled_docs``'s array_distinct — the old ``shingle_rows(...)
+    .distinct()`` paid a full corpus shuffle+sort just to dedupe within
+    docs), and the set size rides each exploded row as ``n_sh``, so the
+    pair aggregation carries the counts through its existing shuffle and
+    the two post-agg count-lookup joins disappear.
+
+    ``prefilter`` (df >= 2 pre-filter, guide §3.2, EXACT here): a
+    shingle in a single document can never produce a pair, and most
+    shingles are df=1 (measured 95% at sf1 — near-dup rate bounds the
+    rest), so the unfiltered pair join's exchange+sort was 6x its
+    useful input and spilled ~1 GB at sf10. One narrow aggregate
+    computes the dup-rate-bounded df >= 2 key set, which
+    broadcast-semi-filters both pair-join sides MAP-SIDE (before their
+    exchange): sf10 zero spill, warm wall -27%. The extra aggregate
+    pass costs more than it saves on small corpora, so ``"auto"``
+    (default) switches it — and the columnar persist that lets the df
+    aggregate column-prune its cached input — on above 2^18 input rows
+    (parquet-footer estimated, zero jobs; pass ``n_rows`` when the
+    lineage hides its scans, or True/False to force). On corpora where
+    the df >= 2 key set itself would exceed broadcast limits
+    (boilerplate-heavy shards), force ``prefilter=False``.
     """
-    # sh feeds four consumers (both join sides, the counts agg, the
-    # optional hot-shingle df agg); left lazy each replans the full
-    # tokenize -> shingle-explode -> distinct pipeline from the scan
-    sh = _materialize(
-        shingle_rows(df, id_col, text_col, n, hashed=hashed), eager=True
+    if prefilter == "auto":
+        rows_in = n_rows if n_rows is not None else _input_rows(df)
+        prefilter = bool(rows_in is not None and rows_in > (1 << 18))
+    # sh feeds the two join sides (+ the df/hot-shingle agg); left lazy
+    # each replans the full tokenize -> shingle pipeline from the scan
+    hs = (
+        F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
+        if hashed
+        else F.col("sh")
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    gen = sh
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-            .select("shingle")
-        )
-        gen = sh.join(hot, "shingle", "left_anti")
-    a = gen.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = gen.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sh = shingled_docs(df, id_col, text_col, n).select(
+        "doc_id", F.explode(F.array(hs)).alias("_hs")
+    ).select(
+        "doc_id",
+        F.size("_hs").alias("n_sh"),
+        F.explode("_hs").alias("shingle"),
+    )
+    if prefilter:
+        # columnar persist (not localCheckpoint): the df aggregate reads
+        # ONLY ``shingle``, and InMemoryTableScan column-prunes +
+        # compresses, where a raw localCheckpoint row scan would pay the
+        # full width every pass (sf10: 2.3 GB -> 208 MB per read)
+        sh = _materialize(sh)
+        sh.count()
+        dff = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        keep = dff.filter(F.col("_df") >= 2)
+        if max_shingle_df is not None:
+            keep = keep.filter(F.col("_df") <= max_shingle_df)
+        # EXPLICIT broadcast: the semi join shares its key with the pair
+        # join, so a shuffled semi re-uses the pair join's partitioning
+        # and lands ABOVE the exchange — the full stream still shuffles
+        # and sorts, and AQE cannot demote it (the exchange materializes
+        # before re-planning). Broadcasting pushes the filter below the
+        # exchange into the map side. The key set is dup-rate-bounded
+        # (not corpus-bounded); on corpora where it would exceed
+        # broadcast limits pass ``prefilter=False``. Materialized
+        # eagerly: both pair-join sides carry a broadcast of it, and
+        # left lazy each BroadcastExchange re-runs the df aggregate.
+        keep = _materialize(keep.select("shingle"), eager=True)
+        gen = sh.join(F.broadcast(keep), "shingle", "semi")
+    else:
+        sh = _materialize(sh, eager=True)
+        gen = sh
+        if max_shingle_df is not None:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") > max_shingle_df)
+                .select("shingle")
+            )
+            gen = sh.join(hot, "shingle", "left_anti")
+    a = gen.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = gen.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    # n_a/n_b are functions of the ids, so the grouped pair set is the
+    # same as grouping by (doc_a, doc_b) alone
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
     )
-    out = (
-        common.join(
-            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
-            F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
-        )
+    out = common.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
     )
     return out.filter(
         F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold

@@ -398,6 +398,38 @@ def test_ngram_containment_quote_detection(spark):
     assert set(hashed) == set(out)
 
 
+def test_ngram_containment_prefilter_regimes_agree(spark):
+    """The df>=2 broadcast pre-filter (r12 scale regime) is exact: it
+    only drops join rows that cannot produce a pair, so both regimes —
+    and their composition with hashed keys and the hot-shingle cap —
+    emit identical rows. n_rows forces the auto switch deterministically
+    regardless of the fixture's physical layout."""
+    from exon_spark.operators import ngram_containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, quote),
+        (2, "start filler words here " + quote + " trailing content tokens x y z"),
+        (3, "completely different text with many unrelated words in this row"),
+        (4, "start filler words here " + quote + " and more trailing content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def run(**kw):
+        return {
+            (r.doc_a, r.doc_b): (r.n_common, r.containment_a, r.containment_b)
+            for r in ngram_containment_pairs(df, threshold=0.3, **kw).collect()
+        }
+
+    base = run(prefilter=False)
+    assert base  # fixture yields pairs
+    assert run(prefilter=True) == base
+    assert run(n_rows=1 << 20) == base  # auto -> scale regime
+    assert run(n_rows=4) == base  # auto -> latency regime
+    capped = run(prefilter=False, max_shingle_df=2, hashed=True)
+    assert run(prefilter=True, max_shingle_df=2, hashed=True) == capped
+
+
 def test_semantic_dedup_assignment_regimes_agree(spark):
     """The numpy closure argmax ('udf', the beyond-broadcast scale path)
     must produce the same cluster assignment — and therefore the same
