@@ -859,13 +859,27 @@ def decontaminate(
     hash join with no corpus shuffle, and aggregates per doc with map-side
     partial counts. Docs shorter than n tokens contribute no shingles and
     report 0 hits.
+
+    r12: the corpus side's per-doc dedup is MAP-SIDE (``shingled_docs``'s
+    array_distinct + hash) — the old ``shingle_rows(...).distinct()``
+    shuffled every corpus shingle row just to dedupe within docs, so the
+    only corpus-sized shuffle left is the per-doc hit counts (post-join,
+    hit-bounded). Hashing before the distinct keeps the old semantics
+    (hash collisions collapse) — collision odds ~|doc shingles|²/2^64.
     """
     bg = (
         shingle_rows(benchmark, id_col, text_col, n, hashed=True)
         .select("shingle")
         .distinct()
     )
-    cg = shingle_rows(df, id_col, text_col, n, hashed=True)
+    cg = shingled_docs(df, id_col, text_col, n).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform("sh", lambda s: F.xxhash64(s))
+            )
+        ).alias("shingle"),
+    )
     hits = (
         cg.join(F.broadcast(bg), "shingle")
         .groupBy("doc_id")
