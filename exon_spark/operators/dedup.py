@@ -648,50 +648,89 @@ def ngram_jaccard_pairs(
     is the knob that prevents one viral shingle from pinning a d^2 join
     task (d = df of the hot shingle); default ``None`` keeps the exact
     PPJoin guarantee.
-    """
-    from pyspark.sql import Window
 
-    # array-path shingles: per-doc distinct shingle set built map-side
-    # (array_distinct), so exploding yields already-distinct (doc, shingle)
-    # rows — no ``.distinct()`` shuffle — and the set size rides along as a
-    # map-side ``size(sh)`` instead of a count window over doc_id. Shingles
-    # are xxhash64'd inside the same projection: every downstream shuffle
-    # carries 8-byte keys, not ~40-byte strings.
+    r12 plan shape — three structural observations collapse the old
+    two-window + exploded-verify pipeline (see the q18 section of
+    OPTIMIZATION_r12.md for the A/B):
+
+    1. In the rarity order (df asc, hash asc) every df=1 shingle
+       precedes every duplicated one, and df=1 shingles cannot produce
+       candidates (nothing joins with them). So the prefix's USEFUL
+       part is ``slice(doc's df>=2 shingles sorted by (df,hash), 1,
+       k - n1)`` where n1 = count of the doc's df=1 shingles — built
+       from a DUP-BOUNDED aggregate, replacing the old full-stream
+       count-window + row_number-window shuffle+sorts. The candidate
+       set is IDENTICAL: the dropped df=1 prefix rows never matched.
+    2. The df>=2 frequency table is dup-rate-bounded, not
+       corpus-bounded, so it broadcasts after one narrow aggregate.
+    3. Verification reads each doc's full hash set as an ARRAY
+       (``size(array_intersect)`` inside the row) instead of exploded
+       rows: two joins against the cached per-doc array frame (AQE
+       broadcasts the candidate side at bench scale) replace the old
+       two semi-filters + two row joins + pair-key aggregate.
+
+    The corpus is tokenized ONCE into a columnar-persisted
+    (doc_id, n_sh, hs) frame; every later pass reads pruned cached
+    columns.
+    """
     docs = shingled_docs(df, id_col, text_col, n)
-    sh = _materialize(
+    p0 = _materialize(
         docs.select(
             "doc_id",
             F.size("sh").alias("n_sh"),
-            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
-        ),
-        eager=True,
+            F.explode(
+                F.array(F.transform("sh", lambda s: F.xxhash64(s)))
+            ).alias("hs"),
+        )
     )
-    # document frequency via a count window over the shingle partition: one
-    # shuffle by shingle, vs. the groupBy+self-join formulation's two passes
-    # (measured 2x faster; skew exposure is identical — the join variant
-    # also shuffles every row of sh by shingle)
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df_"), F.asc("shingle"))
-    ranked = sh.withColumn(
-        "df_", F.count("*").over(Window.partitionBy("shingle"))
-    ).withColumn("rn", F.row_number().over(w))
-    in_prefix = (
-        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    p0.count()
+    rows = p0.select("doc_id", F.explode("hs").alias("h"))
+    # exact df of DUPLICATED shingles only — df=1 rows (the overwhelming
+    # majority) never leave the aggregate
+    dfreq2 = (
+        rows.groupBy("h")
+        .agg(F.count("*").cast("int").alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    # per-doc df>=2 shingles sorted by (df, hash) — the dup tail of the
+    # doc's global rarity ranking. Dup-bounded shuffle.
+    dup = rows.join(F.broadcast(dfreq2), "h").groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("d"), F.col("h")))
+        ).alias("dups")
+    )
+    # rank of dups[j] (1-based) in the doc's full (df, hash) ranking is
+    # n1 + j: all df=1 shingles sort before every dup. k is the PPJoin
+    # prefix length over the FULL ranking.
+    k = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    n1 = F.col("n_sh") - F.size("dups")
+    in_pref = F.slice(
+        "dups", F.lit(1), F.greatest(k - n1, F.lit(0)).cast("int")
     )
     if max_shingle_df is not None:
-        # stop-shingle cap: hot shingles leave the inverted index (candidate
-        # generation) only; rn/n_sh and the verification sets are untouched
-        in_prefix = in_prefix & (F.col("df_") <= F.lit(int(max_shingle_df)))
-    prefix = _materialize(  # self-joined below: compute the rank pipeline once
-        ranked.filter(in_prefix).select("doc_id", "shingle", "n_sh")
+        # stop-shingle cap: hot shingles leave the inverted index
+        # (candidate generation) only, AFTER the slice — they still
+        # occupy rank positions, exactly as the old row_number did
+        in_pref = F.filter(
+            in_pref, lambda s: s["d"] <= F.lit(int(max_shingle_df))
+        )
+    sizes = p0.select("doc_id", "n_sh")
+    # materialized: the candidate self-join reads pr twice, and left
+    # lazy each side re-runs the df aggregate + dup regroup
+    pr = _materialize(
+        dup.join(sizes, "doc_id")
+        .select("doc_id", "n_sh", F.explode(in_pref).alias("p"))
+        .select("doc_id", "n_sh", F.col("p.h").alias("h")),
+        eager=True,
     )
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    a = pr.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("n_sh").alias("n_a")
     )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    b = pr.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("n_sh").alias("n_b")
     )
     cands = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (
@@ -699,12 +738,41 @@ def ngram_jaccard_pairs(
                 >= F.lit(threshold) * F.greatest("n_a", "n_b")
             )
         )
-        # n_a/n_b are functions of the ids, so distinct is unchanged; carrying
-        # them lets jaccard_verify skip its two count-lookup joins
-        .select("doc_a", "doc_b", "n_a", "n_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_verify(cands, sh, threshold)
+    # exact verification on full sets: intersection size inside the row
+    sa = p0.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("hs").alias("hs_a"),
+    )
+    sb = p0.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("hs").alias("hs_b"),
+    )
+    scored = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def simhash(
