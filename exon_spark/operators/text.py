@@ -654,7 +654,14 @@ def unigram_logppl(
             ).alias("nllm"),
         )
     )
-    scored = tok_rows.join(model, "tok").select("doc_id", "nllm")
+    # 8-byte hashed join key (r12, the lm_ladder trade): the scoring
+    # join only needs (doc_id, key) -> nllm; exact up to 64-bit
+    # collisions over the Zipf-bounded vocab, oracle-gated
+    scored = (
+        tok_rows.select("doc_id", F.xxhash64("tok").alias("_k"))
+        .join(model.select(F.xxhash64("tok").alias("_k"), "nllm"), "_k")
+        .select("doc_id", "nllm")
+    )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_tokens"),
         quant_avg(F.sum("nllm"), F.count("*")).alias("logppl"),
@@ -1451,8 +1458,17 @@ def lm_ladder(
             -_glibc_ln(F.col("tok_n") / F.col("corpus_tokens"))
         ).alias("nllm"),
     )
+    # Scoring joins carry 8-byte composite xxhash64 keys (r12): the
+    # corpus-occurrence side only needs (doc_id, key) to fetch its nllm,
+    # so hashing the 1-3 string components cuts the join exchanges ~3x
+    # (exact up to 64-bit collisions over the Zipf-bounded n-gram
+    # vocabularies — the q48/minhash trade, gated by the value-exact
+    # oracle at every correctness SF).
     uni = (
-        tok_rows.join(model1, "tok")
+        tok_rows.select("doc_id", F.xxhash64("tok").alias("_k"))
+        .join(
+            model1.select(F.xxhash64("tok").alias("_k"), "nllm"), "_k"
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_tokens"),
@@ -1482,7 +1498,15 @@ def lm_ladder(
         )
     )
     b2 = (
-        pair_rows.join(model2, ["prev", "cur"])
+        pair_rows.select(
+            "doc_id", F.xxhash64("prev", "cur").alias("_k")
+        )
+        .join(
+            model2.select(
+                F.xxhash64("prev", "cur").alias("_k"), "nllm"
+            ),
+            "_k",
+        )
         .select("doc_id", "nllm")
         .groupBy("doc_id")
         .agg(
@@ -1521,7 +1545,15 @@ def lm_ladder(
         )
     )
     t3 = (
-        tri_rows.join(model3, ["p2", "p1", "cur"])
+        tri_rows.select(
+            "doc_id", F.xxhash64("p2", "p1", "cur").alias("_k")
+        )
+        .join(
+            model3.select(
+                F.xxhash64("p2", "p1", "cur").alias("_k"), "nllm"
+            ),
+            "_k",
+        )
         .select("doc_id", "nllm")
         .groupBy("doc_id")
         .agg(
