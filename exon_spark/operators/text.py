@@ -724,6 +724,7 @@ def tfidf_keywords(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-document TF-IDF keyword extraction: the k terms that best
     characterize each document against the corpus (score = tf · ln(N/df)),
@@ -733,32 +734,54 @@ def tfidf_keywords(
 
     Output: (doc_id, term, tf, score, rank), rank 1..k.
 
-    Scale: (doc, term) tf counts and the term document-frequency table are
-    two map-side-combined aggs (vocab is Zipf-bounded, far smaller than
-    the corpus); N is a 1-row broadcast; the final top-k is a window over
-    doc_id — millions of small doc-keyed groups, embarrassingly parallel,
-    never a global sort. Same join geometry as unigram_logppl/bm25, AQE
-    broadcasts the vocab side when it fits.
+    Scale regimes (r12): above 2^18 input rows (parquet-footer
+    estimated; ``n_rows`` overrides) the plan follows guide §2.4
+    "establish the partitioning once" — token rows shuffle ONCE by
+    doc_id, and the (doc, term) tf aggregate, the broadcast vocab
+    scoring join, and the per-doc top-k window all reuse that
+    partitioning; tf is materialized columnar so the df aggregate and
+    the scoring join share one tokenize. Measured sf10: 4 corpus-sized
+    exchanges (616 MB) -> 1 (207 MB), 153 -> 135 core-s, warm 7.6 ->
+    6.8 s. Below the threshold the classic two-agg shape wins (fewer
+    jobs, AQE-tiny exchanges; the persist + repartition overhead costs
+    more than it saves — measured sf0.1 1.5 vs 2.9 s warm).
+    N is a 1-row broadcast; the per-TERM ln is ``_glibc_ln`` for oracle
+    bit-parity (r11), so tf * _lnr is pure IEEE in both engines.
     """
     from pyspark.sql import Window
 
+    from exon_spark.operators.dedup import _input_rows, _materialize
+
+    rows_in = n_rows if n_rows is not None else _input_rows(df)
+    scale = bool(rows_in is not None and rows_in > (1 << 18))
     tok_rows = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col, lowercase=True)).alias("term"),
     )
+    if scale:
+        # doc_id partitioning satisfies the (doc_id, term) clustering:
+        # the aggregate adds no exchange and its output STAYS
+        # doc-partitioned, so the window below adds none either
+        tok_rows = tok_rows.repartition("doc_id")
     tf = tok_rows.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if scale:
+        # materialized columnar: the df aggregate and the scoring join
+        # share the computed tf (left lazy each branch re-runs the full
+        # aggregate — exchange reuse alone does not help because the
+        # aggregate above the exchange still re-runs per branch)
+        tf = _materialize(tf)
+        tf.count()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("_n")
     )
-    # per-TERM libm ln (oracle bit-parity, r11); tf * _lnr is then pure
-    # IEEE over identical doubles in both engines
     dfreq_ln = (
         dfreq.crossJoin(F.broadcast(n_docs))
         .select("term", _glibc_ln(F.col("_n") / F.col("_df")).alias("_lnr"))
     )
+    model = F.broadcast(dfreq_ln) if scale else dfreq_ln
     scored = (
-        tf.join(dfreq_ln, "term")
+        tf.join(model, "term")
         .select(
             "doc_id",
             "term",

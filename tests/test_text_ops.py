@@ -620,6 +620,11 @@ def test_tfidf_keywords_hand_computed(spark):
     # doc 3: only 'durian' scores > 0; 'shared' fills rank 2 with score 0
     assert by_doc[3][0].term == "durian"
     assert by_doc[3][1].score == 0.0
+    # the r12 scale regime (single doc_id exchange + broadcast vocab,
+    # forced via n_rows) emits identical rows
+    scale = tfidf_keywords(_docs(spark, rows), k=2, n_rows=1 << 20).collect()
+    key = lambda r: (r.doc_id, r.term, r.tf, r.score, r.rank)  # noqa: E731
+    assert sorted(map(key, scale)) == sorted(map(key, out))
 
 
 def test_token_budget_cap_approximate_mode(spark):
