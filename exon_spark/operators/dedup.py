@@ -38,6 +38,13 @@ from pyspark.sql import Column, DataFrame
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1 (prime)
 
+# minhash_dedup materialization regime switch: above this many input docs
+# the hashed-shingle frame is persisted COLUMNAR (consumers column-prune
+# disjoint hash columns); below it raw-block localCheckpoint wins (see
+# minhash_dedup). Crossover measured between 5e4 (persist loses ~30%)
+# and 5e5 docs (persist wins ~30%); 2^18 splits the gap.
+_COLUMNAR_ROWS = 262_144
+
 # fixed affine permutation constants (a, b); a,b < 2^30 so a*h + b < 2^62
 MINHASH_PERMS: list[tuple[int, int]] = [
     (1_664_525, 1_013_904_223),
@@ -500,7 +507,10 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingles: DataFrame, threshold: float = 0.5
+    pairs: DataFrame,
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    broadcast_ids: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps pairs with
     similarity >= threshold. Join-based (distributed), no collect.
@@ -527,11 +537,25 @@ def jaccard_verify(
     else:
         keyed = shingles
     pairs = _materialize(pairs, eager=True)
+    # broadcast_ids=True puts an EXPLICIT broadcast hint on the
+    # candidate id sets (r12): left to AQE, the semi joins' initial plan
+    # eagerly materializes the full shingle-stream exchange (measured
+    # 315 MB at sf10 on q19) before AQE can see the id set is tiny —
+    # the same lesson as q48's prefilter. Candidate ids are band/prefix-
+    # collision-bounded, so the broadcast is near-dup-bounded, not
+    # corpus-bounded. It is a SCALE-regime hint: at latency scale the
+    # two serialized broadcast-build jobs cost more wall than the
+    # exchange they remove (q19 sf0.1 warm ~3.7 -> ~5 s), so callers
+    # pass it from the same size regime that picks their
+    # materialization (see minhash_dedup).
+    _hint = F.broadcast if broadcast_ids else (lambda d: d)
     sa = keyed.join(
-        pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id"
+        _hint(pairs.select(F.col("doc_a").alias("doc_id")).distinct()),
+        "doc_id",
     ).select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = keyed.join(
-        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id"
+        _hint(pairs.select(F.col("doc_b").alias("doc_id")).distinct()),
+        "doc_id",
     ).select(F.col("doc_id").alias("doc_b"), "shingle")
     carry = [c for c in ("n_a", "n_b") if c in pairs.columns]
     common = (
@@ -581,16 +605,30 @@ def minhash_dedup(
     string arrays (~5x the checkpoint bytes); set sizes fold into the
     signature aggregate (one groupBy computes n_sh + all 16 minima), and
     the verify keys come straight off the materialized rows."""
-    rows = _materialize(
+    # size-adaptive materialization (r12): above _COLUMNAR_ROWS docs the
+    # hashed shingle frame goes through a COLUMNAR persist+count — the
+    # signature aggregate reads (doc_id, h) and the verify path
+    # (doc_id, hk), disjoint hash columns, so InMemoryTableScan
+    # column-prunes each pass where the raw localCheckpoint row scan
+    # pays the full 24-byte width every time (measured sf10 warm
+    # 20.6 -> 14.1 s). Below the threshold the encode/decode overhead
+    # dominates the pruning win (sf1 warm 6.8 -> 8.8 s the wrong way),
+    # so the latency regime keeps the raw-block localCheckpoint.
+    hashed = (
         shingled_docs(df, id_col, text_col, n)
         .select("doc_id", F.explode("sh").alias("shingle"))
         .select(
             "doc_id",
             h32(F.col("shingle")).alias("h"),
             F.xxhash64("shingle").alias("hk"),
-        ),
-        eager=True,
+        )
     )
+    scale = (_input_rows(df) or 0) > _COLUMNAR_ROWS
+    if scale:
+        rows = _materialize(hashed)
+        rows.count()
+    else:
+        rows = _materialize(hashed, eager=True)
     state = rows.groupBy("doc_id").agg(
         F.count("*").alias("n_sh"),
         *[
@@ -613,7 +651,7 @@ def minhash_dedup(
         "doc_b",
     )
     sh_rows = rows.select("doc_id", F.col("hk").alias("shingle"))
-    return jaccard_verify(cands, sh_rows, threshold)
+    return jaccard_verify(cands, sh_rows, threshold, broadcast_ids=scale)
 
 
 def ngram_jaccard_pairs(

@@ -234,6 +234,32 @@ def test_dup_ngram_coverage_caller_cardinality_skips_count(spark):
     assert sorted(map(tuple, big.collect())) == base
 
 
+def test_minhash_dedup_columnar_regime_parity(spark, tmp_path, monkeypatch):
+    """r12: minhash_dedup's scale regime (columnar persist of the hashed
+    shingle frame + explicit broadcast of jaccard_verify's candidate id
+    sets) must emit the identical pair set and 6-dp jaccard as the
+    latency regime (eager localCheckpoint, AQE-planned semi joins).
+    The regime only re-spells materialization and join strategy — the
+    hash arithmetic is shared — so parity is exact, not approximate."""
+    import exon_spark.operators.dedup as dd
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "m n o p q r s t"),
+        (4, "m n o p q r s t"),
+        (5, "z y x w v u t s"),
+    ]
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark, rows).write.mode("overwrite").parquet(p)
+    docs = spark.read.parquet(p)
+    base = sorted(map(tuple, dd.minhash_dedup(docs, n=3).collect()))
+    assert base, "fixture must plant at least one near-dup pair"
+    monkeypatch.setattr(dd, "_COLUMNAR_ROWS", 0)
+    scale = sorted(map(tuple, dd.minhash_dedup(docs, n=3).collect()))
+    assert scale == base
+
+
 def test_glibc_ln_corpus_misuse_guard(spark):
     """r12 (VERDICT r11 next #5): _glibc_ln is a per-element Python libm
     loop reserved for Zipf-bounded model tables; applying it to a
