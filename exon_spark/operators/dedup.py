@@ -511,6 +511,7 @@ def jaccard_verify(
     shingles: DataFrame,
     threshold: float = 0.5,
     broadcast_ids: bool = False,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps pairs with
     similarity >= threshold. Join-based (distributed), no collect.
@@ -523,40 +524,50 @@ def jaccard_verify(
     text (collision odds ~|shingles|^2 / 2^64). ``n_sh`` still counts the
     original distinct rows.
 
-    Both shingle streams are SEMI-FILTERED by the candidate id sets
-    before the verify shuffle (r12): candidates are band/prefix-
-    collision-bounded — orders of magnitude fewer docs than the corpus
-    — so the unfiltered spelling shuffled the corpus's entire shingle
-    set twice to verify a pair set thousands of times smaller. ``pairs``
-    is materialized here (it is small by construction) so the id-set
-    joins get runtime stats and broadcast via AQE; the output set is
-    unchanged — the filter only drops rows the pair join would drop.
-    """
+    With ``prefilter=True`` both shingle streams are SEMI-FILTERED by the
+    candidate id sets before the verify shuffle (r12): candidates are
+    band/prefix-collision-bounded — orders of magnitude fewer docs than
+    the corpus — so the unfiltered spelling shuffled the corpus's entire
+    shingle set twice to verify a pair set thousands of times smaller.
+    ``pairs`` is materialized here (it is small by construction) so the
+    id-set joins get runtime stats and broadcast via AQE; the output set
+    is unchanged — the filter only drops rows the pair join would drop.
+
+    ``prefilter=False`` is the LATENCY-regime spelling (r13): the pairs
+    checkpoint + two distinct-builds + two semi joins cost ~5 extra jobs
+    whose scheduling overhead exceeds the shuffled bytes they save on a
+    small corpus (q19 sf0.1 warm A/B, calm windows: 2.58 -> 2.23 s).
+    Output-identical by construction either way — callers pass it from
+    the same size regime that picks their materialization."""
     if dict(shingles.dtypes).get("shingle") == "string":
         keyed = shingles.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     else:
         keyed = shingles
-    pairs = _materialize(pairs, eager=True)
-    # broadcast_ids=True puts an EXPLICIT broadcast hint on the
-    # candidate id sets (r12): left to AQE, the semi joins' initial plan
-    # eagerly materializes the full shingle-stream exchange (measured
-    # 315 MB at sf10 on q19) before AQE can see the id set is tiny —
-    # the same lesson as q48's prefilter. Candidate ids are band/prefix-
-    # collision-bounded, so the broadcast is near-dup-bounded, not
-    # corpus-bounded. It is a SCALE-regime hint: at latency scale the
-    # two serialized broadcast-build jobs cost more wall than the
-    # exchange they remove (q19 sf0.1 warm ~3.7 -> ~5 s), so callers
-    # pass it from the same size regime that picks their
-    # materialization (see minhash_dedup).
-    _hint = F.broadcast if broadcast_ids else (lambda d: d)
-    sa = keyed.join(
-        _hint(pairs.select(F.col("doc_a").alias("doc_id")).distinct()),
-        "doc_id",
-    ).select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = keyed.join(
-        _hint(pairs.select(F.col("doc_b").alias("doc_id")).distinct()),
-        "doc_id",
-    ).select(F.col("doc_id").alias("doc_b"), "shingle")
+    if prefilter:
+        pairs = _materialize(pairs, eager=True)
+        # broadcast_ids=True puts an EXPLICIT broadcast hint on the
+        # candidate id sets (r12): left to AQE, the semi joins' initial plan
+        # eagerly materializes the full shingle-stream exchange (measured
+        # 315 MB at sf10 on q19) before AQE can see the id set is tiny —
+        # the same lesson as q48's prefilter. Candidate ids are band/prefix-
+        # collision-bounded, so the broadcast is near-dup-bounded, not
+        # corpus-bounded. It is a SCALE-regime hint: at latency scale the
+        # two serialized broadcast-build jobs cost more wall than the
+        # exchange they remove (q19 sf0.1 warm ~3.7 -> ~5 s), so callers
+        # pass it from the same size regime that picks their
+        # materialization (see minhash_dedup).
+        _hint = F.broadcast if broadcast_ids else (lambda d: d)
+        sa = keyed.join(
+            _hint(pairs.select(F.col("doc_a").alias("doc_id")).distinct()),
+            "doc_id",
+        ).select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = keyed.join(
+            _hint(pairs.select(F.col("doc_b").alias("doc_id")).distinct()),
+            "doc_id",
+        ).select(F.col("doc_id").alias("doc_b"), "shingle")
+    else:
+        sa = keyed.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = keyed.select(F.col("doc_id").alias("doc_b"), "shingle")
     carry = [c for c in ("n_a", "n_b") if c in pairs.columns]
     common = (
         pairs.join(sa, "doc_a")
@@ -589,9 +600,17 @@ def minhash_dedup(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle -> 16-perm
     signatures -> 4x4 LSH banding -> exact-Jaccard verification.
+
+    ``n_rows``: caller-supplied input cardinality for the regime switch
+    (r13, the ngram_containment_pairs/tfidf_keywords precedent). The
+    auto-detection (``_input_rows``) only reads local parquet footers, so
+    on s3://hdfs/non-parquet deployments it returns None and the operator
+    would silently stay in the latency regime at any scale — pass the
+    (approximate) doc count to opt into the scale path there.
 
     Signatures are computed like ``minhash_signatures`` (explode + one
     codegen'd hash aggregate with map-side partial min) — measured ~1.7x
@@ -623,7 +642,8 @@ def minhash_dedup(
             F.xxhash64("shingle").alias("hk"),
         )
     )
-    scale = (_input_rows(df) or 0) > _COLUMNAR_ROWS
+    rows_in = n_rows if n_rows is not None else _input_rows(df)
+    scale = (rows_in or 0) > _COLUMNAR_ROWS
     if scale:
         rows = _materialize(hashed)
         rows.count()
@@ -651,7 +671,12 @@ def minhash_dedup(
         "doc_b",
     )
     sh_rows = rows.select("doc_id", F.col("hk").alias("shingle"))
-    return jaccard_verify(cands, sh_rows, threshold, broadcast_ids=scale)
+    # latency regime also skips the verify prefilter (r13): its pairs
+    # checkpoint + id-set semi joins are ~5 extra jobs of pure scheduling
+    # overhead at small corpus sizes (A/B in jaccard_verify's docstring)
+    return jaccard_verify(
+        cands, sh_rows, threshold, broadcast_ids=scale, prefilter=scale
+    )
 
 
 def ngram_jaccard_pairs(

@@ -258,6 +258,19 @@ def test_minhash_dedup_columnar_regime_parity(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(dd, "_COLUMNAR_ROWS", 0)
     scale = sorted(map(tuple, dd.minhash_dedup(docs, n=3).collect()))
     assert scale == base
+    monkeypatch.undo()
+    # r13 (ADVICE r12): n_rows= forces the scale regime on inputs whose
+    # cardinality the parquet-footer sniff cannot see (s3://, views);
+    # output must be identical to both auto-detected regimes
+    forced = sorted(
+        map(
+            tuple,
+            dd.minhash_dedup(
+                docs, n=3, n_rows=dd._COLUMNAR_ROWS + 1
+            ).collect(),
+        )
+    )
+    assert forced == base
 
 
 def test_glibc_ln_corpus_misuse_guard(spark):
