@@ -17,6 +17,8 @@ from exon_spark.operators.dedup import (  # noqa: F401
     fanout_repartition,
     h32,
     tokens,
+    wide_key_cond,
+    wide_keys,
     word_ngrams,
 )
 
@@ -654,14 +656,18 @@ def unigram_logppl(
             ).alias("nllm"),
         )
     )
-    # 8-byte hashed join key (r12, the lm_ladder trade): the scoring
-    # join only needs (doc_id, key) -> nllm; exact up to 64-bit
-    # collisions over the Zipf-bounded vocab, oracle-gated
-    scored = (
-        tok_rows.select("doc_id", F.xxhash64("tok").alias("_k"))
-        .join(model.select(F.xxhash64("tok").alias("_k"), "nllm"), "_k")
-        .select("doc_id", "nllm")
-    )
+    # hashed join key (r12; widened to 128 bits r13): the scoring join
+    # only needs (doc_id, key) -> nllm, so hashing the token cuts the
+    # exchange ~3x vs strings. Two xxhash64 halves (``wide_keys``) make
+    # a key collision — which would silently DUPLICATE scored rows and
+    # inflate n_tokens — a ~|V|^2/2^129 event instead of an expected one
+    # at 100 TB vocabulary sizes (VERDICT r12 #3; birthday bound at
+    # 2^64 is ~4.3e9 keys, real web vocabularies are 1e10-1e11). The
+    # second half rides as a residual condition (``wide_key_cond``), not
+    # a second equi-key, to keep the single-long-key join fast path.
+    _c = tok_rows.select("doc_id", *wide_keys("tok"))
+    _m = model.select(*wide_keys("tok"), "nllm")
+    scored = _c.join(_m, wide_key_cond(_c, _m)).select("doc_id", "nllm")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_tokens"),
         quant_avg(F.sum("nllm"), F.count("*")).alias("logppl"),
@@ -1481,17 +1487,22 @@ def lm_ladder(
             -_glibc_ln(F.col("tok_n") / F.col("corpus_tokens"))
         ).alias("nllm"),
     )
-    # Scoring joins carry 8-byte composite xxhash64 keys (r12): the
-    # corpus-occurrence side only needs (doc_id, key) to fetch its nllm,
-    # so hashing the 1-3 string components cuts the join exchanges ~3x
-    # (exact up to 64-bit collisions over the Zipf-bounded n-gram
-    # vocabularies — the q48/minhash trade, gated by the value-exact
-    # oracle at every correctness SF).
+    # Scoring joins carry composite hashed keys (r12; widened from one
+    # xxhash64 to the 128-bit ``wide_keys`` pair r13): the corpus-
+    # occurrence side only needs (doc_id, key) to fetch its nllm, so
+    # hashing the 1-3 string components cuts the join exchanges ~3x. At
+    # 100 TB the n-gram vocabulary is 1e10-1e11 keys — past the 64-bit
+    # birthday bound — and an inner-join collision DUPLICATES scored
+    # rows (inflates n_tokens), so the key is two xxhash64 halves
+    # (collision ~|V|^2/2^129, never) for +8 bytes/row (VERDICT r12 #3).
+    # The second half rides as a residual condition (``wide_key_cond``),
+    # not a second equi-key — a two-key equi-join loses the single-long-
+    # key fast path (measured +60% on this rung at the sf10 replica).
+    _cu = tok_rows.select("doc_id", *wide_keys("tok"))
+    _mu = model1.select(*wide_keys("tok"), "nllm")
     uni = (
-        tok_rows.select("doc_id", F.xxhash64("tok").alias("_k"))
-        .join(
-            model1.select(F.xxhash64("tok").alias("_k"), "nllm"), "_k"
-        )
+        _cu.join(_mu, wide_key_cond(_cu, _mu))
+        .select("doc_id", "nllm")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_tokens"),
@@ -1520,16 +1531,10 @@ def lm_ladder(
             ).alias("nllm"),
         )
     )
+    _cb = pair_rows.select("doc_id", *wide_keys("prev", "cur"))
+    _mb = model2.select(*wide_keys("prev", "cur"), "nllm")
     b2 = (
-        pair_rows.select(
-            "doc_id", F.xxhash64("prev", "cur").alias("_k")
-        )
-        .join(
-            model2.select(
-                F.xxhash64("prev", "cur").alias("_k"), "nllm"
-            ),
-            "_k",
-        )
+        _cb.join(_mb, wide_key_cond(_cb, _mb))
         .select("doc_id", "nllm")
         .groupBy("doc_id")
         .agg(
@@ -1567,16 +1572,10 @@ def lm_ladder(
             ).alias("nllm"),
         )
     )
+    _ct = tri_rows.select("doc_id", *wide_keys("p2", "p1", "cur"))
+    _mt = model3.select(*wide_keys("p2", "p1", "cur"), "nllm")
     t3 = (
-        tri_rows.select(
-            "doc_id", F.xxhash64("p2", "p1", "cur").alias("_k")
-        )
-        .join(
-            model3.select(
-                F.xxhash64("p2", "p1", "cur").alias("_k"), "nllm"
-            ),
-            "_k",
-        )
+        _ct.join(_mt, wide_key_cond(_ct, _mt))
         .select("doc_id", "nllm")
         .groupBy("doc_id")
         .agg(
