@@ -1035,24 +1035,33 @@ def decontaminate(
     array_distinct + hash) — the old ``shingle_rows(...).distinct()``
     shuffled every corpus shingle row just to dedupe within docs, so the
     only corpus-sized shuffle left is the per-doc hit counts (post-join,
-    hit-bounded). Hashing before the distinct keeps the old semantics
-    (hash collisions collapse) — collision odds ~|doc shingles|²/2^64.
+    hit-bounded).
+
+    r13 key width: the membership join carries a 128-bit hashed key
+    (``wide_keys``: equi on one xxhash64 half + residual check on the
+    second) instead of one xxhash64. The load-bearing collision here is
+    corpus-shingle-vs-benchmark-shingle: at 1e11 corpus grams x 1e8
+    benchmark grams a 64-bit false hit is expected (~|C|x|B|/2^64 ≈ 0.5
+    per 1e19 pairs — marginal already at extreme scale) and falsely
+    flags a clean doc contaminated; two halves make it ~2^-65 smaller.
+    There is no hash-level distinct anymore: ``shingled_docs``' sh is
+    already the per-doc DISTINCT string set, so the only thing a hash
+    distinct could still collapse is a full 128-bit collision — and the
+    r12 64-bit spelling could silently merge two distinct shingles into
+    one hit.
     """
     bg = (
-        shingle_rows(benchmark, id_col, text_col, n, hashed=True)
-        .select("shingle")
+        shingle_rows(benchmark, id_col, text_col, n)
+        .select(*wide_keys("shingle"))
         .distinct()
     )
-    cg = shingled_docs(df, id_col, text_col, n).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform("sh", lambda s: F.xxhash64(s))
-            )
-        ).alias("shingle"),
+    cg = (
+        shingled_docs(df, id_col, text_col, n)
+        .select("doc_id", F.explode("sh").alias("_str"))
+        .select("doc_id", *wide_keys("_str"))
     )
     hits = (
-        cg.join(F.broadcast(bg), "shingle")
+        cg.join(F.broadcast(bg), wide_key_cond(cg, bg))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -1697,7 +1706,23 @@ def ngram_containment_pairs(
         rows_in = n_rows if n_rows is not None else _input_rows(df)
         prefilter = bool(rows_in is not None and rows_in > (1 << 18))
     # sh feeds the two join sides (+ the df/hot-shingle agg); left lazy
-    # each replans the full tokenize -> shingle pipeline from the scan
+    # each replans the full tokenize -> shingle pipeline from the scan.
+    #
+    # hashed=True keys stay 64-bit BY MEASUREMENT (r13, VERDICT r12 #3
+    # declined for this operator): widening to a second hash half —
+    # struct-array, crc32-int, and residual-condition spellings all
+    # tried — costs +12-15% median CPU at the sf10 replica because the
+    # second random hash column does not compress (the columnar-
+    # persisted frame doubled, 208 -> 409 MB) and every pair-join
+    # exchange carries it. Declared collision tolerance instead: a pair
+    # (x, y) of distinct shingles with xxhash64(x) == xxhash64(y) in the
+    # SAME candidate pair's doc sets inflates that pair's n_common by 1
+    # (expected extra-match count ~= sum over candidate pairs of
+    # |A||B|/2^64; at 1e4-shingle docs that is ~5e-12 per pair — it
+    # takes ~1e11 candidate PAIRS to expect one off-by-one n_common,
+    # and thresholded output changes only when that pair sits exactly
+    # on the containment boundary). Callers needing provable exactness
+    # pass hashed=False (string keys, ~5x the shuffle bytes).
     hs = (
         F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
         if hashed

@@ -970,10 +970,14 @@ def line_dedup(
     the corpus — and rides a broadcast hash ANTI join back onto the
     exploded lines (``broadcast_hot=False`` degrades to a shuffle anti
     join for a pathological hot set wider than the broadcast limit).
-    ``hashed=True`` swaps line text for xxhash64(line) as BOTH the agg
-    and anti-join key — 8-byte shuffle rows at 100 TB; exact up to
-    64-bit collisions, so the default stays text-keyed for the oracle
-    gate, same convention as ngram_jaccard_pairs(hashed=).
+    ``hashed=True`` swaps line text for a 128-bit hashed key (two
+    xxhash64 halves, r13 — one is the agg/anti-join equi key, the second
+    rides as a residual anti-join condition) — compact shuffle rows at
+    100 TB. A single 64-bit key was exact only up to collisions, and at
+    1e10+ distinct corpus lines a collision is expected and deletes a
+    content line that merely hashes like boilerplate; the pair bound is
+    ~2^-128 per line pair. The default stays text-keyed (provably exact,
+    and the spelling the oracle gate runs).
     Reassembly is one groupBy(doc) of the surviving lines — the only
     corpus-wide shuffle — with an in-group array_sort on position, not
     a window sort. ``n_lines`` rides every exploded row (the split
@@ -995,23 +999,46 @@ def line_dedup(
         F.size(arr).alias("n_lines"),
         F.posexplode(arr).alias("pos", "line"),
     )
-    key = (
-        F.xxhash64(F.col("line")).alias("_k")
+    keys = (
+        [
+            F.xxhash64(F.col("line")).alias("_k"),
+            F.xxhash64(F.lit(64), F.col("line")).alias("_k2"),
+        ]
         if hashed
-        else F.col("line").alias("_k")
+        else [F.col("line").alias("_k")]
     )
-    lines = lines.select("doc_id", "n_lines", "pos", "line", key)
+    kcols = ["_k", "_k2"] if hashed else ["_k"]
+    lines = lines.select("doc_id", "n_lines", "pos", "line", *keys)
     hot = (
-        lines.select("doc_id", "_k")
+        lines.select("doc_id", *kcols)
         .distinct()
-        .groupBy("_k")
+        .groupBy(*kcols)
         .agg(F.count(F.lit(1)).alias("line_df"))
         .filter(F.col("line_df") >= min_df)
-        .select("_k")
+        .select(*kcols)
     )
-    if broadcast_hot:
-        hot = F.broadcast(hot)
-    kept = lines.join(hot, "_k", "left_anti")
+    if hashed:
+        # equi on one half + residual xor on the second (wide_keys
+        # rationale in operators.dedup: a two-key equi-join loses the
+        # single-long fast path); a line is dropped only when BOTH
+        # halves match a hot line — 128-bit-exact. hot derives from
+        # lines, so its columns are renamed to break the self-join
+        # attribute ambiguity.
+        hot = hot.select(
+            F.col("_k").alias("_hk"), F.col("_k2").alias("_hk2")
+        )
+        if broadcast_hot:
+            hot = F.broadcast(hot)
+        kept = lines.join(
+            hot,
+            (F.col("_k") == F.col("_hk"))
+            & (F.col("_k2").bitwiseXOR(F.col("_hk2")) == 0),
+            "left_anti",
+        )
+    else:
+        if broadcast_hot:
+            hot = F.broadcast(hot)
+        kept = lines.join(hot, "_k", "left_anti")
     return kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
