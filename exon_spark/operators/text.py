@@ -731,6 +731,7 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_rows: int | None = None,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Per-document TF-IDF keyword extraction: the k terms that best
     characterize each document against the corpus (score = tf · ln(N/df)),
@@ -753,6 +754,14 @@ def tfidf_keywords(
     more than it saves — measured sf0.1 1.5 vs 2.9 s warm).
     N is a 1-row broadcast; the per-TERM ln is ``_glibc_ln`` for oracle
     bit-parity (r11), so tf * _lnr is pure IEEE in both engines.
+
+    ``broadcast_vocab`` (r13, ADVICE r12): the scale regime's explicit
+    broadcast hint on the per-term idf table assumes the vocabulary is
+    broadcast-sized — web-scale shards full of URLs/typos/IDs are not.
+    ``None`` keeps the regime default (hint in the scale regime);
+    ``False`` leaves the vocab join to AQE without abandoning the
+    single-doc_id-exchange plan; ``True`` forces the hint in both
+    regimes. Output identical either way.
     """
     from pyspark.sql import Window
 
@@ -785,7 +794,8 @@ def tfidf_keywords(
         dfreq.crossJoin(F.broadcast(n_docs))
         .select("term", _glibc_ln(F.col("_n") / F.col("_df")).alias("_lnr"))
     )
-    model = F.broadcast(dfreq_ln) if scale else dfreq_ln
+    _hint = scale if broadcast_vocab is None else broadcast_vocab
+    model = F.broadcast(dfreq_ln) if _hint else dfreq_ln
     scored = (
         tf.join(model, "term")
         .select(

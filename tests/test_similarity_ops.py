@@ -191,6 +191,23 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.3, max_shingle_df=1).collect()
     }
     assert tight <= exact
+    # r13 (ADVICE r12): broadcast_dfreq=False (AQE-planned dfreq join for
+    # boilerplate-heavy shards) and the forced-regime n_rows (count-gated
+    # materialization) are output-identical
+    nohint = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.3, broadcast_dfreq=False
+        ).collect()
+    }
+    assert nohint == exact
+    forced = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.3, n_rows=(1 << 18) + 1
+        ).collect()
+    }
+    assert forced == exact
 
 
 def test_decontaminate_finds_planted_overlap(spark):

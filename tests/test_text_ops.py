@@ -664,6 +664,12 @@ def test_tfidf_keywords_hand_computed(spark):
     scale = tfidf_keywords(_docs(spark, rows), k=2, n_rows=1 << 20).collect()
     key = lambda r: (r.doc_id, r.term, r.tf, r.score, r.rank)  # noqa: E731
     assert sorted(map(key, scale)) == sorted(map(key, out))
+    # r13 (ADVICE r12): broadcast_vocab=False keeps the scale-regime plan
+    # but leaves the vocab join to AQE — identical rows
+    nohint = tfidf_keywords(
+        _docs(spark, rows), k=2, n_rows=1 << 20, broadcast_vocab=False
+    ).collect()
+    assert sorted(map(key, nohint)) == sorted(map(key, out))
 
 
 def test_token_budget_cap_approximate_mode(spark):
