@@ -74,16 +74,56 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (q_id, vec_id, score, rnk). Deterministic tie-break on vec_id.
+
+    Two regimes on corpus size (r13, the semantic_dedup precedent —
+    ``_SCALE_REGIME_ROWS``; auto-detected from parquet footers, ``n_rows``
+    overrides):
+
+    * latency (default): the scan scores each (corpus row, query) pair
+      with the codegen'd ``cosine_pre`` expression — interpreted
+      higher-order-function passes at ~5 us per 64-dim pair, fine below
+      ~10^5 rows and bit-identical to the DuckDB oracle (sequential
+      float sums in both engines).
+    * scale: ONE ``mapInPandas`` pass — each Arrow batch computes the
+      full (batch x queries) score matrix as a BLAS matmul and emits
+      only its per-batch per-query top-k rows, so the downstream window
+      ranks tasks*k*|Q| rows instead of |corpus|*|Q| (guide §4.2). The
+      per-batch top-k under the output's own total order
+      (score desc, vec_id asc) is exact — any global top-k row is
+      necessarily within its batch's top-k. Boundary caveat (same as
+      semantic_dedup's udf/grouped regimes): np.round is half-even and
+      BLAS sums in a different order than the sequential expr/oracle
+      spelling, so a score lying within one ulp of a 0.5e-6 rounding
+      boundary may differ in the 6th decimal; the regime floor keeps
+      oracle-gated scale factors on the expr path.
     """
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("_qn"),
     )
+    from exon_spark.operators.dedup import _input_rows
+
+    rows_in = n_rows if n_rows is not None else _input_rows(corpus)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    if (rows_in or 0) > _SCALE_REGIME_ROWS:
+        qrows = q.collect()  # query-fanout-bounded by contract
+        scored = _blas_topk_scan(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+            ),
+            qrows,
+            k,
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+        )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -100,11 +140,66 @@ def cosine_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def _blas_topk_scan(c: DataFrame, qrows: list, k: int) -> DataFrame:
+    """cosine_topk's scale-regime scan: per Arrow batch, one
+    (batch x dim) @ (dim x |Q|) matmul + per-query partial top-k under
+    (score desc, vec_id asc). Emits <= k rows per query per batch;
+    the caller's window finishes the global rank. Query vectors ride in
+    the closure (broadcast-equivalent; |Q| is query-fanout-bounded)."""
+    import numpy as np
+
+    q_ids = np.array([r["q_id"] for r in qrows], np.int64)
+    Q = np.stack([np.asarray(r["q_vec"], np.float64) for r in qrows])
+    qn = np.array([r["_qn"] for r in qrows], np.float64)
+    kk = int(k)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            M = np.stack([np.asarray(v, np.float64) for v in pdf["vec"]])
+            cn = np.linalg.norm(M, axis=1)
+            # S[i, j] = round(dot(vec_i, q_j) / (cn_i * qn_j), 6)
+            S = M @ Q.T
+            S /= cn[:, None]
+            S /= qn[None, :]
+            np.round(S, 6, out=S)
+            outs = []
+            for j in range(len(q_ids)):
+                col = S[:, j]
+                mask = ids != q_ids[j]
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                # total order: score desc, vec_id asc — lexsort's last
+                # key is primary
+                order = np.lexsort(
+                    (ids[cand_idx], -col[cand_idx])
+                )[:kk]
+                pick = cand_idx[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(pick), q_ids[j], np.int64),
+                            "vec_id": ids[pick],
+                            "score": col[pick],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return c.mapInPandas(gen, "q_id bigint, vec_id bigint, score double")
 
 
 def hyperplanes(dim: int, n_planes: int = 8) -> list[list[float]]:

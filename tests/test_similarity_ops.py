@@ -12,6 +12,31 @@ def _emb(spark):
     return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
 
 
+def test_cosine_topk_blas_regime_parity(spark):
+    """r13 (VERDICT r12 #7): cosine_topk's scale regime (mapInPandas
+    BLAS matmul + per-batch partial top-k, forced via n_rows) must emit
+    row-identical (q_id, vec_id, score, rnk) to the expr regime,
+    including the 6-dp rounding and the (score desc, vec_id asc)
+    tie-break, on the deterministic embeddings fixture."""
+    from exon_spark.operators import cosine_topk
+
+    em = _emb(spark)
+    q = em.filter(F.col("vec_id") < 8)
+    expr = sorted(map(tuple, cosine_topk(em, q, k=5).collect()))
+    blas = sorted(
+        map(tuple, cosine_topk(em, q, k=5, n_rows=1 << 20).collect())
+    )
+    assert expr == blas
+    # the scale plan actually crosses the Python boundary once
+    plan = (
+        cosine_topk(em, q, k=5, n_rows=1 << 20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+
+
 def test_ivf_ann_topk(spark):
     from exon_spark.operators import cosine_topk, ivf_ann_topk
 
