@@ -1517,6 +1517,25 @@ def lm_ladder(
         ]
     )
     total_row = vocab.agg(F.sum("tok_n").alias("corpus_tokens"))
+    # Size-adaptive scoring-LUT broadcast (r13, VERDICT r12 #5): each
+    # rung's quantized model table is Zipf-bounded but only the unigram
+    # one is RELIABLY broadcast-sized — the trigram table at the sf10
+    # replica is 2.7M rows (~65 MB raw), over AQE's 64 MB adaptive
+    # threshold, so its scoring join shuffled the 26M-row corpus
+    # occurrence side. Counting the (already checkpointed) model frames
+    # is one tiny job each; below the row cap the scoring join gets an
+    # explicit broadcast hint, removing the corpus-side exchange + sort
+    # entirely. At 100 TB trigram tables are 1e10+ rows — far over the
+    # cap — and the joins stay shuffled, which is the only plan that
+    # works there. Respects broadcast_models=False (the caller's opt-out
+    # for every model-side hint).
+    # (the unigram LUT is NOT hinted: measured neutral-to-worse at the
+    # sf10 replica — 447-471 vs 363-422 core-s without — because the
+    # token-occurrence side's groupBy(doc_id) reshuffles either way and
+    # the hint only serializes an extra broadcast build)
+    _lut_cap = 4_194_304  # 2^22 rows ≈ 100 MB raw at 24 B/row
+    _b2 = broadcast_models and big.count() <= _lut_cap
+    _b3 = broadcast_models and tri.count() <= _lut_cap
     # ---- unigram rung (expressions identical to unigram_logppl)
     model1 = vocab.crossJoin(F.broadcast(total_row)).select(
         "tok",
@@ -1570,6 +1589,8 @@ def lm_ladder(
     )
     _cb = pair_rows.select("doc_id", *wide_keys("prev", "cur"))
     _mb = model2.select(*wide_keys("prev", "cur"), "nllm")
+    if _b2:
+        _mb = F.broadcast(_mb)
     b2 = (
         _cb.join(_mb, wide_key_cond(_cb, _mb))
         .select("doc_id", "nllm")
@@ -1611,6 +1632,8 @@ def lm_ladder(
     )
     _ct = tri_rows.select("doc_id", *wide_keys("p2", "p1", "cur"))
     _mt = model3.select(*wide_keys("p2", "p1", "cur"), "nllm")
+    if _b3:
+        _mt = F.broadcast(_mt)
     t3 = (
         _ct.join(_mt, wide_key_cond(_ct, _mt))
         .select("doc_id", "nllm")
