@@ -48,9 +48,15 @@ from exon_spark.queries.base import QuerySpec, table
 # exhaustion) while a single arm passes at 1.5. Below the threshold the
 # arms overlap freely — serializing them costs measured wall time at
 # small SFs (q36 2.5->4.8 s at sf0.1) for memory nobody is short of.
-# 2^20 mirrors dup_ngram_coverage's hashed="auto" threshold: 2x above
-# the largest oracle-proven corpus (sf10, 500k docs), below sf100's 5M.
-_STAGE_ARMS_ROWS = 1_048_576
+# r13: lowered 2^20 -> 2^18 (the shared regime constant) after a full
+# sf10 bench leg OOMed the 8 GB heap inside q42's dsir materialization
+# with GCLocker retry warnings — the same mechanism the sf100 probe hit
+# — in a JVM warmed by 41 prior queries. Isolated q42 runs passed at
+# sf10 every time; the in-bench heap is the binding constraint, and the
+# staged spelling costs ~1 tiny materialization at sf10 while halving
+# peak concurrent Arrow state. sf0.1/sf1 (<= 50k docs) keep the
+# overlapped arms.
+_STAGE_ARMS_ROWS = 262_144
 
 
 def _parquet_rows(sf_dir: str, name: str) -> int | None:
